@@ -1,0 +1,132 @@
+"""Canonical edge-table helpers — the engine's data model.
+
+LLAMA's store is a multi-level CSR over dense node ids
+(ll_mlcsr_sp.h:97-176, ll_common.h:109-111). The Spark-native data model is
+the **edge table**: ``DataFrame[src: long, dst: long (, weight: double)]``.
+Reverse adjacency is just column swap (no in-CSR/edge-translation analog
+needed, ll_mlcsr_graph.h:704-706); degrees are a materialized DataFrame
+(LL_PRECOMPUTED_DEGREE, ll_mlcsr_sp.h:1900-1963); loader edge transforms
+(dedup / undirected doubling / undirected ordering) mirror
+ll_load_utils.h:399-433.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SRC, DST = "src", "dst"
+
+
+def nodes_of(edges: DataFrame) -> DataFrame:
+    """Distinct node ids appearing as src or dst → DataFrame[id: long].
+
+    LLAMA's node space is dense [0, max_nodes) (ll_mlcsr_sp.h:587-589); we
+    accept arbitrary longs — density is only an id-dictionary concern.
+    """
+    return (
+        edges.select(F.col(SRC).alias("id"))
+        .unionAll(edges.select(F.col(DST).alias("id")))
+        .distinct()
+    )
+
+
+def deduplicate(edges: DataFrame) -> DataFrame:
+    """Drop duplicate (src, dst) pairs — lc_deduplicate (ll_load_utils.h:399-505)."""
+    return edges.dropDuplicates([SRC, DST])
+
+
+def drop_self_loops(edges: DataFrame) -> DataFrame:
+    return edges.filter(F.col(SRC) != F.col(DST))
+
+
+def undirected_double(edges: DataFrame) -> DataFrame:
+    """-U load mode: every edge stored in both directions (ll_load_utils.h:427-433)."""
+    swapped = edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    return edges.select(SRC, DST).unionAll(swapped)
+
+
+def undirected_ordered(edges: DataFrame) -> DataFrame:
+    """-OD load mode: each edge once with src<dst (ll_load_utils.h:410-414)."""
+    return edges.select(
+        F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST)
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected neighbor view for CC / label propagation: both directions,
+    deduped, self-loops removed."""
+    return drop_self_loops(deduplicate(undirected_double(edges.select(SRC, DST))))
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """DataFrame[id, out_degree] — degree of absent node is 0 by convention
+    (ll_mlcsr_sp.h:1956-1963): consumers LEFT-join and coalesce to 0."""
+    return edges.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("out_degree"))
+
+
+def in_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy(F.col(DST).alias("id")).agg(F.count("*").alias("in_degree"))
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """DataFrame[id, out_degree, in_degree] with 0 fill, all nodes present."""
+    return (
+        nodes_of(edges)
+        .join(out_degrees(edges), "id", "left")
+        .join(in_degrees(edges), "id", "left")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+        )
+    )
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """log2-bucket histogram of out-degrees + degree mass per bucket
+    (tools/degree_distribution.h:56-145). Bucket = floor(log2(degree)).
+
+    Doubles as the skew detector: a heavy top bucket ⇒ hub salting needed.
+    """
+    deg = out_degrees(edges)
+    return (
+        deg.withColumn("bucket", F.floor(F.log2(F.col("out_degree"))).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("out_degree").alias("degree_mass"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def edge_prop_stats(edges: DataFrame, prop: str = "weight") -> DataFrame:
+    """min/max/sum/count/mean of an edge property (tools/property_stats.h:94-140)."""
+    return edges.agg(
+        F.min(prop).alias("min_v"),
+        F.max(prop).alias("max_v"),
+        F.sum(prop).alias("sum_v"),
+        F.count(prop).alias("count_v"),
+        F.avg(prop).alias("avg_v"),
+    )
+
+
+def find_edge(edges: DataFrame, u: int, v: int) -> DataFrame:
+    """Point lookup find(u,v) (ll_mlcsr_sp.h:2334-2370)."""
+    return edges.filter((F.col(SRC) == u) & (F.col(DST) == v))
+
+
+def with_synthetic_weights(edges: DataFrame) -> DataFrame:
+    """Deterministic edge weights 1 + ((src*31 + dst) % 100)/100 — the
+    portable analog of the loader's "weight" property
+    (ll_load_utils.h:1076-1090); identical formula used by the DuckDB oracle.
+    """
+    return edges.withColumn(
+        "weight",
+        (
+            F.lit(1.0)
+            + F.pmod(F.col(SRC) * F.lit(31) + F.col(DST), F.lit(100)).cast("double")
+            / F.lit(100.0)
+        ),
+    )

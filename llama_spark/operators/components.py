@@ -1,0 +1,137 @@
+"""Connected components (hash-min label convergence) and label propagation.
+
+Hash-min CC is the north-rule-mandated stand-in for the reference's
+sequential Tarjan SCC (benchmark/benchmarks/tarjan_scc.h:57-206 — inherently
+DFS-sequential, no distributed analog; scoped out per SURVEY §2.1). The
+kernel shape is exactly LLAMA's min-relaxation fixpoint template
+(sssp.h:124-179) with ``label`` in place of ``dist + len``:
+
+    label'(v) = min(label(v), min_{u ∈ neighbors(v)} label(u))
+
+over the symmetrized edge set, iterated to fixpoint → every node ends up
+labeled with the minimum node id of its weakly-connected component.
+
+Label propagation (also north-rule-mandated) is the same gather-scatter
+with mode() instead of min(): each node adopts the most frequent label among
+its neighbors, ties broken by smallest label (deterministic synchronous
+update — fixed iteration count gives bit-identical results across engines).
+
+Scale notes: the neighbor-min groupBy benefits from map-side partial
+aggregation (hub nodes combine locally before the shuffle); the mode-agg in
+LP uses a single groupBy((dst,label)) + max_by(struct) rather than a window
+sort — one shuffle less. For graphs with giant diameter, hash-min needs
+O(diameter) rounds; the checkpointed fixpoint driver keeps lineage flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..graph import DST, SRC, nodes_of, symmetrize
+from ..plans.fixpoint import FixpointResult, iterate
+
+
+def _changed(prev: DataFrame, new: DataFrame, col: str) -> int:
+    return (
+        prev.alias("a")
+        .join(new.alias("b"), "id")
+        .filter(F.col(f"a.{col}") != F.col(f"b.{col}"))
+        .count()
+    )
+
+
+def connected_components_result(
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> FixpointResult:
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    init = nodes.select("id", F.col("id").alias("component"))
+
+    def step(labels: DataFrame, _i: int) -> DataFrame:
+        neighbor_min = (
+            labels.join(und, labels["id"] == und[SRC])
+            .groupBy(F.col(DST).alias("id"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        return labels.join(neighbor_min, "id", "left").select(
+            "id", F.least("component", F.coalesce("nmin", "component")).alias("component")
+        )
+
+    result = iterate(
+        init,
+        step,
+        max_iter=max_iter,
+        updated_count=lambda a, b: _changed(a, b, "component"),
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+        name="connected_components",
+    )
+    und.unpersist()
+    nodes.unpersist()
+    return result
+
+
+def connected_components(edges: DataFrame, **kwargs) -> DataFrame:
+    """DataFrame[id, component] — component = min reachable node id (exact)."""
+    return connected_components_result(edges, **kwargs).state
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iter: int = 5,
+    initial_labels: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """Synchronous label propagation; DataFrame[id, label].
+
+    Deterministic: exactly ``max_iter`` synchronous rounds, tie-break =
+    smallest label (so results are engine-independent and match the DuckDB
+    oracle bit-for-bit). Nodes keep their label when they have no neighbors.
+    """
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    init = (
+        initial_labels
+        if initial_labels is not None
+        else nodes.select("id", F.col("id").alias("label"))
+    )
+
+    def step(labels: DataFrame, _i: int) -> DataFrame:
+        # mode() with smallest-label tie-break, one shuffle:
+        # max over struct(cnt, -label) picks highest count then lowest label.
+        votes = (
+            labels.join(und, labels["id"] == und[SRC])
+            .groupBy(F.col(DST).alias("id"), "label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("id")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("best"))
+            .select("id", (-F.col("best.neg")).alias("new_label"))
+        )
+        return labels.join(votes, "id", "left").select(
+            "id", F.coalesce("new_label", "label").alias("label")
+        )
+
+    result = iterate(
+        init,
+        step,
+        max_iter=max_iter,
+        updated_count=None,  # fixed rounds for cross-engine determinism
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+        name="label_propagation",
+    )
+    und.unpersist()
+    nodes.unpersist()
+    return result.state

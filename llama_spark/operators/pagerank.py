@@ -1,0 +1,140 @@
+"""PageRank — power iteration as iterative DataFrame joins.
+
+Reference semantics (reproduced exactly):
+- pull recurrence: ``rank'(t) = (1-d)/N + d * Σ_{w ∈ in(t)} rank(w)/out_deg(w)``
+  (benchmark/benchmarks/pagerank.h:159-166), init 1/N, damping d=0.85.
+- **dangling mass is lost**: a node with out-degree 0 contributes nothing
+  (pagerank.h:287-288) — rank sums drift below 1; we reproduce this, not the
+  "redistribute dangling mass" textbook variant.
+- fixed-iteration mode: exactly ``max_iter`` iterations regardless of the
+  L1 diff (pagerank.h:117 ``while (cnt < max)``, default 10,
+  benchmark.cc:1463); convergence mode: stop when L1 diff ≤ tol
+  (examples/llama-pagerank.cc:86-103,183-185: d=0.85, tol=1e-6).
+
+Spark plan per iteration (push and pull collapse to the same shuffle —
+``groupBy(dst).sum()`` *is* the push):
+    contribs = ranks ⨝ edges_with_invdeg on src  →  groupBy(dst).sum
+    ranks'   = nodes ⟕ contribs  →  (1-d)/N + d * coalesce(contrib, 0)
+
+Scale design:
+- ``edges ⨝ out_deg`` is computed ONCE and cached hash-partitioned by
+  ``src`` so every iteration's ranks⨝edges join reuses that distribution
+  (one shuffle of the small ranks side per iteration, never the edge table).
+- hub skew on ``groupBy(dst)`` is handled by partial aggregation (Spark's
+  map-side combine) + AQE skew handling; for extreme hubs see
+  operators/csr.py which does the partial sums in numpy per partition.
+- lineage truncated per iteration via the fixpoint driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..graph import DST, SRC, nodes_of
+from ..plans.fixpoint import FixpointResult, iterate
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    tol: float | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Return DataFrame[id: long, rank: double] after power iteration."""
+    return pagerank_result(
+        edges,
+        damping=damping,
+        max_iter=max_iter,
+        tol=tol,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+        num_partitions=num_partitions,
+    ).state
+
+
+def pagerank_result(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    tol: float | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+) -> FixpointResult:
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.count()
+    if n == 0:
+        # empty graph → empty result (max_nodes()==0, ll_mlcsr_sp.h:587-589)
+        from ..plans.fixpoint import FixpointResult
+
+        empty = nodes.select("id", F.lit(0.0).alias("rank"))
+        return FixpointResult(state=empty, iterations=0, converged=True, metrics=[])
+
+    # Precompute 1/out_degree once (LL_PRECOMPUTED_DEGREE analog) and pin the
+    # edge table's partitioning on src for the per-iteration join.
+    out_deg = edges.groupBy(SRC).agg(F.count("*").alias("od"))
+    edges_inv = (
+        edges.select(SRC, DST)
+        .join(out_deg, SRC)
+        .select(SRC, DST, (F.lit(1.0) / F.col("od")).alias("inv_deg"))
+        .repartition(p, SRC)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges_inv.count()
+
+    base = (1.0 - damping) / n
+    init = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+
+    def step(ranks: DataFrame, _i: int) -> DataFrame:
+        contribs = (
+            ranks.join(edges_inv, ranks["id"] == edges_inv[SRC])
+            .select(F.col(DST).alias("id"), (F.col("rank") * F.col("inv_deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        return nodes.join(contribs, "id", "left").select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+        )
+
+    updated = None
+    if tol is not None:
+        def updated(prev: DataFrame, new: DataFrame) -> int:
+            diff = (
+                prev.alias("a")
+                .join(new.alias("b"), "id")
+                .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("l1"))
+                .collect()[0]["l1"]
+            )
+            return 0 if diff is not None and diff <= tol else 1
+
+    result = iterate(
+        init,
+        step,
+        max_iter=max_iter,
+        updated_count=updated,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+        name="pagerank",
+    )
+    nodes.unpersist()
+    edges_inv.unpersist()
+    return result
+
+
+def top_k_pagerank(edges: DataFrame, k: int = 10, **kwargs) -> DataFrame:
+    """Top-k nodes by rank (examples/llama-pagerank.cc:253-270 qsort top-10).
+
+    Deterministic tie-break by id; executed as a TakeOrderedAndProject
+    (no global sort materialization).
+    """
+    ranks = pagerank(edges, **kwargs)
+    return ranks.orderBy(F.desc("rank"), F.asc("id")).limit(k)

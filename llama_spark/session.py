@@ -1,0 +1,59 @@
+"""SparkSession construction for the llama_spark engine.
+
+Local-mode defaults mirror the sandbox (local[32], single JVM); on a real
+cluster the same code runs unchanged via ``spark-submit --py-files`` — the
+only local-specific knobs are driver memory and shuffle-partition count.
+
+Reference lifecycle analog: ``ll_database`` open (ll_database.h:51-150) —
+one session == one database handle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "llama_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for iterative graph analytics.
+
+    AQE stays ON (skew-join splitting + partition coalescing are exactly
+    what web-graph hub skew needs); Arrow is ON for the pandas-UDF kernels.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(cores, DEFAULT_SHUFFLE_PARTITIONS)))
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,170 @@
+"""Kernel goldens vs the NumPy oracle on micro-graphs (FIXTURES.md F3/F4).
+
+allclose 1e-6 for PageRank (BASELINE.json contract), exact for CC / LP /
+TC / BFS / SSSP / degrees.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests import oracle
+from tests.conftest import (
+    CHAIN10,
+    K3,
+    SELF_LOOPS_DUPS,
+    STAR_HUB,
+    edges_df,
+    rmat_edges,
+    two_islands,
+)
+
+GRAPHS = {
+    "k3": K3,
+    "chain10": CHAIN10,
+    "star_hub": STAR_HUB,
+    "two_islands": two_islands(),
+    "self_loops_dups": SELF_LOOPS_DUPS,
+    "rmat_s8": rmat_edges(scale=8, avg_degree=4),
+}
+
+
+@pytest.fixture(scope="module", params=list(GRAPHS))
+def graph(request, spark):
+    pairs = GRAPHS[request.param]
+    return request.param, pairs, edges_df(spark, pairs)
+
+
+def test_pagerank_allclose(graph):
+    from llama_spark.operators.pagerank import pagerank
+
+    name, pairs, df = graph
+    got = {r["id"]: r["rank"] for r in pagerank(df, max_iter=10).collect()}
+    want = oracle.pagerank(pairs, max_iter=10)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=1e-6), (name, k)
+
+
+def test_pagerank_dangling_mass_lost(spark):
+    """chain10's node 9 has out-degree 0 → rank sum < 1 (pagerank.h:287-288)."""
+    from llama_spark.operators.pagerank import pagerank
+
+    df = edges_df(spark, CHAIN10)
+    total = sum(r["rank"] for r in pagerank(df, max_iter=10).collect())
+    want = sum(oracle.pagerank(CHAIN10, max_iter=10).values())
+    assert total < 0.999
+    assert math.isclose(total, want, abs_tol=1e-9)
+
+
+def test_pagerank_tol_mode(spark):
+    """Convergence mode (examples/llama-pagerank.cc:183-185)."""
+    from llama_spark.operators.pagerank import pagerank_result
+
+    df = edges_df(spark, K3)
+    res = pagerank_result(df, max_iter=50, tol=1e-6)
+    assert res.converged
+    # K3 is symmetric: all ranks equal 1/3
+    for r in res.state.collect():
+        assert math.isclose(r["rank"], 1 / 3, abs_tol=1e-6)
+
+
+def test_connected_components(graph):
+    from llama_spark.operators.components import connected_components
+
+    name, pairs, df = graph
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == oracle.connected_components(pairs), name
+
+
+def test_two_islands_has_two_components(spark):
+    from llama_spark.operators.components import connected_components
+
+    df = edges_df(spark, two_islands())
+    comps = connected_components(df).select("component").distinct().count()
+    assert comps == 2
+
+
+def test_star_hub_cc_converges_fast(spark):
+    from llama_spark.operators.components import connected_components_result
+
+    res = connected_components_result(edges_df(spark, STAR_HUB))
+    assert res.converged
+    assert res.iterations <= 3  # 1 propagation round + 1 no-change round (+slack)
+
+
+def test_label_propagation(graph):
+    from llama_spark.operators.components import label_propagation
+
+    name, pairs, df = graph
+    got = {r["id"]: r["label"] for r in label_propagation(df, max_iter=5).collect()}
+    assert got == oracle.label_propagation(pairs, max_iter=5), name
+
+
+def test_triangle_count(graph):
+    from llama_spark.operators.triangles import triangle_count
+
+    name, pairs, df = graph
+    for orient in ("id", "degree"):
+        assert triangle_count(df, orient=orient) == oracle.triangle_count(pairs), (
+            name,
+            orient,
+        )
+
+
+def test_bfs_and_sssp_chain(spark):
+    from llama_spark.operators.traversal import bfs_count, bfs_depths
+
+    df = edges_df(spark, CHAIN10)
+    depths = {r["id"]: r["depth"] for r in bfs_depths(df, root=0).collect()}
+    assert depths == {i: i for i in range(10)}
+    assert bfs_count(df, root=0) == 10
+    assert bfs_count(df, root=5) == 5
+
+
+def test_sssp_weighted(graph):
+    from llama_spark.graph import with_synthetic_weights
+    from llama_spark.operators.traversal import sssp
+
+    name, pairs, df = graph
+    root = min(u for e in pairs for u in e)
+    wdf = with_synthetic_weights(df)
+    weights = {(s, d): 1.0 + ((s * 31 + d) % 100) / 100.0 for s, d in pairs}
+    got = {r["id"]: r["dist"] for r in sssp(wdf, root=root, weight_col="weight").collect()}
+    want = oracle.sssp(pairs, root=root, weights=weights)
+    assert set(got) == set(want), name
+    for k in want:
+        if want[k] is None:
+            assert got[k] is None, (name, k)
+        else:
+            assert math.isclose(got[k], want[k], abs_tol=1e-9), (name, k)
+
+
+def test_degrees(graph):
+    from llama_spark.graph import degrees
+
+    name, pairs, df = graph
+    got = {r["id"]: (r["out_degree"], r["in_degree"]) for r in degrees(df).collect()}
+    assert got == oracle.degrees(pairs), name
+
+
+def test_degree_distribution_mass(spark):
+    from llama_spark.graph import degree_distribution
+
+    df = edges_df(spark, STAR_HUB)
+    rows = degree_distribution(df).collect()
+    # one hub with degree 999 → bucket floor(log2(999)) = 9
+    assert {r["bucket"]: (r["n_nodes"], r["degree_mass"]) for r in rows} == {9: (1, 999)}
+
+
+def test_find_edge_and_prop_stats(spark):
+    from llama_spark.graph import edge_prop_stats, find_edge, with_synthetic_weights
+
+    df = edges_df(spark, K3)
+    assert find_edge(df, 0, 1).count() == 1
+    assert find_edge(df, 1, 5).count() == 0
+    stats = edge_prop_stats(with_synthetic_weights(df)).collect()[0]
+    assert stats["count_v"] == len(K3)
+    assert 1.0 <= stats["min_v"] <= stats["max_v"] < 2.0

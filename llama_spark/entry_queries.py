@@ -1,0 +1,399 @@
+"""Driver-gate queries + DuckDB oracle SQL.
+
+Each entry pairs a Spark DataFrame plan (built from llama_spark operators)
+with an ANSI-SQL equivalent DuckDB runs on the same parquet tables. Graph
+queries derive a deterministic edge table from ``lineitem`` (pure modulo
+arithmetic — bit-identical in both engines):
+
+    src = l_orderkey % 4096,  dst = l_partkey % 4096,  src <> dst, DISTINCT
+
+Iterative kernels are fixed-point computations; the oracle unrolls a fixed
+number of synchronous rounds as chained CTEs (enough to reach the fixpoint
+on these graphs — the Spark side iterates to convergence, so any round
+count ≥ the fixpoint depth matches exactly). Float outputs are scaled to
+O(1) and rounded to 6 dp on BOTH sides so cross-engine accumulation-order
+noise (~1e-12) can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MODULUS = 4096
+DAMPING = 0.85
+PR_ITERS = 10
+LP_ITERS = 5
+CC_UNROLL = 16  # ≥ graph diameter at every SF we run (verified ≤ 8)
+BFS_UNROLL = 16
+
+EDGES_SQL = f"""
+  SELECT DISTINCT l_orderkey % {MODULUS} AS src, l_partkey % {MODULUS} AS dst
+  FROM lineitem
+  WHERE l_orderkey % {MODULUS} <> l_partkey % {MODULUS}
+"""
+
+NODES_SQL = """
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges
+  )
+"""
+
+UND_SQL = """
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+  ) WHERE src <> dst
+"""
+
+
+def load_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(
+            (F.col("l_orderkey") % MODULUS).alias("src"),
+            (F.col("l_partkey") % MODULUS).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _table(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    return q
+
+
+# ---------------------------------------------------------------- graph ops
+
+
+def q_edges(spark, sf_dir):
+    return load_edges(spark, sf_dir)
+
+
+def q_nodes(spark, sf_dir):
+    from .graph import nodes_of
+
+    return nodes_of(load_edges(spark, sf_dir))
+
+
+def q_degrees(spark, sf_dir):
+    from .graph import degrees
+
+    return degrees(load_edges(spark, sf_dir))
+
+
+def q_degree_distribution(spark, sf_dir):
+    from .graph import degree_distribution
+
+    return degree_distribution(load_edges(spark, sf_dir))
+
+
+def q_pagerank(spark, sf_dir):
+    from .operators.pagerank import pagerank
+
+    edges = load_edges(spark, sf_dir)
+    n = edges.selectExpr("src AS id").union(edges.selectExpr("dst AS id")).distinct().count()
+    r = pagerank(edges, damping=DAMPING, max_iter=PR_ITERS)
+    return r.select("id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_scaled"))
+
+
+def q_pagerank_top10(spark, sf_dir):
+    return (
+        q_pagerank(spark, sf_dir)
+        .orderBy(F.desc("rank_scaled"), F.asc("id"))
+        .limit(10)
+    )
+
+
+def q_connected_components(spark, sf_dir):
+    from .operators.components import connected_components
+
+    return connected_components(load_edges(spark, sf_dir))
+
+
+def q_label_propagation(spark, sf_dir):
+    from .operators.components import label_propagation
+
+    return label_propagation(load_edges(spark, sf_dir), max_iter=LP_ITERS)
+
+
+def q_triangle_count(spark, sf_dir):
+    from .operators.triangles import triangles_df
+
+    return triangles_df(load_edges(spark, sf_dir), orient="degree")
+
+
+def q_bfs_depths(spark, sf_dir):
+    from .operators.traversal import bfs_depths
+
+    edges = load_edges(spark, sf_dir)
+    root = edges.agg(F.min(F.least("src", "dst")).alias("r")).collect()[0]["r"]
+    return bfs_depths(edges, root=root, max_iter=BFS_UNROLL)
+
+
+def q_sssp_weighted(spark, sf_dir):
+    from .graph import with_synthetic_weights
+    from .operators.traversal import sssp
+
+    edges = with_synthetic_weights(load_edges(spark, sf_dir))
+    root = edges.agg(F.min(F.least("src", "dst")).alias("r")).collect()[0]["r"]
+    d = sssp(edges, root=root, weight_col="weight", max_iter=BFS_UNROLL)
+    return d.select("id", F.round("dist", 6).alias("dist"))
+
+
+def q_avg_teen_cnt(spark, sf_dir):
+    """avg_teen_cnt analog (avg_teen_cnt.h:56-141): node 'age' = id % 50;
+    per node count in-neighbors with age ∈ [10,20); average over nodes with
+    age > 25. Returns one row (avg_teen double, n_nodes long)."""
+    edges = load_edges(spark, sf_dir)
+    from .graph import nodes_of
+
+    nodes = nodes_of(edges).withColumn("age", F.col("id") % 50)
+    teen_in = (
+        edges.join(nodes.withColumnRenamed("id", "src_id"),
+                   F.col("src") == F.col("src_id"))
+        .filter((F.col("age") >= 10) & (F.col("age") < 20))
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.count("*").alias("teen_cnt"))
+    )
+    per_node = nodes.select("id", (F.col("id") % 50).alias("age")).join(
+        teen_in, "id", "left"
+    ).select("id", "age", F.coalesce("teen_cnt", F.lit(0)).alias("teen_cnt"))
+    return per_node.filter(F.col("age") > 25).agg(
+        F.round(F.avg("teen_cnt"), 6).alias("avg_teen"),
+        F.count("*").alias("n_nodes"),
+    )
+
+
+def q_edge_weight_stats(spark, sf_dir):
+    from .graph import edge_prop_stats, with_synthetic_weights
+
+    stats = edge_prop_stats(with_synthetic_weights(load_edges(spark, sf_dir)))
+    return stats.select(
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round("sum_v", 3).alias("sum_v"),
+        "count_v",
+        F.round("avg_v", 6).alias("avg_v"),
+    )
+
+
+# ------------------------------------------------------------- oracle SQL
+
+
+def _pagerank_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS od FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, 1e0/(SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    # exact IEEE-double parity with the Spark driver's Python arithmetic:
+    # emit the repr of the already-computed double constants
+    base_factor = repr(1.0 - DAMPING)
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT nodes.id,
+         CAST({base_factor} AS DOUBLE)/(SELECT n FROM nn)
+         + CAST({DAMPING!r} AS DOUBLE) * COALESCE(c.contrib, 0e0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / d.od) AS contrib
+    FROM r{i-1} r JOIN edges e ON e.src = r.id JOIN deg d ON d.id = r.id
+    GROUP BY e.dst
+  ) c ON nodes.id = c.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank * (SELECT n FROM nn), 6) AS rank_scaled FROM r{PR_ITERS}"
+    )
+
+
+def _pagerank_top10_sql() -> str:
+    return (
+        _pagerank_sql().replace(
+            f"SELECT id, ROUND(rank * (SELECT n FROM nn), 6) AS rank_scaled FROM r{PR_ITERS}",
+            f"SELECT id, ROUND(rank * (SELECT n FROM nn), 6) AS rank_scaled FROM r{PR_ITERS} "
+            "ORDER BY rank_scaled DESC, id ASC LIMIT 10",
+        )
+    )
+
+
+def _cc_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "c0 AS MATERIALIZED (SELECT id, id AS component FROM nodes)",
+    ]
+    for i in range(1, CC_UNROLL + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN m.nmin IS NOT NULL AND m.nmin < c.component
+              THEN m.nmin ELSE c.component END AS component
+  FROM c{i-1} c LEFT JOIN (
+    SELECT u.dst AS id, MIN(p.component) AS nmin
+    FROM c{i-1} p JOIN und u ON u.src = p.id
+    GROUP BY u.dst
+  ) m ON c.id = m.id
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, component FROM c{CC_UNROLL}"
+
+
+def _lp_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)",
+    ]
+    for i in range(1, LP_ITERS + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT p.id, COALESCE(v.label, p.label) AS label
+  FROM l{i-1} p LEFT JOIN (
+    SELECT id, label FROM (
+      SELECT u.dst AS id, q.label, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY u.dst
+                                ORDER BY COUNT(*) DESC, q.label ASC) AS rn
+      FROM l{i-1} q JOIN und u ON u.src = q.id
+      GROUP BY u.dst, q.label
+    ) WHERE rn = 1
+  ) v ON p.id = v.id
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{LP_ITERS}"
+
+
+def _triangles_sql() -> str:
+    return f"""WITH edges AS ({EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM edges WHERE src <> dst
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM und e1 JOIN und e2 ON e1.dst = e2.src
+JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+
+
+def _bfs_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "root AS (SELECT MIN(id) AS r FROM nodes)",
+        "d0 AS MATERIALIZED (SELECT id, CASE WHEN id = (SELECT r FROM root) THEN 0 END AS depth FROM nodes)",
+    ]
+    for i in range(1, BFS_UNROLL + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT p.id,
+         CASE WHEN c.cand IS NULL THEN p.depth
+              WHEN p.depth IS NULL OR c.cand < p.depth THEN c.cand
+              ELSE p.depth END AS depth
+  FROM d{i-1} p LEFT JOIN (
+    SELECT e.dst AS id, MIN(q.depth + 1) AS cand
+    FROM d{i-1} q JOIN edges e ON e.src = q.id
+    WHERE q.depth IS NOT NULL GROUP BY e.dst
+  ) c ON p.id = c.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(depth AS BIGINT) AS depth FROM d{BFS_UNROLL}"
+    )
+
+
+def _sssp_sql() -> str:
+    ctes = [
+        f"edges_raw AS MATERIALIZED ({EDGES_SQL})",
+        "edges AS MATERIALIZED (SELECT src, dst, 1e0 + ((src*31 + dst) % 100)/100e0 AS w FROM edges_raw)",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges))",
+        "root AS (SELECT MIN(id) AS r FROM nodes)",
+        "d0 AS MATERIALIZED (SELECT id, CASE WHEN id = (SELECT r FROM root) THEN 0.0 END AS dist FROM nodes)",
+    ]
+    for i in range(1, BFS_UNROLL + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT p.id,
+         CASE WHEN c.cand IS NULL THEN p.dist
+              WHEN p.dist IS NULL OR c.cand < p.dist THEN c.cand
+              ELSE p.dist END AS dist
+  FROM d{i-1} p LEFT JOIN (
+    SELECT e.dst AS id, MIN(q.dist + e.w) AS cand
+    FROM d{i-1} q JOIN edges e ON e.src = q.id
+    WHERE q.dist IS NOT NULL GROUP BY e.dst
+  ) c ON p.id = c.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(dist, 6) AS dist FROM d{BFS_UNROLL}"
+    )
+
+
+ORACLE: dict[str, str] = {
+    "edges": f"SELECT src, dst FROM ({EDGES_SQL})",
+    "nodes": f"WITH edges AS ({EDGES_SQL}) SELECT id FROM ({NODES_SQL})",
+    "degrees": f"""WITH edges AS ({EDGES_SQL}), nodes AS ({NODES_SQL})
+SELECT n.id,
+       CAST(COALESCE(o.od, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(i.ind, 0) AS BIGINT) AS in_degree
+FROM nodes n
+LEFT JOIN (SELECT src AS id, COUNT(*) AS od FROM edges GROUP BY src) o ON n.id = o.id
+LEFT JOIN (SELECT dst AS id, COUNT(*) AS ind FROM edges GROUP BY dst) i ON n.id = i.id""",
+    "degree_distribution": f"""WITH edges AS ({EDGES_SQL}),
+deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)
+SELECT CAST(FLOOR(LOG2(od)) AS BIGINT) AS bucket,
+       COUNT(*) AS n_nodes, CAST(SUM(od) AS BIGINT) AS degree_mass
+FROM deg GROUP BY 1 ORDER BY 1""",
+    "pagerank": _pagerank_sql(),
+    "pagerank_top10": _pagerank_top10_sql(),
+    "connected_components": _cc_sql(),
+    "label_propagation": _lp_sql(),
+    "triangle_count": _triangles_sql(),
+    "bfs_depths": _bfs_sql(),
+    "sssp_weighted": _sssp_sql(),
+    "avg_teen_cnt": f"""WITH edges AS ({EDGES_SQL}), nodes AS ({NODES_SQL}),
+teen_in AS (
+  SELECT e.dst AS id, COUNT(*) AS teen_cnt
+  FROM edges e JOIN nodes s ON e.src = s.id
+  WHERE (s.id % 50) >= 10 AND (s.id % 50) < 20
+  GROUP BY e.dst
+),
+per_node AS (
+  SELECT n.id, n.id % 50 AS age, COALESCE(t.teen_cnt, 0) AS teen_cnt
+  FROM nodes n LEFT JOIN teen_in t ON n.id = t.id
+)
+SELECT ROUND(AVG(teen_cnt), 6) AS avg_teen, COUNT(*) AS n_nodes
+FROM per_node WHERE age > 25""",
+    "edge_weight_stats": f"""WITH edges_raw AS ({EDGES_SQL}),
+w AS (SELECT 1e0 + ((src*31 + dst) % 100)/100e0 AS weight FROM edges_raw)
+SELECT ROUND(MIN(weight), 6) AS min_v, ROUND(MAX(weight), 6) AS max_v,
+       ROUND(SUM(weight), 3) AS sum_v, COUNT(weight) AS count_v,
+       ROUND(AVG(weight), 6) AS avg_v
+FROM w""",
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "edges": q_edges,
+    "nodes": q_nodes,
+    "degrees": q_degrees,
+    "degree_distribution": q_degree_distribution,
+    "pagerank": q_pagerank,
+    "pagerank_top10": q_pagerank_top10,
+    "connected_components": q_connected_components,
+    "label_propagation": q_label_propagation,
+    "triangle_count": q_triangle_count,
+    "bfs_depths": q_bfs_depths,
+    "sssp_weighted": q_sssp_weighted,
+    "avg_teen_cnt": q_avg_teen_cnt,
+    "edge_weight_stats": q_edge_weight_stats,
+}

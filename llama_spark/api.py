@@ -1,0 +1,110 @@
+"""GraphSession — the library-embedding surface (SURVEY §3.3).
+
+The reference's embedding entry point is ``ll_database`` open → ``ro_graph``
+→ kernel (examples/llama-pagerank.cc). The Spark-native equivalent:
+
+    from llama_spark.api import GraphSession
+    g = GraphSession(spark).from_pages(pages_df)      # or .from_edges(df)
+    g.pagerank(max_iter=10).show()
+    g.top_pages(k=10).show()                          # urls, not ids
+
+Run via ``spark-submit --py-files llama_spark.zip job.py`` on a cluster;
+identical code on local[N].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+class GraphSession:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.edges: DataFrame | None = None
+        self.dictionary: DataFrame | None = None  # url → id (when from pages)
+
+    # ---- loading --------------------------------------------------------
+
+    def from_edges(self, edges: DataFrame) -> "GraphSession":
+        if not {"src", "dst"} <= set(edges.columns):
+            raise ValueError(f"edge table needs src/dst columns, got {edges.columns}")
+        self.edges = edges
+        return self
+
+    def from_pages(self, pages: DataFrame, dedup: bool = True) -> "GraphSession":
+        from .sources.edges import edges_from_pages
+
+        edges, dictionary = edges_from_pages(pages, dedup=dedup)
+        self.edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        self.dictionary = dictionary
+        return self
+
+    def from_parquet(self, path: str) -> "GraphSession":
+        return self.from_edges(self.spark.read.parquet(path))
+
+    # ---- kernels --------------------------------------------------------
+
+    def _e(self) -> DataFrame:
+        if self.edges is None:
+            raise ValueError("no graph loaded — call from_edges/from_pages first")
+        return self.edges
+
+    def pagerank(self, engine: str = "dataframe", **kw) -> DataFrame:
+        if engine == "csr":
+            from .operators.csr import pagerank_csr
+
+            return pagerank_csr(self._e(), **kw)
+        from .operators.pagerank import pagerank
+
+        return pagerank(self._e(), **kw)
+
+    def connected_components(self, **kw) -> DataFrame:
+        from .operators.components import connected_components
+
+        return connected_components(self._e(), **kw)
+
+    def label_propagation(self, **kw) -> DataFrame:
+        from .operators.components import label_propagation
+
+        return label_propagation(self._e(), **kw)
+
+    def triangle_count(self, **kw) -> int:
+        from .operators.triangles import triangle_count
+
+        return triangle_count(self._e(), **kw)
+
+    def bfs(self, root: int = 0, **kw) -> DataFrame:
+        from .operators.traversal import bfs_depths
+
+        return bfs_depths(self._e(), root=root, **kw)
+
+    def sssp(self, root: int = 0, weight_col: str | None = None, **kw) -> DataFrame:
+        from .operators.traversal import sssp
+
+        return sssp(self._e(), root=root, weight_col=weight_col, **kw)
+
+    def degrees(self) -> DataFrame:
+        from .graph import degrees
+
+        return degrees(self._e())
+
+    def degree_distribution(self) -> DataFrame:
+        from .graph import degree_distribution
+
+        return degree_distribution(self._e())
+
+    # ---- url-level conveniences ------------------------------------------
+
+    def top_pages(self, k: int = 10, **kw) -> DataFrame:
+        """Top-k urls by PageRank (flagship query: llama-pagerank.cc:253-270)."""
+        ranks = self.pagerank(**kw)
+        if self.dictionary is None:
+            return ranks.orderBy(F.desc("rank"), F.asc("id")).limit(k)
+        return (
+            ranks.join(self.dictionary, "id")
+            .select("url", "rank")
+            .orderBy(F.desc("rank"), F.asc("url"))
+            .limit(k)
+        )

@@ -1,0 +1,77 @@
+"""Link + text extraction from Common-Crawl-style pages — vectorized, pure.
+
+Input schema (BASELINE.json input_hint):
+    pages(url: string, warc_ts: timestamp, html: binary, text: string,
+          lang: string)
+
+The extractor is the engine's only scalar-function surface (SURVEY §2.5) and
+carries the **byte-identical-per-url** contract: ``extract_text_bytes`` is a
+pinned pure function of the html bytes — no environment-dependent parsing,
+no library version drift (stdlib ``re`` only) — so extracted text matches
+the golden fixtures byte-for-byte on any worker.
+
+Both extractors run as Arrow-batched pandas UDFs (``mapInPandas``) — no
+per-row Python UDFs anywhere (input-hint mandate). This is the Spark analog
+of LLAMA's loader front end (ll_load_net.h:56-378 parses an edge file; here
+the "file format" is HTML).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+HREF_RE = re.compile(rb'<a\s+[^>]*href="([^"]+)"', re.IGNORECASE)
+TAG_RE = re.compile(rb"<[^>]+>")
+SCRIPT_RE = re.compile(rb"<(script|style)\b.*?</\1>", re.IGNORECASE | re.DOTALL)
+WS_RE = re.compile(rb"\s+")
+
+LINKS_SCHEMA = "src_url string, dst_url string"
+TEXT_SCHEMA = "url string, text string"
+
+
+def extract_links_bytes(html: bytes) -> list[bytes]:
+    """All href targets of <a> anchors, in document order (pure function)."""
+    return HREF_RE.findall(html)
+
+
+def extract_text_bytes(html: bytes) -> bytes:
+    """Visible text: drop script/style blocks, strip tags, collapse runs of
+    whitespace to single spaces, trim. Pinned — changing this breaks the
+    byte-identical golden contract."""
+    no_script = SCRIPT_RE.sub(b" ", html)
+    no_tags = TAG_RE.sub(b" ", no_script)
+    return WS_RE.sub(b" ", no_tags).strip()
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """pages → DataFrame[src_url, dst_url], one row per anchor."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            srcs: list[str] = []
+            dsts: list[str] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for target in extract_links_bytes(bytes(html)):
+                    srcs.append(url)
+                    dsts.append(target.decode("utf-8", errors="replace"))
+            yield pd.DataFrame({"src_url": srcs, "dst_url": dsts})
+
+    return pages.select("url", "html").mapInPandas(batches, schema=LINKS_SCHEMA)
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """pages → DataFrame[url, text] with the byte-identical contract."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            texts = [
+                extract_text_bytes(bytes(h)).decode("utf-8", errors="replace")
+                for h in pdf["html"]
+            ]
+            yield pd.DataFrame({"url": pdf["url"], "text": texts})
+
+    return pages.select("url", "html").mapInPandas(batches, schema=TEXT_SCHEMA)

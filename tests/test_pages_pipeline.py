@@ -1,0 +1,135 @@
+"""End-to-end pages pipeline: generate → extract → dictionary → edges → CSR
+→ PageRank (FIXTURES.md F1/F2; SURVEY §7 stage 1-3)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    from llama_spark.sources.pages import generate_pages
+
+    df = generate_pages(spark, scale=8, avg_degree=4, seed=42).persist()
+    df.count()
+    return df
+
+
+def test_pages_schema_and_count(pages):
+    assert [f.name for f in pages.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    types = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+    assert types == {
+        "url": "string",
+        "warc_ts": "timestamp",
+        "html": "binary",
+        "text": "string",
+        "lang": "string",
+    }
+    assert pages.count() == 256
+
+
+def test_text_extraction_byte_identical(pages):
+    """The byte-identical-per-url invariant (BASELINE.json input_hint):
+    extractor(html) must equal the stored text column byte-for-byte."""
+    from llama_spark.sources.extract import extract_text
+
+    extracted = extract_text(pages)
+    joined = pages.select("url", F.col("text").alias("want")).join(extracted, "url")
+    mismatches = joined.filter(
+        F.encode("want", "utf-8") != F.encode("text", "utf-8")
+    ).count()
+    assert mismatches == 0
+    assert extracted.count() == 256
+
+
+def test_extraction_is_pure_python_parity(pages):
+    """Spark-side extraction equals driver-side pure-function application."""
+    from llama_spark.sources.extract import extract_links_bytes, extract_text_bytes
+
+    rows = pages.select("url", "html", "text").limit(20).collect()
+    for r in rows:
+        assert extract_text_bytes(bytes(r["html"])).decode() == r["text"]
+        assert len(extract_links_bytes(bytes(r["html"]))) >= 1
+
+
+def test_generation_partition_invariance(spark):
+    """Same pages regardless of parallelism (counter-based generator)."""
+    from llama_spark.sources.pages import generate_pages
+
+    a = generate_pages(spark, scale=6, avg_degree=4, num_partitions=2)
+    b = generate_pages(spark, scale=6, avg_degree=4, num_partitions=7)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_dense_id_dictionary(spark, pages):
+    from llama_spark.sources.edges import edges_from_pages
+
+    edges, dictionary = edges_from_pages(pages)
+    n = dictionary.count()
+    stats = dictionary.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi"),
+        F.countDistinct("id").alias("d"),
+    ).collect()[0]
+    assert stats["lo"] == 0 and stats["hi"] == n - 1 and stats["d"] == n  # dense, unique
+    # determinism: rebuilding yields the identical mapping
+    _, dict2 = edges_from_pages(pages)
+    assert dictionary.exceptAll(dict2).count() == 0
+
+
+def test_edges_match_pure_python(spark, pages):
+    """Edge table == pure-python extraction + dictionary on collected pages."""
+    from llama_spark.sources.edges import edges_from_pages
+    from llama_spark.sources.extract import extract_links_bytes
+
+    edges, dictionary = edges_from_pages(pages)
+    url2id = {r["url"]: r["id"] for r in dictionary.collect()}
+    want = set()
+    for r in pages.select("url", "html").collect():
+        for t in extract_links_bytes(bytes(r["html"])):
+            want.add((url2id[r["url"]], url2id[t.decode()]))
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == want
+
+
+def test_csr_roundtrip(spark, pages):
+    from llama_spark.operators.csr import pack_csr, unpack_csr
+    from llama_spark.sources.edges import edges_from_pages
+
+    edges, _ = edges_from_pages(pages)
+    back = unpack_csr(pack_csr(edges, 8))
+    assert edges.exceptAll(back).count() == 0
+    assert back.exceptAll(edges).count() == 0
+
+
+def test_pagerank_csr_equals_dataframe_pagerank(spark, pages):
+    from llama_spark.operators.csr import pagerank_csr
+    from llama_spark.operators.pagerank import pagerank
+    from llama_spark.sources.edges import edges_from_pages
+
+    edges, _ = edges_from_pages(pages)
+    a = {r["id"]: r["rank"] for r in pagerank(edges, max_iter=5).collect()}
+    b = {r["id"]: r["rank"] for r in pagerank_csr(edges, max_iter=5).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=0, abs_tol=1e-9), k
+
+
+def test_salting(spark, pages):
+    from llama_spark.sources.edges import edges_from_pages, salt_edges, salt_fanout_from_histogram
+
+    edges, _ = edges_from_pages(pages)
+    fanout = salt_fanout_from_histogram(edges, target_rows_per_key=10)
+    assert fanout >= 1
+    salted = salt_edges(edges, fanout=4)
+    assert salted.select("_salt").distinct().count() <= 4
+    # two-stage aggregation equals direct aggregation
+    direct = edges.groupBy("dst").count()
+    twostage = (
+        salted.groupBy("dst", "_salt").count()
+        .groupBy("dst").agg(F.sum("count").alias("count"))
+    )
+    assert direct.exceptAll(twostage).count() == 0

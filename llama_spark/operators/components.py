@@ -53,15 +53,19 @@ def connected_components_result(
     und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
     nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    small_state = nodes.count() <= 2_000_000
     init = nodes.select("id", F.col("id").alias("component"))
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_state else df
 
     def step(labels: DataFrame, _i: int) -> DataFrame:
         neighbor_min = (
-            labels.join(und, labels["id"] == und[SRC])
+            _hint(labels).join(und, labels["id"] == und[SRC])
             .groupBy(F.col(DST).alias("id"))
             .agg(F.min("component").alias("nmin"))
         )
-        return labels.join(neighbor_min, "id", "left").select(
+        return labels.join(_hint(neighbor_min), "id", "left").select(
             "id", F.least("component", F.coalesce("nmin", "component")).alias("component")
         )
 
@@ -102,24 +106,28 @@ def label_propagation(
     und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
     nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    small_state = nodes.count() <= 2_000_000
     init = (
         initial_labels
         if initial_labels is not None
         else nodes.select("id", F.col("id").alias("label"))
     )
 
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_state else df
+
     def step(labels: DataFrame, _i: int) -> DataFrame:
         # mode() with smallest-label tie-break, one shuffle:
         # max over struct(cnt, -label) picks highest count then lowest label.
         votes = (
-            labels.join(und, labels["id"] == und[SRC])
+            _hint(labels).join(und, labels["id"] == und[SRC])
             .groupBy(F.col(DST).alias("id"), "label")
             .agg(F.count("*").alias("cnt"))
             .groupBy("id")
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("best"))
             .select("id", (-F.col("best.neg")).alias("new_label"))
         )
-        return labels.join(votes, "id", "left").select(
+        return labels.join(_hint(votes), "id", "left").select(
             "id", F.coalesce("new_label", "label").alias("label")
         )
 

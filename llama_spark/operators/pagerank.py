@@ -93,14 +93,23 @@ def pagerank_result(
     base = (1.0 - damping) / n
     init = nodes.select("id", F.lit(1.0 / n).alias("rank"))
 
+    # LLAMA's adaptive frontier (ll_bfs_template.h:170-292) maps to join-side
+    # selection: while the rank vector fits in a broadcast, ship it to the
+    # cached edge partitions (zero edge shuffle per iteration); past that,
+    # fall back to the shuffle join and let AQE decide.
+    small_state = n <= 2_000_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_state else df
+
     def step(ranks: DataFrame, _i: int) -> DataFrame:
         contribs = (
-            ranks.join(edges_inv, ranks["id"] == edges_inv[SRC])
+            _hint(ranks).join(edges_inv, ranks["id"] == edges_inv[SRC])
             .select(F.col(DST).alias("id"), (F.col("rank") * F.col("inv_deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
         )
-        return nodes.join(contribs, "id", "left").select(
+        return nodes.join(_hint(contribs), "id", "left").select(
             "id",
             (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
         )

@@ -28,7 +28,6 @@ from collections.abc import Callable
 from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame
-from pyspark.storagelevel import StorageLevel
 
 MANIFEST = "manifest.json"
 
@@ -98,7 +97,10 @@ def iterate(
                 start_iter = last["iteration"] + 1
                 entries = [e for e in entries if e["iteration"] < start_iter]
 
-    state = state.persist(StorageLevel.MEMORY_AND_DISK)
+    # The state snapshot lives in the localCheckpoint blocks (MEMORY_AND_DISK)
+    # — no extra persist layer, or every iteration double-stores the state
+    # and the stale blocks pile up faster than the ContextCleaner drops them.
+    state = state.localCheckpoint(eager=True)
     metrics: list[IterationMetrics] = []
     converged = False
     it = start_iter - 1
@@ -106,9 +108,12 @@ def iterate(
     for it in range(start_iter, max_iter):
         t0 = time.time()
         new_state = step(state, it)
-        # Truncate lineage: materialize this iteration's plan now.
+        # Truncate lineage: materialize this iteration's plan now. The eager
+        # checkpoint is the ONLY mandatory job per iteration; row counts are
+        # taken opportunistically (state size never changes in these kernels)
+        # to keep fixed-iteration kernels at one job per iteration.
         new_state = new_state.localCheckpoint(eager=True)
-        rows = new_state.count()
+        rows = -1
 
         updated = None
         if updated_count is not None:
@@ -117,6 +122,7 @@ def iterate(
         m = IterationMetrics(iteration=it, seconds=time.time() - t0, rows=rows, updated=updated)
 
         if checkpoint_dir and (it % checkpoint_every == checkpoint_every - 1 or it == max_iter - 1):
+            rows = new_state.count()
             path = os.path.join(checkpoint_dir, f"iter_{it:05d}")
             new_state.write.mode("overwrite").parquet(path)
             # durable state replaces the in-memory one (also frees executor mem)
@@ -132,8 +138,8 @@ def iterate(
                 .collect()
             ]
 
-        state.unpersist()
-        state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+        state.unpersist()  # drop the previous iteration's checkpoint blocks
+        state = new_state
         metrics.append(m)
         entries.append({k: v for k, v in asdict(m).items() if v is not None} | {"name": name})
         if checkpoint_dir:

@@ -53,11 +53,13 @@ def connected_components_result(
     und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
     nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    small_state = nodes.count() <= 2_000_000
+    tiny_state = nodes.count() <= 100_000
     init = nodes.select("id", F.col("id").alias("component"))
 
     def _hint(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if small_state else df
+        # broadcast only tiny state; else shuffled-hash join so the cached
+        # symmetrized edge table streams unsorted (see pagerank.py)
+        return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
 
     def step(labels: DataFrame, _i: int) -> DataFrame:
         neighbor_min = (
@@ -106,7 +108,7 @@ def label_propagation(
     und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
     nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    small_state = nodes.count() <= 2_000_000
+    tiny_state = nodes.count() <= 100_000
     init = (
         initial_labels
         if initial_labels is not None
@@ -114,7 +116,7 @@ def label_propagation(
     )
 
     def _hint(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if small_state else df
+        return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
 
     def step(labels: DataFrame, _i: int) -> DataFrame:
         # mode() with smallest-label tie-break, one shuffle:

@@ -94,13 +94,15 @@ def pagerank_result(
     init = nodes.select("id", F.lit(1.0 / n).alias("rank"))
 
     # LLAMA's adaptive frontier (ll_bfs_template.h:170-292) maps to join-side
-    # selection: while the rank vector fits in a broadcast, ship it to the
-    # cached edge partitions (zero edge shuffle per iteration); past that,
-    # fall back to the shuffle join and let AQE decide.
-    small_state = n <= 2_000_000
+    # selection: broadcast the rank vector only while it's genuinely tiny
+    # (driver-serial broadcast build dominates past ~100k rows — measured);
+    # otherwise force a shuffled-hash join so the cached edge table is
+    # STREAMED, never sorted (sort-merge would re-sort all edges every
+    # iteration) and only the small rank side shuffles.
+    tiny_state = n <= 100_000
 
     def _hint(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if small_state else df
+        return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
 
     def step(ranks: DataFrame, _i: int) -> DataFrame:
         contribs = (

@@ -26,11 +26,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from llama_spark.entry_queries import QUERIES
+    from llama_spark.entry_queries_docs import DOCS_QUERIES
 
-    return dict(QUERIES)
+    return dict(QUERIES) | dict(DOCS_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     from llama_spark.entry_queries import ORACLE
+    from llama_spark.entry_queries_docs import DOCS_ORACLE
 
-    return dict(ORACLE)
+    return dict(ORACLE) | dict(DOCS_ORACLE)

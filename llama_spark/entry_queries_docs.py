@@ -1,0 +1,357 @@
+"""Driver-gate queries + DuckDB oracles for the training-data operators
+(documents / embeddings tables). See entry_queries.py for the graph set.
+
+Portability contract (identical in Spark and DuckDB):
+- tokens  = filter(split(lower(text), '\\s+'), x <> '')
+- hash(s) = int(md5(s)[:15 hex], 16)  (60-bit)
+- minhash params from the fixed LCG in functions/dedup.minhash_params
+- LSH hyperplane weights from the closed form in functions/similarity
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.dedup import MINHASH_K, minhash_params
+from .functions.text import LANG_MARKERS, P31, STOPWORDS
+
+JACCARD_T = 0.3
+ANN_PLANES = 4
+NEAR_DUP_T = 0.2
+TOPK_K = 5
+TOPK_QUERIES = 20
+EMB_DIM = 64
+
+# shared SQL fragments -------------------------------------------------------
+
+TOKS_SQL = r"""
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), 1) AS pos
+  FROM documents
+"""
+
+HASH = "CAST(('0x' || substr(md5({0}), 1, 15)) AS BIGINT)"
+
+SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, pos,
+           concat_ws(' ', tok,
+                     lead(tok, 1) OVER w,
+                     lead(tok, 2) OVER w) AS shingle,
+           lead(tok, 2) OVER w IS NOT NULL AS is_full,
+           max(pos) OVER (PARTITION BY doc_id) AS max_pos
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE is_full OR (max_pos < 3 AND pos = 1)
+"""
+
+
+def _lang_markers_values() -> str:
+    return ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in sorted(LANG_MARKERS.items()) for w in ws
+    )
+
+
+def _minhash_params_values() -> str:
+    return ", ".join(f"({i}, {a}, {b})" for i, a, b in minhash_params(MINHASH_K))
+
+
+def _plane_dot(p: int, vec: str = "v") -> str:
+    terms = []
+    for d in range(EMB_DIM):
+        w = ((1103515245 * (p * EMB_DIM + d) + 12345) % 65536) / 65536.0 - 0.5
+        terms.append(f"{vec}[{d+1}]*({w!r})")
+    return " + ".join(terms)
+
+
+def _bucket_expr(planes: int, vec: str = "v") -> str:
+    cases = [
+        f"(CASE WHEN ({_plane_dot(p, vec)}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    ]
+    return " + ".join(cases)
+
+
+VECS_SQL = """
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+"""
+
+NORMED_SQL = """
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM vecs
+"""
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_token_counts(spark, sf_dir):
+    from .functions.text import token_counts
+
+    return token_counts(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_quality_scores(spark, sf_dir):
+    from .functions.text import quality_scores
+
+    return quality_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_language_id(spark, sf_dir):
+    from .functions.text import language_id
+
+    return language_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_fingerprints(spark, sf_dir):
+    from .functions.text import fingerprints
+
+    return fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_exact_duplicates(spark, sf_dir):
+    from .functions.dedup import exact_duplicates
+
+    return exact_duplicates(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from .functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=3, threshold=JACCARD_T
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from .functions.dedup import minhash_signatures
+
+    return minhash_signatures(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_lsh_candidates(spark, sf_dir):
+    from .functions.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_simhash(spark, sf_dir):
+    from .functions.dedup import simhash
+
+    return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    from .functions.similarity import cosine_topk
+
+    df = cosine_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=TOPK_K, n_queries=TOPK_QUERIES
+    )
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_lsh_ann(spark, sf_dir):
+    from .functions.similarity import lsh_ann
+
+    df = lsh_ann(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        k=TOPK_K,
+        planes=ANN_PLANES,
+        n_queries=TOPK_QUERIES,
+    )
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_near_dup_embeddings(spark, sf_dir):
+    from .functions.similarity import near_duplicate_pairs
+
+    return near_duplicate_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        threshold=NEAR_DUP_T,
+        planes=ANN_PLANES,
+    )
+
+
+# ------------------------------------------------------------- oracle SQL
+
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+DOCS_ORACLE: dict[str, str] = {
+    "token_counts": r"""
+WITH lt AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+FROM lt""",
+    "quality_scores": rf"""
+WITH lt AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_measured,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / (CASE WHEN len(toks) > 0 THEN len(toks) END), 6) AS avg_token_len,
+       ROUND(CAST(len(list_filter(toks, x -> list_contains({_STOP_LIST}, x))) AS DOUBLE)
+             / (CASE WHEN len(toks) > 0 THEN len(toks) END), 6) AS stopword_ratio,
+       ROUND(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+             / (CASE WHEN length(text) > 0 THEN length(text) END), 6) AS punct_ratio
+FROM lt""",
+    "language_id": f"""
+WITH toks AS MATERIALIZED ({TOKS_SQL}),
+markers(cand_lang, marker) AS (VALUES {_lang_markers_values()}),
+hits AS (
+  SELECT t.doc_id, m.cand_lang, COUNT(*) AS hits
+  FROM toks t JOIN markers m ON t.tok = m.marker
+  GROUP BY t.doc_id, m.cand_lang),
+ranked AS (
+  SELECT doc_id, cand_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang ASC) AS rn
+  FROM hits)
+SELECT d.doc_id, COALESCE(r.cand_lang, 'und') AS lang_pred
+FROM documents d LEFT JOIN (SELECT doc_id, cand_lang FROM ranked WHERE rn = 1) r
+  ON d.doc_id = r.doc_id""",
+    "fingerprints": f"""
+WITH toks AS MATERIALIZED ({TOKS_SQL}),
+h AS (SELECT doc_id, pos, {HASH.format('tok')} % {P31} AS h FROM toks),
+grams AS (
+  SELECT doc_id,
+         (h + 3*COALESCE(lead(h,1) OVER w, 0) + 9*COALESCE(lead(h,2) OVER w, 0)
+            + 27*COALESCE(lead(h,3) OVER w, 0)) % {P31} AS gram_hash
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+SELECT doc_id, MIN(gram_hash) AS fingerprint FROM grams GROUP BY doc_id""",
+    "exact_duplicates": """
+WITH hashed AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+canon AS (SELECT text_hash, MIN(doc_id) AS canonical_id FROM hashed GROUP BY text_hash)
+SELECT h.doc_id, c.canonical_id, h.text_hash
+FROM hashed h JOIN canon c ON h.text_hash = c.text_hash""",
+    "ngram_jaccard": f"""
+WITH toks AS MATERIALIZED ({TOKS_SQL}),
+sh AS MATERIALIZED ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= {JACCARD_T}""",
+    "minhash_signatures": f"""
+WITH toks AS MATERIALIZED ({TOKS_SQL}),
+sh AS MATERIALIZED ({SHINGLES_SQL}),
+params(i, a, b) AS (VALUES {_minhash_params_values()}),
+x AS (SELECT doc_id, {HASH.format('shingle')} % {P31} AS x FROM sh)
+SELECT x.doc_id, CAST(p.i AS INTEGER) AS i, MIN((p.a * x.x + p.b) % {P31}) AS minhash
+FROM x CROSS JOIN params p
+GROUP BY x.doc_id, p.i""",
+    "lsh_candidates": f"""
+WITH toks AS MATERIALIZED ({TOKS_SQL}),
+sh AS MATERIALIZED ({SHINGLES_SQL}),
+params(i, a, b) AS (VALUES {_minhash_params_values()}),
+x AS (SELECT doc_id, {HASH.format('shingle')} % {P31} AS x FROM sh),
+sig AS MATERIALIZED (
+  SELECT x.doc_id, p.i, MIN((p.a * x.x + p.b) % {P31}) AS minhash
+  FROM x CROSS JOIN params p GROUP BY x.doc_id, p.i),
+band_sig AS MATERIALIZED (
+  -- i // 4: DuckDB '/' on ints is float division and CAST rounds-to-nearest;
+  -- '//' floors, matching Spark's cast-truncation of (i/4)
+  SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+         string_agg(concat(i, ':', minhash), ',' ORDER BY concat(i, ':', minhash)) AS bsig
+  FROM sig GROUP BY doc_id, CAST(i // 4 AS INTEGER))
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM band_sig x JOIN band_sig y
+  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id""",
+    "simhash": f"""
+WITH toks AS MATERIALIZED ({TOKS_SQL}),
+h AS (SELECT doc_id, {HASH.format('tok')} AS h FROM toks),
+bits AS (SELECT CAST(range AS INTEGER) AS b FROM range(60)),
+votes AS (
+  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN bits GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id""",
+    "cosine_topk": f"""
+WITH vecs AS ({VECS_SQL}),
+normed AS MATERIALIZED ({NORMED_SQL}),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM normed ORDER BY vec_id LIMIT {TOPK_QUERIES}),
+scored AS (
+  SELECT q.qid AS query_id, n.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(list_zip(q.qv, n.v), p -> p[1]*p[2]))
+               / (q.qn * n.nrm), 4) AS cos_sim
+  FROM q CROSS JOIN normed n WHERE q.qid <> n.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOPK_K}""",
+}
+
+
+def _ann_sql() -> str:
+    bucket = _bucket_expr(ANN_PLANES)
+    return f"""
+WITH vecs AS ({VECS_SQL}),
+normed AS MATERIALIZED (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
+         ({bucket}) AS bucket
+  FROM vecs),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qbucket
+      FROM normed ORDER BY vec_id LIMIT {TOPK_QUERIES}),
+scored AS (
+  SELECT q.qid AS query_id, n.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(list_zip(q.qv, n.v), p -> p[1]*p[2]))
+               / (q.qn * n.nrm), 4) AS cos_sim
+  FROM q JOIN normed n ON q.qbucket = n.bucket WHERE q.qid <> n.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOPK_K}"""
+
+
+def _near_dup_sql() -> str:
+    bucket = _bucket_expr(ANN_PLANES)
+    return f"""
+WITH vecs AS ({VECS_SQL}),
+normed AS MATERIALIZED (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
+         ({bucket}) AS bucket
+  FROM vecs)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
+             / (a.nrm * b.nrm), 4) AS cos_sim
+FROM normed a JOIN normed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
+            / (a.nrm * b.nrm), 4) >= {NEAR_DUP_T}"""
+
+
+DOCS_ORACLE["lsh_ann"] = _ann_sql()
+DOCS_ORACLE["near_dup_embeddings"] = _near_dup_sql()
+
+DOCS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "language_id": q_language_id,
+    "fingerprints": q_fingerprints,
+    "exact_duplicates": q_exact_duplicates,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidates": q_lsh_candidates,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "lsh_ann": q_lsh_ann,
+    "near_dup_embeddings": q_near_dup_embeddings,
+}

@@ -1,0 +1,177 @@
+"""Deduplication operators for corpus curation at 100 TB.
+
+All five standard flavors, each a pure DataFrame plan (JVM built-ins only,
+portable to the DuckDB oracle):
+
+- **exact**: hash-groupBy on md5(text) → canonical = min doc_id.
+- **n-gram Jaccard**: shingle → inverted-index self-join → |A∩B| and
+  |A|+|B| → exact Jaccard on candidate pairs. The self-join only meets
+  pairs sharing ≥1 shingle — the classic sparse-similarity plan.
+- **MinHash + LSH**: k permutation-style hashes h_i(x) = (a_i·x + b_i)
+  mod 2^31-1 over shingle hashes, banded into b bands of r rows; pairs
+  colliding on any full band become candidates. Scale path: candidate
+  generation is a groupBy(band, signature) — no quadratic blow-up.
+- **SimHash**: 60-bit majority-vote fingerprint of token hashes; near-dups
+  = small Hamming distance (pairs via band-of-bits blocking).
+- **embedding cosine**: see functions/similarity.py near_duplicate_pairs.
+
+MinHash constants derive from a fixed LCG (a_i = (1103515245·i + 12345)
+mod P | 1) so Spark and the SQL oracle generate identical hash families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import P31, token_hash, tokenize
+
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands × 4 rows
+
+
+def minhash_params(k: int = MINHASH_K) -> list[tuple[int, int, int]]:
+    """(i, a_i, b_i) — identical formula inlined into the oracle SQL."""
+    return [
+        (i, ((1103515245 * i + 12345) % P31) | 1, (22695477 * i + 1) % P31)
+        for i in range(k)
+    ]
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """DataFrame[doc_id, shingle] — distinct n-token shingles (1 row per
+    distinct shingle per doc). Docs with < n tokens contribute their full
+    (shorter) token sequence as a single shingle."""
+    toks = tokenize(documents)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    with_gram = toks.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", *parts).alias("shingle"),
+        F.lead("tok", n - 1).over(w).isNotNull().alias("full"),
+        F.max("pos").over(Window.partitionBy("doc_id")).alias("max_pos"),
+    )
+    return (
+        with_gram.filter(F.col("full") | ((F.col("max_pos") < n) & (F.col("pos") == 1)))
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """DataFrame[doc_id, canonical_id, text_hash] — canonical = min doc_id
+    among byte-identical texts. Keep-filter: doc_id == canonical_id."""
+    hashed = documents.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+    canon = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("canonical_id"))
+    return hashed.join(canon, "text_hash").select("doc_id", "canonical_id", "text_hash")
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.4
+) -> DataFrame:
+    """DataFrame[doc_a, doc_b, jaccard] for pairs with J ≥ threshold.
+
+    J = |A∩B| / (|A|+|B|-|A∩B|) over distinct n-gram shingle sets; the
+    inverted-index join means disjoint docs never meet."""
+    sh = shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(documents: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataFrame:
+    """DataFrame[doc_id, i, minhash] — k min-hash values per doc."""
+    spark = documents.sparkSession
+    params = F.broadcast(
+        spark.createDataFrame(minhash_params(k), "i int, a long, b long")
+    )
+    sh = shingles(documents, n).withColumn("x", token_hash(F.col("shingle")) % P31)
+    return (
+        sh.crossJoin(params)
+        .select(
+            "doc_id", "i", ((F.col("a") * F.col("x") + F.col("b")) % P31).alias("hv")
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """DataFrame[doc_a, doc_b] — pairs agreeing on at least one full band
+    of the minhash signature (doc_a < doc_b, distinct)."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(documents, k, n)
+    band_sig = (
+        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.concat_ws(":", "i", "minhash")))
+            ).alias("bsig")
+        )
+    )
+    x = band_sig.alias("x")
+    y = band_sig.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
+    """DataFrame[doc_id, simhash] — 60-bit majority fingerprint over token
+    hashes (bit b set iff more token hashes have bit b set than not)."""
+    spark = documents.sparkSession
+    bit_df = F.broadcast(spark.range(bits).select(F.col("id").cast("int").alias("b")))
+    toks = tokenize(documents).select(
+        "doc_id", (token_hash(F.col("tok"))).alias("h")
+    )
+    votes = (
+        toks.crossJoin(bit_df)
+        .select(
+            "doc_id",
+            "b",
+            # expr form: pyspark's shiftright helper only takes literal bits
+            F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1).alias("v"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("s"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products run JVM-side via ``F.zip_with`` + ``F.aggregate`` (cast to
+  double first for cross-engine determinism); the per-query top-k is a
+  window rank, executed as TakeOrdered per query group.
+- ``lsh_ann``: the scale path — random-hyperplane LSH. Hyperplane weights
+  come from a closed-form pseudo-random formula (no RNG state), so Spark
+  and the DuckDB oracle build identical planes. Buckets = sign-bit strings;
+  candidates are searched only within the query's bucket. Recall<1 by
+  design; the bucket join replaces the O(N·Q) cross product with
+  O(N·Q/2^bits) expected work — at 10^12 rows the cross product is not an
+  option.
+- ``near_duplicate_pairs``: all pairs with cosine ≥ threshold via the same
+  bucket blocking.
+
+Hyperplane weight formula: w(p, d) = ((1103515245·(p·D + d) + 12345) mod
+65536)/65536 − 0.5 for plane p, dimension d.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(col):
+    return F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int | None = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame[query_id, neighbor_id, cos_sim, rank] — exact brute force.
+
+    Queries default to the first ``n_queries`` ids (deterministic); pass
+    None to use every row as a query (full k-NN graph)."""
+    base = embeddings.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    q = base.select(
+        F.col("nid").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    if n_queries is not None:
+        q = q.orderBy("qid").limit(n_queries)
+    pairs = F.broadcast(q).crossJoin(base).filter(F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("neighbor_id"),
+        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplane_bucket(vec_col, dim: int, planes: int = 8):
+    """Sign-bit bucket id (0..2^planes-1) for a double-array column —
+    closed-form plane weights, portable to SQL."""
+    bucket = F.lit(0)
+    for p in range(planes):
+        dot = F.lit(0.0)
+        for d in range(dim):
+            wconst = ((1103515245 * (p * dim + d) + 12345) % 65536) / 65536.0 - 0.5
+            dot = dot + F.element_at(vec_col, d + 1) * F.lit(wconst)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann(
+    embeddings: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    n_queries: int | None = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact rescoring within the query's LSH bucket."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .withColumn("bucket", hyperplane_bucket(F.col("v"), dim, planes))
+    )
+    q = base.select(
+        F.col("nid").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    if n_queries is not None:
+        q = q.orderBy("qid").limit(n_queries)
+    pairs = (
+        F.broadcast(q)
+        .join(base, F.col("qbucket") == F.col("bucket"))
+        .filter(F.col("qid") != F.col("nid"))
+    )
+    scored = pairs.select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("neighbor_id"),
+        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def near_duplicate_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame[id_a, id_b, cos_sim] with cosine ≥ threshold, found via
+    LSH bucket blocking (near-identical vectors land in the same bucket
+    with high probability; exact pass within buckets)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .withColumn("bucket", hyperplane_bucket(F.col("v"), dim, planes))
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    )
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(
+            _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

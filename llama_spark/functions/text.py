@@ -1,0 +1,131 @@
+"""Text analysis for training-data pipelines — token stats, quality,
+language-ID, fingerprints.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` only (no
+Python UDFs): tokenization, hashing and window arithmetic are all Catalyst
+expressions, so these run inside whole-stage codegen at 100 TB. Every
+operator has an exact DuckDB oracle (entry_queries_docs.py) — hence the
+deliberately portable primitives:
+
+- tokens: ``split(lower(text), '\\s+')`` with empties filtered
+- token→int hash: first 15 hex chars of md5 → 60-bit integer (identical in
+  Spark ``conv`` and DuckDB hex-cast)
+- rolling fingerprints: base-3 polynomial over a lag window mod 2^31-1
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+P31 = 2147483647  # 2^31 - 1
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "en": ["the", "and", "of", "is", "to", "that"],
+    "es": ["el", "los", "y", "que", "de", "no"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+}
+
+
+def tokens_col(text_col: str = "text"):
+    """array<string> of lowercase whitespace tokens, empties removed."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def token_hash(col):
+    """60-bit integer hash of a string — md5 prefix, portable to DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokenize(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """DataFrame[id_col, pos (1-based), tok]."""
+    return df.select(
+        id_col, F.posexplode(tokens_col(text_col)).alias("pos0", "tok")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Per-doc token count + distinct count (whitespace tokenization)."""
+    return documents.select(
+        "doc_id",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens_col())).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Per-doc quality heuristics: length, mean token length, stopword
+    ratio, punctuation ratio — the standard cheap pre-filters for corpus
+    curation. All ratios rounded to 6dp for cross-engine stability."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    char_len = F.length("text")
+    punct = char_len - F.length(F.regexp_replace(F.col("text"), r"[.,!?;:]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return documents.select(
+        "doc_id",
+        char_len.cast("long").alias("n_chars_measured"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(tok_chars / F.when(n_tokens > 0, n_tokens), 6).alias("avg_token_len"),
+        F.round(n_stop / F.when(n_tokens > 0, n_tokens), 6).alias("stopword_ratio"),
+        F.round(punct / F.when(char_len > 0, char_len), 6).alias("punct_ratio"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language heuristic → DataFrame[doc_id, lang_pred].
+
+    Count marker hits per language among the doc's tokens; argmax with
+    deterministic tie-break (higher count, then lexicographically smaller
+    language code; zero hits → 'und')."""
+    spark = documents.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws],
+        "cand_lang string, marker string",
+    )
+    toks = tokenize(documents)
+    hits = (
+        toks.join(F.broadcast(markers), toks["tok"] == markers["marker"])
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    ranked = (
+        hits.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand_lang"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("lang_pred"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(ranked, "doc_id", "left")
+        .select("doc_id", F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"))
+    )
+
+
+def fingerprints(documents: DataFrame, window: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprint (Karp-Rabin over token hashes).
+
+    h_gram(j) = (Σ_{k=0..w-1} 3^k · h(tok_{j+k})) mod (2^31-1); the doc
+    fingerprint is the minimum gram hash (winnowing-lite, 1 per doc).
+    Docs shorter than the window get fingerprint of the partial gram."""
+    toks = tokenize(documents).withColumn("h", token_hash(F.col("tok")) % P31)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.lit(0)
+    for k in range(window):
+        term = F.coalesce(F.lead("h", k).over(w), F.lit(0)) * (3**k)
+        gram = gram + term
+    grams = toks.select("doc_id", (gram % P31).alias("gram_hash"))
+    return grams.groupBy("doc_id").agg(F.min("gram_hash").alias("fingerprint"))

@@ -1,0 +1,203 @@
+"""Training-data pipeline operators: dedup / similarity / text analysis."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),        # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),        # near dup
+    (3, "completely different content about spark engines"),
+    (4, "spark engines process completely different content"),
+    (5, "tiny"),                                               # < shingle size
+    (6, "der hund und die katze und das haus"),                # German markers
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).cache()
+
+
+def py_tokens(t):
+    return [x for x in t.lower().split() if x]
+
+
+def md5_int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_tokenize(docs):
+    from llama_spark.functions.text import tokenize
+
+    got = tokenize(docs).filter("doc_id = 0").orderBy("pos").collect()
+    assert [r["tok"] for r in got] == py_tokens(DOCS[0][1])
+    assert [r["pos"] for r in got] == list(range(1, 10))
+
+
+def test_token_counts_and_quality(docs):
+    from llama_spark.functions.text import quality_scores, token_counts
+
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_counts(docs).collect()}
+    assert tc == {i: len(py_tokens(t)) for i, t in DOCS}
+    q = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    toks0 = py_tokens(DOCS[0][1])
+    assert q[0]["n_tokens"] == len(toks0)
+    want_avg = round(sum(map(len, toks0)) / len(toks0), 6)
+    assert math.isclose(q[0]["avg_token_len"], want_avg, abs_tol=1e-9)
+    stop = {"the", "a", "of", "and", "to", "in", "is", "on", "for", "with"}
+    want_ratio = round(sum(t in stop for t in toks0) / len(toks0), 6)
+    assert math.isclose(q[0]["stopword_ratio"], want_ratio, abs_tol=1e-9)
+
+
+def test_language_id(docs):
+    from llama_spark.functions.text import language_id
+
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert got[6] == "de"
+    assert got[0] == "en"
+    assert got[5] == "und"  # no markers at all
+
+
+def test_fingerprints_deterministic_and_dup_equal(docs):
+    from llama_spark.functions.text import fingerprints
+
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+    assert fp[0] == fp[1]          # identical docs → identical fingerprint
+    assert set(fp) == set(range(7))
+    # pure-python replication for doc 0
+    P = 2147483647
+    hs = [md5_int(t) % P for t in py_tokens(DOCS[0][1])]
+    grams = []
+    for j in range(len(hs)):
+        window = hs[j : j + 4] + [0] * max(0, 4 - len(hs[j:]))
+        grams.append(sum(h * (3**k) for k, h in enumerate(window[:4])) % P)
+    assert fp[0] == min(grams)
+
+
+def test_exact_duplicates(docs):
+    from llama_spark.functions.dedup import exact_duplicates
+
+    got = {r["doc_id"]: r["canonical_id"] for r in exact_duplicates(docs).collect()}
+    assert got[1] == 0 and got[0] == 0
+    assert all(got[i] == i for i in (2, 3, 4, 5, 6))
+
+
+def test_ngram_jaccard(docs):
+    from llama_spark.functions.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+    # python oracle for (0, 2)
+    def sh(t):
+        toks = py_tokens(t)
+        return {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+
+    a, b = sh(DOCS[0][1]), sh(DOCS[2][1])
+    want = round(len(a & b) / len(a | b), 6)
+    assert math.isclose(pairs[(0, 2)], want, abs_tol=1e-9)
+
+
+def test_minhash_lsh(docs):
+    from llama_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sig = minhash_signatures(docs)
+    assert sig.groupBy("doc_id").count().filter("count <> 16").count() == 0
+    s0 = {r["i"]: r["minhash"] for r in sig.filter("doc_id=0").collect()}
+    s1 = {r["i"]: r["minhash"] for r in sig.filter("doc_id=1").collect()}
+    assert s0 == s1  # identical docs → identical signature
+    cands = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in cands
+    assert (3, 5) not in cands
+
+
+def test_simhash(docs):
+    from llama_spark.functions.dedup import simhash
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far
+    assert all(0 <= v < (1 << 60) for v in sh.values())
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        v = rng.randn(16).astype(np.float32)
+        rows.append((i, [float(x) for x in v], i % 3))
+    # vector 40 = near-duplicate of vector 0
+    base = np.array(rows[0][1], dtype=np.float64)
+    rows.append((40, [float(x) for x in base * 1.0001], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+
+
+def test_cosine_topk_vs_numpy(vectors):
+    from llama_spark.functions.similarity import cosine_topk
+
+    got = cosine_topk(vectors, k=3, n_queries=5).collect()
+    rows = vectors.orderBy("vec_id").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    norms = np.linalg.norm(mat, axis=1)
+    for q in range(5):
+        sims = (mat @ mat[q]) / (norms * norms[q])
+        order = [
+            ids[j]
+            for j in sorted(
+                (j for j in range(len(ids)) if j != q),
+                key=lambda j: (-round(sims[j], 4), ids[j]),
+            )
+        ][:3]
+        mine = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == q]
+        assert mine == order, q
+
+
+def test_lsh_ann_and_near_dups(vectors):
+    from llama_spark.functions.similarity import lsh_ann, near_duplicate_pairs
+
+    ann = lsh_ann(vectors, k=3, planes=4, n_queries=10).collect()
+    assert len(ann) > 0
+    # the planted near-duplicate must be found
+    top_for_0 = [r for r in ann if r["query_id"] == 0 and r["rank"] == 1]
+    assert top_for_0 and top_for_0[0]["neighbor_id"] == 40
+    dups = {(r["id_a"], r["id_b"]) for r in near_duplicate_pairs(vectors, threshold=0.99).collect()}
+    assert (0, 40) in dups
+
+
+def test_multimodal_pipeline(spark):
+    from llama_spark.functions.multimodal import (
+        decode_image,
+        extract_features,
+        generate_media,
+    )
+
+    media = generate_media(spark, n=32)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(16 <= r["width"] < 256 and 16 <= r["height"] < 256 for r in rows)
+    # determinism across runs
+    again = {r["media_id"]: r["mean_intensity"] for r in extract_features(media).collect()}
+    assert again == {r["media_id"]: r["mean_intensity"] for r in rows}
+    # the real decoder is stubbed in this container
+    with pytest.raises(NotImplementedError):
+        decode_image(b"not-a-real-image")

@@ -42,6 +42,7 @@ def pagerank(
     max_iter: int = 10,
     tol: float | None = None,
     checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
     resume: bool = False,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -52,6 +53,7 @@ def pagerank(
         max_iter=max_iter,
         tol=tol,
         checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
         resume=resume,
         num_partitions=num_partitions,
     ).state
@@ -63,6 +65,7 @@ def pagerank_result(
     max_iter: int = 10,
     tol: float | None = None,
     checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
     resume: bool = False,
     num_partitions: int | None = None,
 ) -> FixpointResult:
@@ -133,6 +136,7 @@ def pagerank_result(
         max_iter=max_iter,
         updated_count=updated,
         checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
         resume=resume,
         name="pagerank",
     )

@@ -1,0 +1,170 @@
+"""Snapshot / streaming / mutation / resume tests (FIXTURES.md F6;
+reference analogs: tests/delete_edges.h, benchmark.cc streaming loop)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests import oracle
+from tests.conftest import edges_df, rmat_edges
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    from llama_spark.streaming.snapshots import VersionedEdgeStore
+
+    return VersionedEdgeStore(spark, str(tmp_path / "graph"))
+
+
+BATCHES = None
+
+
+def batches_fixture():
+    global BATCHES
+    if BATCHES is None:
+        pairs = rmat_edges(scale=8, avg_degree=4, seed=42)
+        n = len(pairs) // 5
+        BATCHES = [pairs[i * n : (i + 1) * n] for i in range(4)] + [pairs[4 * n :]]
+    return BATCHES
+
+
+def test_append_read_levels(spark, store):
+    b = batches_fixture()
+    for part in b[:3]:
+        store.append_level(edges_df(spark, part))
+    assert store.max_level() == 2
+    # snapshot at level k = union of batches 0..k
+    for k in range(3):
+        want = {tuple(p) for batch in b[: k + 1] for p in batch}
+        got = {(r["src"], r["dst"]) for r in store.read_at(k).collect()}
+        assert got == want, k
+
+
+def test_pagerank_per_cumulative_batch(spark, store):
+    """Streaming loop semantics: kernel on each snapshot matches the oracle
+    on the cumulative edge multiset (window large enough to keep all)."""
+    from llama_spark.operators.pagerank import pagerank
+    from llama_spark.streaming.stream import run_batch_loop
+
+    b = batches_fixture()[:3]
+
+    def kernel(snapshot, level):
+        ranks = {r["id"]: r["rank"] for r in pagerank(snapshot, max_iter=5).collect()}
+        return {"ranks": ranks}
+
+    results = run_batch_loop(
+        store, [edges_df(spark, part) for part in b], kernel, window_batches=10
+    )
+    cumulative = []
+    for i, part in enumerate(b):
+        cumulative += part
+        want = oracle.pagerank(cumulative, max_iter=5)
+        got = results[i]["ranks"]
+        assert set(got) == set(want)
+        for k in want:
+            assert math.isclose(got[k], want[k], abs_tol=1e-6), (i, k)
+
+
+def test_sliding_window_trim(spark, store):
+    b = batches_fixture()
+    for part in b:
+        store.append_level(edges_df(spark, part))
+    store.set_min_level(3)  # window = levels 3..4
+    want = {tuple(p) for batch in b[3:] for p in batch}
+    got = {(r["src"], r["dst"]) for r in store.read_at().collect()}
+    assert got == want
+    dropped = store.vacuum()
+    assert dropped == [0, 1, 2]
+    got2 = {(r["src"], r["dst"]) for r in store.read_at().collect()}
+    assert got2 == want
+
+
+def test_delete_every_10th_edge(spark, store):
+    """tests/delete_edges.h:81-179 analog: delete every 10th edge (by
+    position in the canonical sorted order), re-iterate, verify counts and
+    degree sums."""
+    from llama_spark.graph import out_degrees
+    from pyspark.sql import functions as F
+
+    pairs = sorted({tuple(p) for p in batches_fixture()[0]})
+    store.append_level(edges_df(spark, pairs))
+    doomed = [p for i, p in enumerate(pairs) if i % 10 == 0]
+    lvl = store.delete_edges(edges_df(spark, doomed))
+    # new snapshot: deleted edges invisible
+    snap = store.read_at(lvl)
+    assert snap.count() == len(pairs) - len(doomed)
+    got = {(r["src"], r["dst"]) for r in snap.collect()}
+    assert got == set(pairs) - set(doomed)
+    # degree sums match the reference invariant (Σ out_degree == edge count)
+    deg_sum = out_degrees(snap).agg(F.sum("out_degree").alias("s")).collect()[0]["s"]
+    assert deg_sum == len(pairs) - len(doomed)
+    # pre-delete snapshot unaffected (snapshot isolation)
+    assert store.read_at(lvl - 1).count() == len(pairs)
+
+
+def test_compact_flatten(spark, store):
+    b = batches_fixture()
+    for part in b[:3]:
+        store.append_level(edges_df(spark, part))
+    pairs = sorted({tuple(p) for p in b[0]})
+    store.delete_edges(edges_df(spark, pairs[:5]))
+    before = {(r["src"], r["dst"]) for r in store.read_at().collect()}
+    level = store.compact()
+    after = {(r["src"], r["dst"]) for r in store.read_at().collect()}
+    assert after == before
+    m = store._read_manifest()
+    assert len(m["levels"]) == 1 and m["levels"][0]["level"] == level
+
+
+def test_foreachbatch_stream(spark, store, tmp_path):
+    """Structured Streaming path: parquet source → foreachBatch → levels."""
+    import pyspark.sql.types as T
+
+    from llama_spark.streaming.stream import stream_edges_to_store
+
+    src_dir = str(tmp_path / "incoming")
+    edges_df(spark, batches_fixture()[0]).write.parquet(src_dir)
+    schema = T.StructType(
+        [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = stream_edges_to_store(stream, store, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["src"], r["dst"]) for r in store.read_at().collect()}
+    assert got == {tuple(p) for p in batches_fixture()[0]}
+
+
+def test_resume_reproduces_uninterrupted_run(spark, tmp_path):
+    """Kill-and-resume == straight run, bit-identical (north rule)."""
+    from llama_spark.operators.pagerank import pagerank
+
+    edges = edges_df(spark, rmat_edges(scale=7, avg_degree=4))
+    full = {r["id"]: r["rank"] for r in pagerank(edges, max_iter=8).collect()}
+    ck = str(tmp_path / "ck")
+    pagerank(edges, max_iter=4, checkpoint_dir=ck, checkpoint_every=2)  # "killed"
+    resumed = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, max_iter=8, checkpoint_dir=ck, resume=True).collect()
+    }
+    assert resumed == full  # exact equality, not allclose
+
+
+def test_partition_count_invariance(spark):
+    """cross_validate analog: identical results at parallelism 2 vs 16."""
+    from llama_spark.operators.components import connected_components
+    from llama_spark.operators.pagerank import pagerank
+
+    pairs = rmat_edges(scale=7, avg_degree=4)
+    e2 = edges_df(spark, pairs).repartition(2)
+    e16 = edges_df(spark, pairs).repartition(16)
+    r2 = {r["id"]: r["rank"] for r in pagerank(e2, max_iter=5).collect()}
+    r16 = {r["id"]: r["rank"] for r in pagerank(e16, max_iter=5).collect()}
+    assert set(r2) == set(r16)
+    for k in r2:
+        assert math.isclose(r2[k], r16[k], rel_tol=0, abs_tol=1e-12), k
+    c2 = {r["id"]: r["component"] for r in connected_components(e2).collect()}
+    c16 = {r["id"]: r["component"] for r in connected_components(e16).collect()}
+    assert c2 == c16

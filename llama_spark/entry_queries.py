@@ -397,3 +397,229 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "avg_teen_cnt": q_avg_teen_cnt,
     "edge_weight_stats": q_edge_weight_stats,
 }
+
+
+# ---- betweenness centrality (bc_random analog, K=4 deterministic roots) ----
+
+BC_ROOTS_K = 4
+BC_UNROLL = 12
+
+
+def q_betweenness(spark, sf_dir):
+    from .operators.bc import betweenness_centrality
+
+    edges = load_edges(spark, sf_dir)
+    roots = [
+        r["id"]
+        for r in edges.selectExpr("src AS id")
+        .union(edges.selectExpr("dst AS id"))
+        .distinct()
+        .orderBy("id")
+        .limit(BC_ROOTS_K)
+        .collect()
+    ]
+    bc = betweenness_centrality(edges, roots=roots, max_depth=BC_UNROLL)
+    return bc.select("id", F.round("bc", 6).alias("bc"))
+
+
+def _bc_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        f"roots AS (SELECT id AS root FROM nodes ORDER BY id LIMIT {BC_ROOTS_K})",
+        "v0 AS MATERIALIZED (SELECT root, root AS id, 0 AS depth, 1e0 AS sigma FROM roots)",
+        "vis0 AS MATERIALIZED (SELECT * FROM v0)",
+    ]
+    for d in range(1, BC_UNROLL + 1):
+        ctes.append(
+            f"""v{d} AS MATERIALIZED (
+  SELECT c.root, c.id, {d} AS depth, SUM(c.sigma) AS sigma
+  FROM (
+    SELECT f.root, e.dst AS id, f.sigma
+    FROM v{d-1} f JOIN edges e ON e.src = f.id
+  ) c LEFT JOIN vis{d-1} seen ON seen.root = c.root AND seen.id = c.id
+  WHERE seen.id IS NULL
+  GROUP BY c.root, c.id
+)"""
+        )
+        ctes.append(
+            f"vis{d} AS MATERIALIZED (SELECT * FROM vis{d-1} UNION ALL SELECT * FROM v{d})"
+        )
+    # backward sweep
+    ctes.append(
+        f"delta{BC_UNROLL} AS MATERIALIZED (SELECT root, id, 0e0 AS delta FROM v{BC_UNROLL})"
+    )
+    for d in range(BC_UNROLL - 1, -1, -1):
+        # delta rows for nodes at depth d (accumulated from depth d+1)
+        ctes.append(
+            f"""delta{d} AS MATERIALIZED (
+  SELECT v.root, v.id,
+         COALESCE(v.sigma * s.acc, 0e0) AS delta
+  FROM v{d} v LEFT JOIN (
+    SELECT v2.root, v2.id,
+           SUM((1e0 + w.delta) / wv.sigma) AS acc
+    FROM v{d} v2
+    JOIN edges e ON e.src = v2.id
+    JOIN v{d+1} wv ON wv.root = v2.root AND wv.id = e.dst
+    JOIN delta{d+1} w ON w.root = wv.root AND w.id = wv.id
+    GROUP BY v2.root, v2.id
+  ) s ON s.root = v.root AND s.id = v.id
+)"""
+        )
+    # note: delta{d+1} rows carry w.delta but sigma comes from v{d+1} (wv)
+    all_deltas = " UNION ALL ".join(
+        f"SELECT root, id, delta FROM delta{d}" for d in range(BC_UNROLL + 1)
+    )
+    ctes.append(f"alldelta AS MATERIALIZED ({all_deltas})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT n.id, ROUND(COALESCE(b.bc, 0e0), 6) AS bc
+FROM nodes n LEFT JOIN (
+  SELECT id, SUM(delta) AS bc FROM alldelta WHERE id <> root GROUP BY id
+) b ON n.id = b.id"""
+    )
+
+
+# ---- relational showcase (general DataFrame capability) ----
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape with exact decimal aggregation (cast to DECIMAL(18,4)
+    before summing, final cast to double → bit-identical across engines)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_parts_per_supplier(spark, sf_dir):
+    """Top-3 parts by revenue per supplier — window top-k pattern."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,4)")
+                 * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                 ).cast("decimal(28,8)")
+            ).cast("double").alias("revenue")
+        )
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_suppkey", "l_partkey", F.round("revenue", 4).alias("revenue"),
+                F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def q_event_sessions(spark, sf_dir):
+    """Sessionization: 30-min inactivity gap per user → session bounds."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn(
+        "new_session",
+        (
+            F.col("ts").cast("timestamp").cast("long")
+            - F.coalesce(F.lag(F.col("ts").cast("timestamp").cast("long")).over(w), F.lit(0))
+            > 1800
+        ).cast("int"),
+    )
+    sess = with_gap.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.col("ts").cast("timestamp").cast("long")).alias("start_s"),
+        F.max(F.col("ts").cast("timestamp").cast("long")).alias("end_s"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def q_event_window_counts(spark, sf_dir):
+    """Tumbling 5-minute windows per event type (epoch-bucket form so the
+    oracle needs no timezone gymnastics)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("bucket", (F.col("ts").cast("timestamp").cast("long") / 300).cast("long"))
+        .groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+ORACLE["betweenness"] = _bc_sql()
+ORACLE["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+ORACLE["top_parts_per_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                  AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_suppkey, l_partkey),
+ranked AS (
+  SELECT l_suppkey, l_partkey, revenue,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY revenue DESC, l_partkey ASC) AS rn
+  FROM rev)
+SELECT l_suppkey, l_partkey, ROUND(revenue, 4) AS revenue, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3"""
+ORACLE["event_sessions"] = """
+WITH wg AS (
+  SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - COALESCE(lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w, 0) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, value, ts_s,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM wg)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       COUNT(*) AS n_events,
+       MIN(ts_s) AS start_s, MAX(ts_s) AS end_s,
+       ROUND(SUM(value), 4) AS total_value
+FROM sess GROUP BY user_id, session_no"""
+ORACLE["event_window_counts"] = """
+SELECT CAST(CAST(floor(epoch(ts)) AS BIGINT) // 300 AS BIGINT) AS bucket, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+QUERIES["betweenness"] = q_betweenness
+QUERIES["tpch_q1"] = q_tpch_q1
+QUERIES["top_parts_per_supplier"] = q_top_parts_per_supplier
+QUERIES["event_sessions"] = q_event_sessions
+QUERIES["event_window_counts"] = q_event_window_counts

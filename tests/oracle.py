@@ -121,3 +121,44 @@ def degrees(pairs):
     od = Counter(s for s, d in pairs)
     ind = Counter(d for s, d in pairs)
     return {u: (od.get(u, 0), ind.get(u, 0)) for u in ids}
+
+
+def brandes_bc(pairs, roots):
+    """Brandes betweenness from the given roots (directed, unweighted) —
+    mirrors bc_adj.h:56-207."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    nodes = set()
+    for s, d in set(pairs):
+        adj[s].append(d)
+        nodes.add(s)
+        nodes.add(d)
+    bc = {u: 0.0 for u in nodes}
+    for s in roots:
+        if s not in nodes:
+            continue
+        sigma = {u: 0.0 for u in nodes}
+        dist = {u: -1 for u in nodes}
+        preds = defaultdict(list)
+        sigma[s] = 1.0
+        dist[s] = 0
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {u: 0.0 for u in nodes}
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += (sigma[v] / sigma[w]) * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc

@@ -54,10 +54,14 @@ def sssp(
         F.when(F.col("id") == root, F.lit(0.0)).otherwise(F.lit(None).cast("double")).alias(
             "dist"
         ),
+        (F.col("id") == root).alias("changed"),
     )
 
+    # Delta iteration (sssp.h:131-161 relaxes only the updated frontier):
+    # candidates are generated ONLY from rows improved last round, and the
+    # changed flag doubles as the "no update → stop" probe (sssp.h:124-179).
     def step(dists: DataFrame, _i: int) -> DataFrame:
-        frontier = dists.filter(F.col("dist").isNotNull())
+        frontier = dists.filter(F.col("changed")).select("id", "dist")
         cand = (
             frontier.join(rel, frontier["id"] == rel[SRC])
             .groupBy(F.col(DST).alias("id"))
@@ -72,28 +76,23 @@ def sssp(
             )
             .otherwise(F.col("dist"))
             .alias("dist"),
-        )
-
-    def changed(prev: DataFrame, new: DataFrame) -> int:
-        # "no update" termination, sssp.h:124-179 (null-safe inequality)
-        return (
-            prev.alias("a")
-            .join(new.alias("b"), "id")
-            .filter(~F.col("a.dist").eqNullSafe(F.col("b.dist")))
-            .count()
+            (
+                F.col("cand").isNotNull()
+                & (F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            ).alias("changed"),
         )
 
     res = iterate(
         init,
         step,
         max_iter=max_iter,
-        updated_count=changed,
+        updated_count=lambda _prev, new: new.filter(F.col("changed")).count(),
         checkpoint_dir=checkpoint_dir,
         resume=resume,
         name="sssp",
     )
     rel.unpersist()
-    return res.state
+    return res.state.select("id", "dist")
 
 
 def bfs_depths(edges: DataFrame, root: int = 0, max_iter: int = 100) -> DataFrame:

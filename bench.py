@@ -44,6 +44,9 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
+        # nudge the driver GC so ContextCleaner releases the previous
+        # kernel's localCheckpoint blocks before the next measurement
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         fn()
         times[name] = round(time.time() - t0, 3)
@@ -54,12 +57,25 @@ def main() -> None:
     from llama_spark.operators.traversal import bfs_depths
     from llama_spark.operators.triangles import triangle_count
 
+    from llama_spark.functions.dedup import lsh_candidate_pairs
+    from llama_spark.functions.similarity import cosine_topk
+    from llama_spark.operators.bc import betweenness_centrality
+
     timed("pagerank10", lambda: pagerank(edges, max_iter=PR_ITERS).count())
     timed("pagerank10_csr", lambda: pagerank_csr(edges, max_iter=PR_ITERS).count())
     timed("connected_components", lambda: connected_components(edges).count())
     timed("label_propagation5", lambda: label_propagation(edges, max_iter=5).count())
     timed("triangle_count", lambda: triangle_count(edges))
     timed("bfs", lambda: bfs_depths(edges, root=0, max_iter=16).count())
+    timed(
+        "betweenness_k4",
+        lambda: betweenness_centrality(edges, roots=[0, 1, 2, 3], max_depth=12).count(),
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed("minhash_lsh_dedup", lambda: lsh_candidate_pairs(docs).count())
+    timed("cosine_topk", lambda: cosine_topk(emb, k=5, n_queries=20).count())
 
     def pages_pipeline() -> None:
         from llama_spark.api import GraphSession

@@ -85,6 +85,11 @@ class GraphSession:
 
         return sssp(self._e(), root=root, weight_col=weight_col, **kw)
 
+    def betweenness(self, roots: list[int] | None = None, k: int = 8, **kw) -> DataFrame:
+        from .operators.bc import betweenness_centrality
+
+        return betweenness_centrality(self._e(), roots=roots, k=k, **kw)
+
     def degrees(self) -> DataFrame:
         from .graph import degrees
 
@@ -94,6 +99,15 @@ class GraphSession:
         from .graph import degree_distribution
 
         return degree_distribution(self._e())
+
+    # ---- snapshot store ---------------------------------------------------
+
+    def open_store(self, path: str):
+        """Versioned snapshot store at ``path`` (streaming/snapshots.py);
+        ``from_edges(store.read_at(level))`` pins an RO clone of a level."""
+        from .streaming.snapshots import VersionedEdgeStore
+
+        return VersionedEdgeStore(self.spark, path)
 
     # ---- url-level conveniences ------------------------------------------
 

@@ -36,6 +36,7 @@ from ..plans.fixpoint import FixpointResult, iterate
 def connected_components_result(
     edges: DataFrame,
     max_iter: int = 50,
+    initial_components: DataFrame | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
 ) -> FixpointResult:
@@ -51,9 +52,23 @@ def connected_components_result(
     und.count()
     nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
     tiny_state = nodes.count() <= 100_000
-    init = nodes.select(
-        "id", F.col("id").alias("component"), F.lit(True).alias("changed")
-    )
+    if initial_components is not None:
+        # warm start (incremental recompute): hash-min is monotone, so any
+        # init with component(v) ≥ fixpoint(v) — e.g. the previous
+        # snapshot's labels, id for new nodes — converges to the same
+        # fixpoint, usually in far fewer rounds.
+        init = (
+            nodes.join(initial_components, "id", "left")
+            .select(
+                "id",
+                F.coalesce("component", "id").alias("component"),
+                F.lit(True).alias("changed"),
+            )
+        )
+    else:
+        init = nodes.select(
+            "id", F.col("id").alias("component"), F.lit(True).alias("changed")
+        )
 
     def _hint(df: DataFrame) -> DataFrame:
         # broadcast only tiny state; else shuffled-hash join so the cached

@@ -132,6 +132,23 @@ class VersionedEdgeStore:
             df = df.join(F.broadcast(dels), ["src", "dst"], "left_anti")
         return df
 
+    def changed_vertices(self, level: int) -> DataFrame:
+        """Nodes touched by the delta committed at ``level`` — the analog of
+        LLAMA's sparse per-level representation (ll_mlcsr_sp.h:162-176,
+        'iterate only nodes modified in a level'). Feed this to incremental
+        recompute: e.g. re-seed label propagation / CC with the previous
+        snapshot's labels and only these vertices dirty."""
+        m = self._read_manifest()
+        entry = next((e for e in m["levels"] if e["level"] == level), None)
+        if entry is None:
+            return self.spark.createDataFrame([], "id long")
+        delta = self.spark.read.parquet(entry["path"])
+        return (
+            delta.select(F.col("src").alias("id"))
+            .unionAll(delta.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+
     # ---- retention ------------------------------------------------------
 
     def set_min_level(self, min_level: int) -> None:

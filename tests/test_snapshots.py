@@ -168,3 +168,29 @@ def test_partition_count_invariance(spark):
     c2 = {r["id"]: r["component"] for r in connected_components(e2).collect()}
     c16 = {r["id"]: r["component"] for r in connected_components(e16).collect()}
     assert c2 == c16
+
+
+def test_changed_vertices_and_incremental_cc(spark, store):
+    """Sparse-representation analog: per-level dirty set drives incremental
+    recompute; warm-started CC equals cold CC exactly."""
+    from llama_spark.operators.components import connected_components
+    from llama_spark.operators.components import label_propagation
+
+    b = batches_fixture()
+    l0 = store.append_level(edges_df(spark, b[0]))
+    l1 = store.append_level(edges_df(spark, b[1]))
+    dirty = {r["id"] for r in store.changed_vertices(l1).collect()}
+    want_dirty = {u for e in b[1] for u in e}
+    assert dirty == want_dirty
+    # warm start from the previous snapshot's labels converges to the same
+    # fixpoint as a cold run (hash-min is monotone in its initialization
+    # as long as init labels are >= final labels, which previous-component
+    # labels are)
+    prev = connected_components(store.read_at(l0))
+    snap1 = store.read_at(l1)
+    cold = {r["id"]: r["component"] for r in connected_components(snap1).collect()}
+    from llama_spark.operators.components import connected_components_result
+
+    warm = connected_components_result(snap1, initial_components=prev)
+    got = {r["id"]: r["component"] for r in warm.state.collect()}
+    assert got == cold

@@ -623,3 +623,27 @@ QUERIES["tpch_q1"] = q_tpch_q1
 QUERIES["top_parts_per_supplier"] = q_top_parts_per_supplier
 QUERIES["event_sessions"] = q_event_sessions
 QUERIES["event_window_counts"] = q_event_window_counts
+
+
+def q_triangles_per_node(spark, sf_dir):
+    from .operators.triangles import triangles_per_node
+
+    return triangles_per_node(load_edges(spark, sf_dir), orient="degree")
+
+
+ORACLE["triangles_per_node"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM edges WHERE src <> dst
+),
+tris AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM und e1 JOIN und e2 ON e1.dst = e2.src
+  JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT a AS id FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+)
+SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id"""
+
+QUERIES["triangles_per_node"] = q_triangles_per_node

@@ -647,3 +647,20 @@ corners AS (
 SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id"""
 
 QUERIES["triangles_per_node"] = q_triangles_per_node
+
+
+def q_component_sizes(spark, sf_dir):
+    """Component histogram: size of each weakly-connected component."""
+    from .operators.components import connected_components
+
+    cc = connected_components(load_edges(spark, sf_dir))
+    return cc.groupBy("component").agg(F.count("*").alias("n_nodes"))
+
+
+ORACLE["component_sizes"] = (
+    _cc_sql().replace(
+        f"SELECT id, component FROM c{CC_UNROLL}",
+        f"SELECT component, COUNT(*) AS n_nodes FROM c{CC_UNROLL} GROUP BY component",
+    )
+)
+QUERIES["component_sizes"] = q_component_sizes

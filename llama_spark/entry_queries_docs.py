@@ -355,3 +355,64 @@ DOCS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann": q_lsh_ann,
     "near_dup_embeddings": q_near_dup_embeddings,
 }
+
+
+def q_lsh_verified_dedup(spark, sf_dir):
+    """The canonical two-stage dedup: LSH candidates → exact Jaccard verify
+    (≥ 0.5). Candidate generation is subquadratic; verification touches
+    only candidate pairs."""
+    from .functions.dedup import lsh_candidate_pairs, shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = lsh_candidate_pairs(docs)
+    sh = shingles(docs, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cands.join(a, cands["doc_a"] == F.col("a.doc_id"))
+        .join(
+            b,
+            (cands["doc_b"] == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+DOCS_ORACLE["lsh_verified_dedup"] = DOCS_ORACLE["lsh_candidates"].replace(
+    """SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM band_sig x JOIN band_sig y
+  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id""",
+    """, cands AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM band_sig x JOIN band_sig y
+    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.5""",
+)
+DOCS_QUERIES["lsh_verified_dedup"] = q_lsh_verified_dedup

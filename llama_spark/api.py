@@ -85,6 +85,11 @@ class GraphSession:
 
         return sssp(self._e(), root=root, weight_col=weight_col, **kw)
 
+    def strongly_connected_components(self, **kw) -> DataFrame:
+        from .operators.scc import strongly_connected_components
+
+        return strongly_connected_components(self._e(), **kw)
+
     def betweenness(self, roots: list[int] | None = None, k: int = 8, **kw) -> DataFrame:
         from .operators.bc import betweenness_centrality
 

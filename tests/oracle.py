@@ -162,3 +162,53 @@ def brandes_bc(pairs, roots):
             if w != s:
                 bc[w] += delta[w]
     return bc
+
+
+def kosaraju_scc(pairs):
+    """Sequential Kosaraju SCC; returns {id: min member id of its SCC}."""
+    from collections import defaultdict
+
+    nodes = sorted({u for e in pairs for u in e})
+    adj = defaultdict(list)
+    radj = defaultdict(list)
+    for s, d in set(pairs):
+        if s != d:
+            adj[s].append(d)
+            radj[d].append(s)
+    visited = set()
+    order = []
+    for start in nodes:
+        if start in visited:
+            continue
+        stack = [(start, iter(adj[start]))]
+        visited.add(start)
+        while stack:
+            v, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in visited:
+                    visited.add(w)
+                    stack.append((w, iter(adj[w])))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(v)
+                stack.pop()
+    comp = {}
+    for start in reversed(order):
+        if start in comp:
+            continue
+        stack = [start]
+        members = []
+        comp[start] = start
+        while stack:
+            v = stack.pop()
+            members.append(v)
+            for w in radj[v]:
+                if w not in comp:
+                    comp[w] = start
+                    stack.append(w)
+        m = min(members)
+        for v in members:
+            comp[v] = m
+    return comp

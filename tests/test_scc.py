@@ -1,0 +1,33 @@
+"""Distributed FW-BW-coloring SCC vs sequential Kosaraju oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tests import oracle
+from tests.conftest import K3, SELF_LOOPS_DUPS, edges_df, rmat_edges
+
+
+def random_digraph(n, m, seed):
+    rng = np.random.RandomState(seed)
+    return list(zip(rng.randint(0, n, m).tolist(), rng.randint(0, n, m).tolist()))
+
+
+def test_scc(spark):
+    from llama_spark.operators.scc import strongly_connected_components
+
+    cases = {
+        "k3": K3,                                   # one 3-cycle SCC
+        "self_loops_dups": SELF_LOOPS_DUPS,
+        "chain_rev": [(i + 1, i) for i in range(8)],  # worst case: all singletons
+        "two_cycles": [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3), (2, 3)],
+        "rand_dense": random_digraph(30, 120, 7),   # few big SCCs
+        "rmat": rmat_edges(scale=6, avg_degree=3),
+    }
+    for name, pairs in cases.items():
+        got = {
+            r["id"]: r["scc"]
+            for r in strongly_connected_components(edges_df(spark, pairs)).collect()
+        }
+        want = oracle.kosaraju_scc(pairs)
+        assert got == want, (name, {k: (got[k], want[k]) for k in want if got.get(k) != want[k]})

@@ -535,14 +535,16 @@ def q_event_sessions(spark, sf_dir):
     """Sessionization: 30-min inactivity gap per user → session bounds."""
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_s", F.col("ts").cast("timestamp").cast("long")
+    )
+    # order by the SAME key the DuckDB oracle uses (floored epoch seconds +
+    # event_id) so sub-second timestamps can't reorder the running sums
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
     with_gap = ev.withColumn(
         "new_session",
         (
-            F.col("ts").cast("timestamp").cast("long")
-            - F.coalesce(F.lag(F.col("ts").cast("timestamp").cast("long")).over(w), F.lit(0))
-            > 1800
+            F.col("ts_s") - F.coalesce(F.lag("ts_s").over(w), F.lit(0)) > 1800
         ).cast("int"),
     )
     sess = with_gap.withColumn(

@@ -17,6 +17,20 @@ reference saves during the forward pass, ll_bfs_template.h:337-351; we
 recover them as edges whose endpoints sit on consecutive depths):
     δ(v) = σ_v · Σ_{w ∈ succ(v)} (1 + δ(w)) / σ_w   (bc_adj.h:92-111)
     bc(v) = Σ_roots δ(v), v ≠ root
+
+Scale design (the three round-1 scale-killers, fixed):
+- **No unconditional broadcasts.** The frontier can reach K×V rows; every
+  frontier/level join follows the measured tiny-state policy
+  (pagerank.py:99-108): broadcast only while the state side is ≤100k rows,
+  else ``hint("shuffle_hash")`` so the cached, src-partitioned edge table
+  STREAMS and only the small state side shuffles.
+- **Forward levels accumulate in a Python list** of checkpointed per-level
+  DataFrames; ``visited`` is a lazy union over them (each piece already
+  materialized), so nothing is rewritten per depth — O(K·V) total writes,
+  not O(depth · K·V).
+- **The backward sweep is per-level**: δ at depth d is computed from depth
+  d+1's rows alone (exactly bc_adj.h:92-111's level descent), and the
+  per-level δ tables are unioned once at the end — again O(K·V) writes.
 """
 
 from __future__ import annotations
@@ -26,6 +40,14 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..graph import DST, SRC, nodes_of
+
+# Broadcasting iteration state is driver-serial poison past ~100k rows
+# (measured: 550k-row broadcast 25.8s vs 11.9s shuffle-hash for 3 iters).
+_BROADCAST_MAX_ROWS = 100_000
+
+
+def _hint(df: DataFrame, rows: int) -> DataFrame:
+    return F.broadcast(df) if rows <= _BROADCAST_MAX_ROWS else df.hint("shuffle_hash")
 
 
 def pick_roots(edges: DataFrame, k: int, seed: int = 42) -> list[int]:
@@ -62,7 +84,7 @@ def betweenness_centrality(
     nodes.count()
 
     roots_df = spark.createDataFrame([(r,) for r in roots], "root long")
-    visited = (
+    level0 = (
         roots_df.select(
             "root",
             F.col("root").alias("id"),
@@ -73,70 +95,97 @@ def betweenness_centrality(
     )
 
     # ---- forward: level-synchronous multi-source BFS with σ counting ----
+    # levels[d] holds the checkpointed (root, id, depth, sigma) rows of depth
+    # d; counts[d] its size (drives the per-join broadcast/shuffle choice).
+    levels: list[DataFrame] = [level0]
+    counts: list[int] = [len(roots)]
+    frontier = level0
     depth = 0
-    frontier = visited
     while depth < max_depth:
+        # lazy union of already-checkpointed levels — no rewrite per depth
+        visited = levels[0]
+        for lv in levels[1:]:
+            visited = visited.unionByName(lv)
         cand = (
-            F.broadcast(frontier)
+            _hint(frontier, counts[-1])
             .join(e, frontier["id"] == e[SRC])
             .select("root", F.col(DST).alias("id"), "sigma")
         )
         nxt = (
-            cand.join(visited.select("root", "id"), ["root", "id"], "left_anti")
+            cand.join(
+                _hint(visited.select("root", "id"), sum(counts)),
+                ["root", "id"],
+                "left_anti",
+            )
             .groupBy("root", "id")
             .agg(F.sum("sigma").alias("sigma"))
             .withColumn("depth", F.lit(depth + 1))
             .select("root", "id", "depth", "sigma")
             .localCheckpoint(eager=True)
         )
-        if nxt.count() == 0:
+        n_nxt = nxt.count()
+        if n_nxt == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        levels.append(nxt)
+        counts.append(n_nxt)
         frontier = nxt
         depth += 1
 
-    visited = visited.persist(StorageLevel.MEMORY_AND_DISK)
-    max_d = visited.agg(F.max("depth").alias("m")).collect()[0]["m"]
+    max_d = len(levels) - 1
 
-    # ---- backward: δ sweep from the deepest level up (bc_adj.h:92-111) ----
-    delta = visited.select("root", "id", F.lit(0.0).alias("delta")).localCheckpoint(
-        eager=True
+    # ---- backward: per-level δ sweep from the deepest level up
+    # (bc_adj.h:92-111). δ at depth d depends ONLY on depth d+1's δ/σ, so
+    # each round touches K×|level d| rows; results union once at the end.
+    deltas: list[DataFrame | None] = [None] * (max_d + 1)
+    deltas[max_d] = (
+        levels[max_d]
+        .select("root", "id", F.lit(0.0).alias("delta"))
+        .localCheckpoint(eager=True)
     )
     for d in range(max_d - 1, -1, -1):
-        v = visited.filter(F.col("depth") == d).select("root", "id", "sigma")
+        v = levels[d].select("root", "id", "sigma")
         w = (
-            visited.filter(F.col("depth") == d + 1)
+            levels[d + 1]
             .select("root", F.col("id").alias("wid"), F.col("sigma").alias("wsigma"))
-            .join(delta.withColumnRenamed("id", "wid").withColumnRenamed("delta", "wdelta"),
-                  ["root", "wid"])
+            .join(
+                deltas[d + 1]
+                .withColumnRenamed("id", "wid")
+                .withColumnRenamed("delta", "wdelta"),
+                ["root", "wid"],
+            )
         )
         down = (
-            F.broadcast(v)
+            _hint(v, counts[d])
             .join(e, v["id"] == e[SRC])
             .select("root", "id", "sigma", F.col(DST).alias("wid"))
-            .join(w, ["root", "wid"])
+            .join(_hint(w, counts[d + 1]), ["root", "wid"])
             .groupBy("root", "id")
-            .agg(
-                F.sum((F.lit(1.0) + F.col("wdelta")) / F.col("wsigma")).alias("acc")
-            )
-            .join(v.select("root", "id", "sigma"), ["root", "id"])
-            .select("root", "id", (F.col("sigma") * F.col("acc")).alias("new_delta"))
+            .agg(F.sum((F.lit(1.0) + F.col("wdelta")) / F.col("wsigma")).alias("acc"))
         )
-        delta = (
-            delta.join(down, ["root", "id"], "left")
+        deltas[d] = (
+            v.join(down, ["root", "id"], "left")
             .select(
-                "root", "id", F.coalesce("new_delta", "delta").alias("delta")
+                "root",
+                "id",
+                (F.col("sigma") * F.coalesce("acc", F.lit(0.0))).alias("delta"),
             )
             .localCheckpoint(eager=True)
         )
 
+    all_delta = deltas[0]
+    for dd in deltas[1:]:
+        all_delta = all_delta.unionByName(dd)
+
     bc = (
-        delta.filter(F.col("id") != F.col("root"))
+        all_delta.filter(F.col("id") != F.col("root"))
         .groupBy("id")
         .agg(F.sum("delta").alias("bc"))
     )
     out = nodes.join(bc, "id", "left").select(
         "id", F.coalesce("bc", F.lit(0.0)).alias("bc")
     )
+    # materialize before dropping the cached inputs the plan depends on
+    out = out.localCheckpoint(eager=True)
     e.unpersist()
+    nodes.unpersist()
     return out

@@ -47,13 +47,15 @@ def strongly_connected_components(
     active_nodes = all_nodes.localCheckpoint(eager=True)
     assigned = None  # (id, scc) accumulated
 
+    remaining = active_nodes.count()
     for _round in range(max_rounds):
-        if active_nodes.count() == 0:
+        if remaining == 0:
             break
 
         # 1. forward coloring to fixpoint (max-propagation along out-edges)
         colors = active_nodes.select("id", F.col("id").alias("color"))
         colors = colors.localCheckpoint(eager=True)
+        changed = 0
         for _ in range(max_prop_iters):
             incoming = (
                 colors.join(active_edges, colors["id"] == active_edges[SRC])
@@ -75,6 +77,13 @@ def strongly_connected_components(
             colors = new_colors.select("id", "color").localCheckpoint(eager=True)
             if changed == 0:
                 break
+        if changed != 0:
+            # a non-fixpoint coloring would split real SCCs silently
+            raise RuntimeError(
+                f"SCC forward coloring did not converge within "
+                f"max_prop_iters={max_prop_iters} (round {_round}, "
+                f"{changed} nodes still changing); raise max_prop_iters"
+            )
 
         # 2. backward mark from roots within color classes
         rev = active_edges.select(
@@ -112,12 +121,18 @@ def strongly_connected_components(
         active_nodes = active_nodes.join(found, "id", "left_anti").localCheckpoint(
             eager=True
         )
+        remaining = active_nodes.count()
         active_edges = (
             active_edges.join(found.select(F.col("id").alias(SRC)), SRC, "left_anti")
             .join(found.select(F.col("id").alias(DST)), DST, "left_anti")
             .localCheckpoint(eager=True)
         )
 
+    if remaining > 0:
+        raise RuntimeError(
+            f"SCC did not settle all nodes within max_rounds={max_rounds} "
+            f"({remaining} nodes unassigned); raise max_rounds"
+        )
     out = all_nodes.join(assigned, "id", "left") if assigned is not None else (
         all_nodes.select("id", F.col("id").alias("scc"))
     )

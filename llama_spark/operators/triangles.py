@@ -71,7 +71,11 @@ def triangles_df(edges: DataFrame, orient: str = "degree") -> DataFrame:
         (F.col("e1.src") == F.col("e3.src")) & (F.col("e2.dst") == F.col("e3.dst")),
         "left_semi",
     )
-    return closed.agg(F.count("*").cast("long").alias("triangles"))
+    out = closed.agg(F.count("*").cast("long").alias("triangles")).localCheckpoint(
+        eager=True
+    )
+    e.unpersist()
+    return out
 
 
 def triangles_per_node(edges: DataFrame, orient: str = "degree") -> DataFrame:
@@ -94,4 +98,8 @@ def triangles_per_node(edges: DataFrame, orient: str = "degree") -> DataFrame:
         .unionAll(tris.select(F.col("b").alias("id")))
         .unionAll(tris.select(F.col("c").alias("id")))
     )
-    return corners.groupBy("id").agg(F.count("*").alias("triangles"))
+    out = corners.groupBy("id").agg(F.count("*").alias("triangles")).localCheckpoint(
+        eager=True
+    )
+    e.unpersist()
+    return out

@@ -127,6 +127,7 @@ def iterate(
             new_state.write.mode("overwrite").parquet(path)
             # durable state replaces the in-memory one (also frees executor mem)
             new_state = spark.read.parquet(path)
+            m.rows = rows
             m.checkpoint_path = path
             from pyspark.sql import functions as F
 

@@ -105,6 +105,30 @@ class VersionedEdgeStore:
         self._write_manifest(m)
         return level
 
+    def delete_nodes(self, nodes: DataFrame) -> int:
+        """Logical node delete (delete_node, tests/delete_nodes.h:104): a
+        node delete at level Ld masks every edge incident to the node in
+        appends with level < Ld — the node's out/in degree reads 0 from
+        level Ld on. A later append may re-introduce the node (new visible
+        edges), exactly like edge re-appends."""
+        m = self._read_manifest()
+        level = (m["levels"][-1]["level"] + 1) if m["levels"] else 0
+        out = os.path.join(self.path, f"level={level}")
+        nodes.select("id").write.mode("errorifexists").parquet(out)
+        rows = self.spark.read.parquet(out).count()
+        m["levels"].append(
+            {
+                "level": level,
+                "path": out,
+                "rows": rows,
+                "parent": level - 1 if level > 0 else None,
+                "kind": "delete_nodes",
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+        )
+        self._write_manifest(m)
+        return level
+
     # ---- reads ----------------------------------------------------------
 
     def max_level(self) -> int | None:
@@ -113,7 +137,14 @@ class VersionedEdgeStore:
 
     def read_at(self, level: int | None = None) -> DataFrame:
         """RO snapshot at ``level`` (default: latest): union of append
-        levels in [min_level, level] minus edges deleted at ≤ level."""
+        levels in [min_level, level] minus deleted edges.
+
+        Max-visible-level semantics (ll_mlcsr_helpers.h:96-107): a delete at
+        level Ld marks the max visible level on edges that existed BEFORE it
+        — it masks only appends with level < Ld. An edge re-appended after a
+        delete is a new visible edge: append e @L0, delete e @L1, re-append
+        e @L2 → visible again at read_at(2).
+        """
         m = self._read_manifest()
         if level is None:
             level = m["levels"][-1]["level"] if m["levels"] else -1
@@ -126,11 +157,65 @@ class VersionedEdgeStore:
         ]
         if not appends:
             return self.spark.createDataFrame([], "src long, dst long")
-        df = self.spark.read.parquet(*[e["path"] for e in appends])
+        parts = []
+        for e in appends:
+            parts.append(
+                self.spark.read.parquet(e["path"]).withColumn(
+                    "_alevel", F.lit(e["level"]).cast("long")
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         if deletes:
-            dels = self.spark.read.parquet(*[e["path"] for e in deletes]).distinct()
-            df = df.join(F.broadcast(dels), ["src", "dst"], "left_anti")
-        return df
+            dparts = [
+                self.spark.read.parquet(e["path"])
+                .select("src", "dst")
+                .withColumn("_dlevel", F.lit(e["level"]).cast("long"))
+                for e in deletes
+            ]
+            dels = dparts[0]
+            for p in dparts[1:]:
+                dels = dels.unionByName(p)
+            dels = dels.distinct()
+            # manifest row counts are free — broadcast only small delete sets
+            if sum(e["rows"] for e in deletes) > 100_000:
+                dels = dels.hint("shuffle_hash")
+            else:
+                dels = F.broadcast(dels)
+            df = df.alias("a").join(
+                dels.alias("d"),
+                (F.col("a.src") == F.col("d.src"))
+                & (F.col("a.dst") == F.col("d.dst"))
+                & (F.col("d._dlevel") > F.col("a._alevel")),
+                "left_anti",
+            )
+        node_deletes = [
+            e for e in m["levels"] if e["kind"] == "delete_nodes" and e["level"] <= level
+        ]
+        if node_deletes:
+            nparts = [
+                self.spark.read.parquet(e["path"])
+                .select("id")
+                .withColumn("_dlevel", F.lit(e["level"]).cast("long"))
+                for e in node_deletes
+            ]
+            ndels = nparts[0]
+            for p in nparts[1:]:
+                ndels = ndels.unionByName(p)
+            ndels = ndels.distinct()
+            if sum(e["rows"] for e in node_deletes) <= 100_000:
+                ndels = F.broadcast(ndels)
+            else:
+                ndels = ndels.hint("shuffle_hash")
+            for endpoint in ("src", "dst"):
+                df = df.alias("a").join(
+                    ndels.alias("n"),
+                    (F.col(f"a.{endpoint}") == F.col("n.id"))
+                    & (F.col("n._dlevel") > F.col("a._alevel")),
+                    "left_anti",
+                )
+        return df.drop("_alevel")
 
     def changed_vertices(self, level: int) -> DataFrame:
         """Nodes touched by the delta committed at ``level`` — the analog of

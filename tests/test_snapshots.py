@@ -104,6 +104,57 @@ def test_delete_every_10th_edge(spark, store):
     assert store.read_at(lvl - 1).count() == len(pairs)
 
 
+def test_readd_after_delete_is_visible(spark, store):
+    """Max-visible-level semantics (ll_mlcsr_helpers.h:96-107): append e @L0,
+    delete e @L1, re-append e @L2 → e visible again at read_at(2), still
+    invisible at read_at(1)."""
+    e = [(1, 2)]
+    rest = [(3, 4), (5, 6)]
+    store.append_level(edges_df(spark, e + rest))  # L0
+    store.delete_edges(edges_df(spark, e))  # L1
+    store.append_level(edges_df(spark, e))  # L2
+    assert {(r["src"], r["dst"]) for r in store.read_at(0).collect()} == set(e + rest)
+    assert {(r["src"], r["dst"]) for r in store.read_at(1).collect()} == set(rest)
+    assert {(r["src"], r["dst"]) for r in store.read_at(2).collect()} == set(e + rest)
+    # a later delete masks BOTH copies
+    store.delete_edges(edges_df(spark, e))  # L3
+    assert {(r["src"], r["dst"]) for r in store.read_at(3).collect()} == set(rest)
+
+
+def test_delete_every_10th_node(spark, store):
+    """tests/delete_nodes.h:85-205 analog: delete node n for n % 10 == 0,
+    then validate — deleted nodes have out/in degree 0 (no iterable edges),
+    survivors' adjacency excludes deleted neighbors, degree sums match."""
+    from pyspark.sql import functions as F
+
+    from llama_spark.graph import degrees
+
+    pairs = sorted({tuple(p) for p in batches_fixture()[0]})
+    store.append_level(edges_df(spark, pairs))
+    doomed = sorted({u for e in pairs for u in e if u % 10 == 0})
+    lvl = store.delete_nodes(spark.createDataFrame([(n,) for n in doomed], "id long"))
+
+    snap = store.read_at(lvl)
+    survivors = [(s, d) for s, d in pairs if s % 10 != 0 and d % 10 != 0]
+    got = {(r["src"], r["dst"]) for r in snap.collect()}
+    assert got == set(survivors)
+    # deleted nodes: no incident edges at all (degree-0 / NIL-iterator analog)
+    deg = degrees(snap)
+    assert deg.filter(F.col("id").isin(doomed)).count() == 0
+    # degree-sum invariant on the remainder
+    sums = deg.agg(
+        F.sum("out_degree").alias("o"), F.sum("in_degree").alias("i")
+    ).collect()[0]
+    assert sums["o"] == len(survivors) and sums["i"] == len(survivors)
+    # snapshot isolation: pre-delete level unaffected
+    assert store.read_at(lvl - 1).count() == len(pairs)
+    # a node re-introduced by a later append is visible again
+    n0 = doomed[0]
+    store.append_level(edges_df(spark, [(n0, 1)]))
+    back = store.read_at()
+    assert (n0, 1) in {(r["src"], r["dst"]) for r in back.collect()}
+
+
 def test_compact_flatten(spark, store):
     b = batches_fixture()
     for part in b[:3]:

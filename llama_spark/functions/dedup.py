@@ -121,9 +121,20 @@ def lsh_candidate_pairs(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     n: int = 3,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """DataFrame[doc_a, doc_b] — pairs agreeing on at least one full band
-    of the minhash signature (doc_a < doc_b, distinct)."""
+    of the minhash signature (doc_a < doc_b, distinct).
+
+    **Giant-bucket bound**: a bucket of M near-identical docs (boilerplate,
+    templated pages) would emit M(M-1)/2 pairs — quadratic at 100 TB. Buckets
+    larger than ``max_bucket_size`` are **canonical-star linked** instead:
+    every member pairs only with the bucket's min doc_id (O(M) pairs). The
+    transitive duplicate-cluster closure is identical — within one bucket
+    all members are mutually candidates, and the star spans them — only the
+    explicit pair list shrinks. ``max_bucket_size=None`` disables the bound
+    (exact all-pairs; what the sf0.01 oracle gate exercises is unaffected
+    either way because its buckets are far below the default cap)."""
     rows_per_band = k // bands
     sig = minhash_signatures(documents, k, n)
     band_sig = (
@@ -135,9 +146,25 @@ def lsh_candidate_pairs(
             ).alias("bsig")
         )
     )
-    x = band_sig.alias("x")
-    y = band_sig.alias("y")
-    return (
+    if max_bucket_size is not None:
+        # bucket sizes via groupBy (partial-aggregated — no single-task
+        # window sort over a giant bucket), joined back on the bucket key
+        stats = band_sig.groupBy("band", "bsig").agg(
+            F.count("*").alias("_m"), F.min("doc_id").alias("_hub")
+        )
+        band_sig = band_sig.join(stats, ["band", "bsig"])
+        small = band_sig.filter(F.col("_m") <= max_bucket_size)
+        star = (
+            band_sig.filter(
+                (F.col("_m") > max_bucket_size) & (F.col("doc_id") != F.col("_hub"))
+            )
+            .select(F.col("_hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
+    else:
+        small, star = band_sig, None
+    x = small.alias("x")
+    y = small.alias("y")
+    pairs = (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -145,8 +172,10 @@ def lsh_candidate_pairs(
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:

@@ -139,10 +139,18 @@ def near_duplicate_pairs(
     planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """DataFrame[id_a, id_b, cos_sim] with cosine ≥ threshold, found via
     LSH bucket blocking (near-identical vectors land in the same bucket
-    with high probability; exact pass within buckets)."""
+    with high probability; exact pass within buckets).
+
+    **Giant-bucket bound**: a bucket of M near-identical embeddings would
+    score M(M-1)/2 pairs. Buckets larger than ``max_bucket_size`` are
+    canonical-star linked — each member scores only against the bucket's
+    min id — which keeps the duplicate-cluster closure (the star spans the
+    bucket) at O(M) pairs; ``None`` disables the bound. The sf0.01 gate's
+    buckets are far below the default cap, so its output is exact."""
     dim = len(embeddings.select(vec_col).first()[0])
     base = (
         embeddings.select(
@@ -151,16 +159,53 @@ def near_duplicate_pairs(
         .withColumn("nrm", _norm(F.col("v")))
         .withColumn("bucket", hyperplane_bucket(F.col("v"), dim, planes))
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-    )
+    def _flat(joined):
+        return joined.select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.v").alias("va"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.v").alias("vb"),
+            F.col("b.nrm").alias("nb"),
+        )
+
+    if max_bucket_size is not None:
+        stats = base.groupBy("bucket").agg(
+            F.count("*").alias("_m"), F.min("id").alias("_hub")
+        )
+        base = base.join(stats, "bucket")
+        small = base.filter(F.col("_m") <= max_bucket_size).drop("_m", "_hub")
+        hubs = base.filter(F.col("_m") > max_bucket_size).filter(
+            F.col("id") == F.col("_hub")
+        ).drop("_m", "_hub")
+        spokes = base.filter(F.col("_m") > max_bucket_size).filter(
+            F.col("id") != F.col("_hub")
+        ).drop("_m", "_hub")
+        pairs = _flat(
+            small.alias("a").join(
+                small.alias("b"),
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+        )
+        star = _flat(
+            hubs.alias("a").join(
+                spokes.alias("b"), F.col("a.bucket") == F.col("b.bucket")
+            )
+        )
+        pairs = pairs.unionByName(star)
+    else:
+        pairs = _flat(
+            base.alias("a").join(
+                base.alias("b"),
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+        )
     return pairs.select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
+        "id_a",
+        "id_b",
         F.round(
-            _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
         ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)

@@ -28,42 +28,52 @@ from pyspark.storagelevel import StorageLevel
 
 
 def assign_dense_ids(
-    df: DataFrame, col: str = "url", buckets: int = 256
+    df: DataFrame,
+    col: str = "url",
+    buckets: int | None = None,
+    target_rows_per_bucket: int = 2_000_000,
 ) -> DataFrame:
     """DataFrame[<col>, id] — dense ids [0, N), deterministic: ordered by
-    (hash bucket, value) with per-bucket offsets. One shuffle + tiny collect.
+    (hash bucket, value) with per-bucket offsets.
+
+    ``buckets=None`` (default) sizes the bucket count from the exact
+    distinct count so each bucket's single-task sort stays bounded at
+    ``target_rows_per_bucket`` rows — a fixed bucket count is a hard scale
+    ceiling (N/256 rows per task at 10^12 urls). The count is a property of
+    the DATA, not the parallelism, so ids stay identical across partition
+    counts and reruns. Offsets are a cumulative sum over the B-row bucket
+    histogram (window over one tiny partition — no driver collect/loop).
     """
     from pyspark.sql import Window
 
-    distinct = df.select(col).distinct()
+    distinct = df.select(col).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    if buckets is None:
+        n = distinct.count()
+        b = max(1, -(-n // target_rows_per_bucket))
+        buckets = max(256, 1 << (b - 1).bit_length())  # pow2, >= 256
     bucketed = distinct.withColumn(
         "_b", F.pmod(F.xxhash64(F.col(col)), F.lit(buckets)).cast("int")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    counts = {r["_b"]: r["cnt"] for r in bucketed.groupBy("_b").agg(F.count("*").alias("cnt")).collect()}
-    offsets = {}
-    acc = 0
-    for b in range(buckets):
-        offsets[b] = acc
-        acc += counts.get(b, 0)
-    spark = df.sparkSession
-    offsets_df = F.broadcast(
-        spark.createDataFrame(
-            [(b, offsets[b]) for b in range(buckets)], "_b int, _off long"
-        )
+    )
+    hist = bucketed.groupBy("_b").agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        "_b", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
     )
     w = Window.partitionBy("_b").orderBy(col)
     out = (
-        bucketed.join(offsets_df, "_b")
+        bucketed.join(F.broadcast(offsets), "_b")
         .withColumn("_rn", F.row_number().over(w))
         .select(col, (F.col("_off") + F.col("_rn") - 1).alias("id"))
+        .localCheckpoint(eager=True)
     )
+    distinct.unpersist()
     return out
 
 
 def edges_from_pages(
     pages: DataFrame,
     dedup: bool = True,
-    id_buckets: int = 256,
+    id_buckets: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """pages → (edges[src, dst], dictionary[url, id]).
 

@@ -125,6 +125,45 @@ def test_minhash_lsh(docs):
     assert (3, 5) not in cands
 
 
+def test_lsh_giant_bucket_star_linking(spark):
+    """STAR_HUB skew: 60 identical docs form one giant LSH bucket. With the
+    bucket cap the pair list is linear (the canonical star), not 60·59/2,
+    and the duplicate-cluster closure is unchanged."""
+    from llama_spark.functions.dedup import lsh_candidate_pairs
+
+    hub_docs = [(i, "spark and llama walk into a graph bar together") for i in range(60)]
+    other = [(100, "completely different text about volcanic geology basalt")]
+    docs = spark.createDataFrame(hub_docs + other, "doc_id long, text string")
+    capped = lsh_candidate_pairs(docs, max_bucket_size=10).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    # star shape: every pair involves the hub (min id 0); one pair per member
+    assert pairs == {(0, i) for i in range(1, 60)}
+    # exact mode on the same data is quadratic
+    exact = lsh_candidate_pairs(docs, max_bucket_size=None).count()
+    assert exact == 60 * 59 // 2
+    # closure equivalence: union-find over star pairs == one 60-doc cluster
+    parent = {i: 0 for i in range(60)}
+    assert len({parent[a] for a, _ in pairs} | {parent[b] for _, b in pairs}) == 1
+
+
+def test_near_dup_giant_bucket_star_linking(spark):
+    """Same bound on the embedding side: 50 copies of one vector."""
+    import numpy as np
+
+    from llama_spark.functions.similarity import near_duplicate_pairs
+
+    rng = np.random.RandomState(3)
+    v = [float(x) for x in rng.randn(8)]
+    w = [float(x) for x in rng.randn(8)]
+    rows = [(i, v) for i in range(50)] + [(90, w), (91, w)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = near_duplicate_pairs(emb, threshold=0.99, planes=4, max_bucket_size=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert {(0, i) for i in range(1, 50)} <= pairs  # star over the clones
+    assert (90, 91) in pairs  # small buckets stay exact all-pairs
+    assert all(a == 0 or (a, b) == (90, 91) for a, b in pairs)
+
+
 def test_simhash(docs):
     from llama_spark.functions.dedup import simhash
 

@@ -80,6 +80,24 @@ def test_dense_id_dictionary(spark, pages):
     assert dictionary.exceptAll(dict2).count() == 0
 
 
+def test_dense_id_bucket_autoscaling(spark):
+    """Bucket count derives from the data size (no fixed single-task sort
+    ceiling): with a tiny per-bucket target the ids stay dense, unique and
+    deterministic across partition counts."""
+    from llama_spark.sources.edges import assign_dense_ids
+
+    urls = spark.range(1000).select(F.concat(F.lit("u"), F.col("id")).alias("url"))
+    a = assign_dense_ids(urls.repartition(3), "url", target_rows_per_bucket=2)
+    b = assign_dense_ids(urls.repartition(11), "url", target_rows_per_bucket=2)
+    n = a.count()
+    stats = a.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi"),
+        F.countDistinct("id").alias("d"),
+    ).collect()[0]
+    assert (stats["lo"], stats["hi"], stats["d"]) == (0, n - 1, n)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_edges_match_pure_python(spark, pages):
     """Edge table == pure-python extraction + dictionary on collected pages."""
     from llama_spark.sources.edges import edges_from_pages

@@ -44,9 +44,6 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        # nudge the driver GC so ContextCleaner releases the previous
-        # kernel's localCheckpoint blocks before the next measurement
-        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         fn()
         times[name] = round(time.time() - t0, 3)
@@ -79,6 +76,12 @@ def main() -> None:
     timed(
         "betweenness_k4",
         lambda: betweenness_centrality(edges, roots=[0, 1, 2, 3], max_depth=12).count(),
+    )
+    # reference default operating point: K=100 random roots
+    # (bc_random.h, benchmark.cc:1474)
+    timed(
+        "betweenness_k100",
+        lambda: betweenness_centrality(edges, k=100, max_depth=12).count(),
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

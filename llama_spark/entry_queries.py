@@ -135,6 +135,33 @@ def q_bfs_depths(spark, sf_dir):
     return bfs_depths(edges, root=root, max_iter=BFS_UNROLL)
 
 
+def q_bfs_reachable_count(spark, sf_dir):
+    """bfs_count analog (bfs.h:70-73): reachable-vertex count from the min
+    node, as a 1-row DataFrame for the gate."""
+    from .operators.traversal import bfs_depths
+
+    edges = load_edges(spark, sf_dir)
+    root = edges.agg(F.min(F.least("src", "dst")).alias("r")).collect()[0]["r"]
+    return (
+        bfs_depths(edges, root=root, max_iter=BFS_UNROLL)
+        .filter(F.col("depth").isNotNull())
+        .agg(F.count("*").cast("long").alias("reachable"))
+    )
+
+
+def q_level_spread(spark, sf_dir):
+    """tools/level_spread.h over a synthetic 3-level split of the edge
+    table (level = (src*31 + dst) % 3 — SQL-portable so the oracle can
+    replicate the exact store contents)."""
+    from .streaming.snapshots import level_spread_of
+
+    edges = load_edges(spark, sf_dir)
+    with_level = edges.withColumn(
+        "level", F.pmod(F.col("src") * F.lit(31) + F.col("dst"), F.lit(3))
+    )
+    return level_spread_of(with_level)
+
+
 def q_sssp_weighted(spark, sf_dir):
     from .graph import with_synthetic_weights
     from .operators.traversal import sssp
@@ -360,6 +387,24 @@ FROM deg GROUP BY 1 ORDER BY 1""",
     "label_propagation": _lp_sql(),
     "triangle_count": _triangles_sql(),
     "bfs_depths": _bfs_sql(),
+    "bfs_reachable_count": f"""SELECT CAST(COUNT(*) AS BIGINT) AS reachable
+FROM ({_bfs_sql()}) WHERE depth IS NOT NULL""",
+    "level_spread": f"""WITH edges AS ({EDGES_SQL}),
+wl AS (SELECT src, dst, (src*31 + dst) % 3 AS level FROM edges),
+nodes AS (SELECT DISTINCT id FROM
+  (SELECT src AS id FROM wl UNION ALL SELECT dst AS id FROM wl)),
+per_node AS (
+  SELECT n.id,
+         CAST(COALESCE(p.spread, 0) AS BIGINT) AS spread,
+         CAST(COALESCE(p.od, 0) AS BIGINT) AS out_degree
+  FROM nodes n LEFT JOIN (
+    SELECT src AS id, COUNT(DISTINCT level) AS spread, COUNT(*) AS od
+    FROM wl GROUP BY src
+  ) p ON n.id = p.id)
+SELECT spread, COUNT(*) AS frequency,
+       CAST(SUM(out_degree) AS BIGINT) AS degree_sum,
+       ROUND(SUM(out_degree) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_out_degree
+FROM per_node GROUP BY spread ORDER BY spread""",
     "sssp_weighted": _sssp_sql(),
     "avg_teen_cnt": f"""WITH edges AS ({EDGES_SQL}), nodes AS ({NODES_SQL}),
 teen_in AS (
@@ -393,6 +438,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_propagation": q_label_propagation,
     "triangle_count": q_triangle_count,
     "bfs_depths": q_bfs_depths,
+    "bfs_reachable_count": q_bfs_reachable_count,
+    "level_spread": q_level_spread,
     "sssp_weighted": q_sssp_weighted,
     "avg_teen_cnt": q_avg_teen_cnt,
     "edge_weight_stats": q_edge_weight_stats,

@@ -81,19 +81,34 @@ def generate_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFram
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
+def extract_features(
+    media: DataFrame, feat_dim: int = 8, decoder: str = "fake"
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    Uses fake_decode (deterministic); the batch shape — one pandas frame of
-    binary payloads in, one frame of fixed-width features out — is exactly
-    what a real decoder plugs into."""
+    ``decoder="fake"`` (default) uses the deterministic digest-derived
+    stand-in; ``decoder="real"`` decodes with Pillow on the EXECUTORS
+    (detected at runtime — raises NotImplementedError where absent); the
+    batch shape — one pandas frame of binary payloads in, one frame of
+    fixed-width features out — is identical for both, so swapping decoders
+    changes zero plan structure."""
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"decoder must be 'fake' or 'real', got {decoder!r}")
+    use_real = decoder == "real"
+
+    def _decode(raw: bytes) -> tuple[int, int, float]:
+        if use_real:
+            arr = decode_image(raw)
+            h, w = arr.shape[0], arr.shape[1]
+            return w, h, float(arr.mean()) / 255.0
+        return fake_decode(raw)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             widths, heights, nbytes, means, feats = [], [], [], [], []
             for payload in pdf["payload"]:
                 raw = bytes(payload)
-                w, h, mean = fake_decode(raw)
+                w, h, mean = _decode(raw)
                 widths.append(w)
                 heights.append(h)
                 nbytes.append(len(raw))

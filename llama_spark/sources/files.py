@@ -1,0 +1,66 @@
+"""File-format loaders and synthetic generators — the reference's pluggable
+ll_file_loader surface (ll_file_loaders.h) re-expressed as DataFrame readers.
+
+- ``read_snap``: SNAP / Pajek-style text edge lists (``.net``/``.snap``,
+  ll_load_net.h:56-378): one ``src dst`` pair per line, arbitrary
+  whitespace separators, ``#`` comment lines and blank lines skipped.
+  Implemented as text scan + JVM split/cast (whole-stage codegen; parquet
+  conversion is one ``.write`` away) rather than a driver-side parser.
+- ``erdos_renyi``: the ER(nodes, edges [, seed]) generator
+  (ll_gen_erdosrenyi.h:150-236): m edges with uniform independent endpoints
+  (self-loops and duplicates possible, exactly like the reference's
+  ``rand % n`` draws). Counter-based — each edge is a pure function of
+  (seed, edge index) via xxhash64 — so output is identical at any
+  parallelism (same property as sources/pages.py rmat_endpoints).
+
+X-Stream ``.dat`` binary and FGF loaders are intentionally absent: parquet
+columns are the declared typed-property analog (SURVEY §2.3); a fixed-width
+binary triple reader adds no Spark-side value at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_snap(spark: SparkSession, path: str, weight: bool = False) -> DataFrame:
+    """DataFrame[src: long, dst: long (, weight: double)] from a SNAP text
+    edge list. Lines starting with ``#`` (after leading whitespace) and
+    blank lines are ignored; fields split on any whitespace run."""
+    lines = spark.read.text(path).select(F.trim(F.col("value")).alias("line"))
+    rows = lines.filter(
+        (F.length("line") > 0) & ~F.col("line").startswith("#")
+    ).select(F.split("line", r"\s+").alias("f"))
+    out = rows.select(
+        F.element_at("f", 1).cast("long").alias("src"),
+        F.element_at("f", 2).cast("long").alias("dst"),
+    )
+    if weight:
+        out = rows.select(
+            F.element_at("f", 1).cast("long").alias("src"),
+            F.element_at("f", 2).cast("long").alias("dst"),
+            F.element_at("f", 3).cast("double").alias("weight"),
+        )
+    return out
+
+
+def erdos_renyi(
+    spark: SparkSession,
+    nodes: int,
+    edges: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame[src, dst] — ER(nodes, edges, seed), ll_gen_erdosrenyi.h
+    semantics: each of the ``edges`` rows draws both endpoints uniformly in
+    [0, nodes); self-loops/duplicates kept (callers dedup via graph.py)."""
+    idx = spark.range(0, edges, numPartitions=num_partitions)
+    return idx.select(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(0)), F.lit(nodes)).alias(
+            "src"
+        ),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(1)), F.lit(nodes)).alias(
+            "dst"
+        ),
+    )

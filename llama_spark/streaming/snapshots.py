@@ -38,6 +38,41 @@ from pyspark.sql import functions as F
 MANIFEST = "graph_manifest.json"
 
 
+def level_spread_of(edges_with_level: DataFrame) -> DataFrame:
+    """Per-spread histogram (tools/level_spread.h:52-155) over a
+    DataFrame[src, dst, level]: spread(n) = number of distinct levels
+    containing n's out-edges (0 for nodes with no out-edges); returns
+    DataFrame[spread, frequency, degree_sum, avg_out_degree], one row per
+    occurring spread value.
+
+    One scan + two shuffles — the reference's per-node boolean-array walk
+    collapses to groupBy(src).countDistinct(level)."""
+    df = edges_with_level
+    per_node = df.groupBy(F.col("src").alias("id")).agg(
+        F.countDistinct("level").alias("spread"),
+        F.count("*").alias("out_degree"),
+    )
+    all_nodes = (
+        df.select(F.col("src").alias("id"))
+        .unionAll(df.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    filled = all_nodes.join(per_node, "id", "left").select(
+        "id",
+        F.coalesce("spread", F.lit(0)).cast("long").alias("spread"),
+        F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+    )
+    return (
+        filled.groupBy("spread")
+        .agg(
+            F.count("*").alias("frequency"),
+            F.sum("out_degree").alias("degree_sum"),
+            F.round(F.sum("out_degree") / F.count("*"), 6).alias("avg_out_degree"),
+        )
+        .orderBy("spread")
+    )
+
+
 class VersionedEdgeStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -135,7 +170,9 @@ class VersionedEdgeStore:
         m = self._read_manifest()
         return m["levels"][-1]["level"] if m["levels"] else None
 
-    def read_at(self, level: int | None = None) -> DataFrame:
+    def read_at(
+        self, level: int | None = None, with_level: bool = False
+    ) -> DataFrame:
         """RO snapshot at ``level`` (default: latest): union of append
         levels in [min_level, level] minus deleted edges.
 
@@ -215,7 +252,14 @@ class VersionedEdgeStore:
                     & (F.col("n._dlevel") > F.col("a._alevel")),
                     "left_anti",
                 )
+        if with_level:
+            return df.withColumnRenamed("_alevel", "level")
         return df.drop("_alevel")
+
+    def level_spread(self, level: int | None = None) -> DataFrame:
+        """Per-spread histogram over this store's visible levels — see
+        :func:`level_spread_of`."""
+        return level_spread_of(self.read_at(level, with_level=True))
 
     def changed_vertices(self, level: int) -> DataFrame:
         """Nodes touched by the delta committed at ``level`` — the analog of

@@ -237,6 +237,34 @@ def test_multimodal_pipeline(spark):
     # determinism across runs
     again = {r["media_id"]: r["mean_intensity"] for r in extract_features(media).collect()}
     assert again == {r["media_id"]: r["mean_intensity"] for r in rows}
+
+
+def test_multimodal_real_decode_branch(spark):
+    """Both decoder branches are honest: without Pillow the real path
+    raises NotImplementedError (not a silent fake); with Pillow it decodes
+    an actual PNG through the same mapInPandas plan."""
+    import pytest
+
+    from llama_spark.functions import multimodal as mm
+
+    if not mm.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"\x89PNG fake")
+        pytest.skip("Pillow not installed in this image; real-decode branch untestable")
+
+    # Pillow present: build a real 3x2 PNG and run decoder="real"
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (3, 2), (255, 0, 0)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(buf.getvalue()), {"fmt": "png"})], mm.MEDIA_SCHEMA
+    )
+    row = mm.extract_features(media, decoder="real").collect()[0]
+    assert (row["width"], row["height"]) == (3, 2)
+    assert abs(row["mean_intensity"] - (255 / 3) / 255.0) < 1e-6
     # the real decoder is stubbed in this container
     with pytest.raises(NotImplementedError):
         decode_image(b"not-a-real-image")

@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests import oracle
 from tests.conftest import edges_df, rmat_edges
@@ -167,6 +168,74 @@ def test_compact_flatten(spark, store):
     assert after == before
     m = store._read_manifest()
     assert len(m["levels"]) == 1 and m["levels"][0]["level"] == level
+
+
+def test_snap_loader_roundtrip(spark, tmp_path):
+    """ll_load_net.h analog: '#' comments, blank lines, mixed tab/space
+    separators, optional third weight column."""
+    from llama_spark.sources.files import read_snap
+
+    p = tmp_path / "toy.net"
+    p.write_text(
+        "# Directed graph: toy\n"
+        "# FromNodeId\tToNodeId\n"
+        "\n"
+        "0\t1\n"
+        "1 2\n"
+        "  2   0\n"
+        "3\t 1\n"
+    )
+    got = {(r["src"], r["dst"]) for r in read_snap(spark, str(p)).collect()}
+    assert got == {(0, 1), (1, 2), (2, 0), (3, 1)}
+    pw = tmp_path / "toyw.net"
+    pw.write_text("# weighted\n0 1 0.5\n1 2 2.25\n")
+    goth = {
+        (r["src"], r["dst"], r["weight"])
+        for r in read_snap(spark, str(pw), weight=True).collect()
+    }
+    assert goth == {(0, 1, 0.5), (1, 2, 2.25)}
+
+
+def test_erdos_renyi_generator(spark):
+    """ER(nodes, edges, seed): exact row count, endpoints in range,
+    partition-invariant, seed-sensitive."""
+    from llama_spark.sources.files import erdos_renyi
+
+    a = erdos_renyi(spark, nodes=100, edges=500, seed=7, num_partitions=2)
+    b = erdos_renyi(spark, nodes=100, edges=500, seed=7, num_partitions=13)
+    assert a.count() == 500
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    rng = a.agg(
+        F.min("src").alias("a"), F.max("src").alias("b"),
+        F.min("dst").alias("c"), F.max("dst").alias("d"),
+    ).collect()[0]
+    assert 0 <= rng["a"] and rng["b"] < 100 and 0 <= rng["c"] and rng["d"] < 100
+    c = erdos_renyi(spark, nodes=100, edges=500, seed=8)
+    assert c.exceptAll(a).count() > 0
+    # a kernel runs on it end-to-end (dedup'd, self-loops dropped)
+    from llama_spark.graph import drop_self_loops, deduplicate
+    from llama_spark.operators.components import connected_components
+
+    assert connected_components(drop_self_loops(deduplicate(a))).count() > 0
+
+
+def test_level_spread(spark, store):
+    """tools/level_spread.h oracle on a hand-built 3-level store:
+    node 0 has edges in levels 0,1,2 → spread 3; node 1 in 0,1 → 2;
+    node 2 in 1 → 1; node 5 (dst only) → 0."""
+    store.append_level(edges_df(spark, [(0, 1), (1, 2)]))       # L0
+    store.append_level(edges_df(spark, [(0, 2), (1, 3), (2, 0)]))  # L1
+    store.append_level(edges_df(spark, [(0, 5)]))               # L2
+    got = {
+        r["spread"]: (r["frequency"], r["degree_sum"])
+        for r in store.level_spread().collect()
+    }
+    # spreads: n0=3 (deg 3), n1=2 (deg 2), n2=1 (deg 1), n3=0, n5=0
+    assert got == {3: (1, 3), 2: (1, 2), 1: (1, 1), 0: (2, 0)}
+    # deletes are honored: drop (0,5) → node 0's spread falls to 2
+    store.delete_edges(edges_df(spark, [(0, 5)]))
+    got2 = {r["spread"]: r["frequency"] for r in store.level_spread().collect()}
+    assert got2 == {2: 2, 1: 1, 0: 1}  # n0 and n1 spread 2; n5 gone entirely
 
 
 def test_foreachbatch_stream(spark, store, tmp_path):

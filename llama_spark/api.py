@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 class GraphSession:
@@ -37,12 +36,33 @@ class GraphSession:
         from .sources.edges import edges_from_pages
 
         edges, dictionary = edges_from_pages(pages, dedup=dedup)
-        self.edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        # both come back eagerly checkpointed — no extra persist layer
+        self.edges = edges
         self.dictionary = dictionary
         return self
 
     def from_parquet(self, path: str) -> "GraphSession":
         return self.from_edges(self.spark.read.parquet(path))
+
+    def from_snap(self, path: str, weight: bool = False) -> "GraphSession":
+        """SNAP/Pajek text edge list (.net/.snap — ll_load_net.h analog)."""
+        from .sources.files import read_snap
+
+        return self.from_edges(read_snap(self.spark, path, weight=weight))
+
+    def from_xstream1(self, path: str) -> "GraphSession":
+        """X-Stream type-1 binary edge list (.dat — ll_load_xstream1.h)."""
+        from .sources.files import read_xstream1
+
+        return self.from_edges(read_xstream1(self.spark, path))
+
+    def from_erdos_renyi(
+        self, nodes: int, edges: int, seed: int = 42
+    ) -> "GraphSession":
+        """ER(nodes, edges, seed) generator (ll_gen_erdosrenyi.h analog)."""
+        from .sources.files import erdos_renyi
+
+        return self.from_edges(erdos_renyi(self.spark, nodes, edges, seed=seed))
 
     # ---- kernels --------------------------------------------------------
 

@@ -554,6 +554,87 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority top orders): 3-way join with
+    selective filters on both fact sides, decimal-exact revenue, top-10 by
+    (revenue desc, orderkey) — the full ordering key is identical in the
+    oracle so the LIMIT cut is deterministic."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    # customer is fact-sized at the 100-TB target → no explicit broadcast;
+    # AQE picks broadcast at small SF from actual post-filter sizes.
+    # orders⨝lineitem shuffles on the join key, both sides pre-filtered.
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", F.round("revenue", 4).alias("revenue"),
+                F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate_s"))
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier volume per nation): 6-table join —
+    dims (nation, region, supplier, customer) broadcast, facts shuffle on
+    the join keys; revenue only where customer and supplier share a
+    nation."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    asian_nations = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(
+            cust,  # fact-sized at target scale — shuffle/AQE, not broadcast
+            (orders["o_custkey"] == cust["c_custkey"])
+            & (cust["c_nationkey"] == supplier["s_nationkey"]),
+        )
+        .join(
+            F.broadcast(asian_nations),
+            supplier["s_nationkey"] == asian_nations["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select("n_name", F.round("revenue", 4).alias("revenue"), "n_items")
+    )
+
+
 def q_top_parts_per_supplier(spark, sf_dir):
     """Top-3 parts by revenue per supplier — window top-k pattern."""
     from pyspark.sql import Window
@@ -630,6 +711,38 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus"""
+ORACLE["tpch_q3"] = """
+WITH rev AS (
+  SELECT l.l_orderkey, o.o_orderdate,
+         CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                  AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l.l_orderkey, o.o_orderdate)
+SELECT l_orderkey, ROUND(revenue, 4) AS revenue,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s
+FROM rev ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+ORACLE["tpch_q5"] = """
+SELECT n.n_name,
+       ROUND(CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(28,8))) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name"""
 ORACLE["top_parts_per_supplier"] = """
 WITH rev AS (
   SELECT l_suppkey, l_partkey,
@@ -669,6 +782,8 @@ FROM events GROUP BY 1, 2"""
 
 QUERIES["betweenness"] = q_betweenness
 QUERIES["tpch_q1"] = q_tpch_q1
+QUERIES["tpch_q3"] = q_tpch_q3
+QUERIES["tpch_q5"] = q_tpch_q5
 QUERIES["top_parts_per_supplier"] = q_top_parts_per_supplier
 QUERIES["event_sessions"] = q_event_sessions
 QUERIES["event_window_counts"] = q_event_window_counts

@@ -68,7 +68,14 @@ def pagerank_result(
     checkpoint_every: int = 5,
     resume: bool = False,
     num_partitions: int | None = None,
+    initial_ranks: DataFrame | None = None,
 ) -> FixpointResult:
+    """``initial_ranks`` (DataFrame[id, rank]) warm-starts the power
+    iteration from a previous snapshot's scores — the streaming-loop
+    pattern (run_batch_loop): nodes absent from it start at 1/N. The
+    fixpoint is initialization-independent, so a warm start changes only
+    the convergence distance, never the answer (verified in
+    test_pagerank_warm_start_converges_same)."""
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -94,7 +101,12 @@ def pagerank_result(
     edges_inv.count()
 
     base = (1.0 - damping) / n
-    init = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    if initial_ranks is not None:
+        init = nodes.join(
+            initial_ranks.select("id", F.col("rank").alias("_r0")), "id", "left"
+        ).select("id", F.coalesce("_r0", F.lit(1.0 / n)).alias("rank"))
+    else:
+        init = nodes.select("id", F.lit(1.0 / n).alias("rank"))
 
     # LLAMA's adaptive frontier (ll_bfs_template.h:170-292) maps to join-side
     # selection: broadcast the rank vector only while it's genuinely tiny

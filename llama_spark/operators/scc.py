@@ -138,4 +138,6 @@ def strongly_connected_components(
     )
     if assigned is not None:
         out = out.select("id", F.coalesce("scc", "id").alias("scc"))
+    out = out.localCheckpoint(eager=True)
+    all_nodes.unpersist()
     return out

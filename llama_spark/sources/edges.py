@@ -90,14 +90,18 @@ def edges_from_pages(
         .unionAll(links.select(F.col("dst_url").alias("url")))
         .distinct()
     )
-    dictionary = assign_dense_ids(urls, "url", buckets=id_buckets).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # assign_dense_ids returns an eagerly-checkpointed dictionary — no
+    # extra persist layer (double-storing piles up stale blocks)
+    dictionary = assign_dense_ids(urls, "url", buckets=id_buckets)
     d_src = dictionary.select(F.col("url").alias("src_url"), F.col("id").alias("src"))
     d_dst = dictionary.select(F.col("url").alias("dst_url"), F.col("id").alias("dst"))
     edges = links.join(d_src, "src_url").join(d_dst, "dst_url").select("src", "dst")
     if dedup:
         edges = edges.dropDuplicates(["src", "dst"])
+    # materialize the edge table (a loader's pass-2 output) so the link
+    # cache can be released instead of leaking across the session
+    edges = edges.localCheckpoint(eager=True)
+    links.unpersist()
     return edges, dictionary
 
 

@@ -13,9 +13,15 @@ ll_file_loader surface (ll_file_loaders.h) re-expressed as DataFrame readers.
   (seed, edge index) via xxhash64 — so output is identical at any
   parallelism (same property as sources/pages.py rmat_endpoints).
 
-X-Stream ``.dat`` binary and FGF loaders are intentionally absent: parquet
-columns are the declared typed-property analog (SURVEY §2.3); a fixed-width
-binary triple reader adds no Spark-side value at 100 TB.
+- ``read_xstream1``: X-Stream type-1 binary edge lists (``.dat``/``.xs1``,
+  ll_load_xstream1.h:144-330): fixed 12-byte records ``(u32 tail, u32
+  head, f32 weight)``, little-endian. The file is split into record-aligned
+  byte ranges on the driver (exactly the reference's partial-load offset
+  math, ll_load_xstream1.h:273-287) and each range is read by one task via
+  numpy ``fromfile`` — an Arrow-batched, embarrassingly parallel scan.
+
+The FGF typed-property loader stays intentionally absent: parquet columns
+are the declared typed-property analog (SURVEY §2.3).
 """
 
 from __future__ import annotations
@@ -43,6 +49,47 @@ def read_snap(spark: SparkSession, path: str, weight: bool = False) -> DataFrame
             F.element_at("f", 3).cast("double").alias("weight"),
         )
     return out
+
+
+XS1_RECORD_BYTES = 12  # u32 tail + u32 head + f32 weight (struct xs1)
+
+
+def read_xstream1(
+    spark: SparkSession, path: str, records_per_task: int = 4_000_000
+) -> DataFrame:
+    """DataFrame[src: long, dst: long, weight: double] from an X-Stream
+    type-1 binary edge file. Trailing partial records are ignored, matching
+    the reference's ``st_size / sizeof(xs1)`` truncation
+    (ll_load_xstream1.h:273)."""
+    import os
+
+    n = os.path.getsize(path) // XS1_RECORD_BYTES
+    starts = list(range(0, n, records_per_task)) or [0]
+    ranges = spark.createDataFrame(
+        [(s, min(records_per_task, n - s)) for s in starts], "start long, cnt long"
+    ).repartition(len(starts))
+
+    def read_chunks(it):
+        import numpy as np
+        import pandas as pd
+
+        dt = np.dtype([("src", "<u4"), ("dst", "<u4"), ("w", "<f4")])
+        for pdf in it:
+            for s, c in zip(pdf["start"], pdf["cnt"]):
+                if c <= 0:
+                    continue
+                with open(path, "rb") as f:
+                    f.seek(int(s) * XS1_RECORD_BYTES)
+                    arr = np.fromfile(f, dtype=dt, count=int(c))
+                yield pd.DataFrame(
+                    {
+                        "src": arr["src"].astype("int64"),
+                        "dst": arr["dst"].astype("int64"),
+                        "weight": arr["w"].astype("float64"),
+                    }
+                )
+
+    return ranges.mapInPandas(read_chunks, "src long, dst long, weight double")
 
 
 def erdos_renyi(

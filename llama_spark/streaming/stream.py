@@ -46,6 +46,126 @@ def run_batch_loop(
     return results
 
 
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data handling — the
+    streaming counterpart of q_event_window_counts. The watermark bounds
+    state: windows older than (max event time − watermark) finalize and
+    evict; later-than-watermark events drop (documented Structured
+    Streaming semantics; the reference's count-window has no event-time
+    notion, so this is mandate surface beyond the reference)."""
+    from pyspark.sql import functions as F
+
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = "last_ts long, session_no long"
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_no long, n_events long, start_s long, end_s long"
+)
+
+
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+    timeout_seconds: int | None = None,
+):
+    """Custom stateful operator: per-user streaming sessionization via
+    ``applyInPandasWithState`` (GroupState keyed by user_id). Each
+    micro-batch's events extend the user's open session or start a new one
+    after ``gap_seconds`` of inactivity. Emits one row per (user, session)
+    touched in the batch — the streaming analog of q_event_sessions' window
+    plan; consumers aggregate partial rows by (user_id, session_no).
+
+    ``timeout_seconds`` (None = keep state forever) arms a processing-time
+    timeout that evicts idle users' state — use it in long-running
+    production queries; tests leave it off because the eviction trigger
+    fires on wall-clock time, which ``processAllAvailable`` does not wait
+    through deterministically.
+
+    Within-batch semantics match the batch sessionizer exactly when events
+    arrive in order (the pandas frame is sorted on ts before the scan)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            last_ts, session_no = state.get
+        else:
+            last_ts, session_no = None, 0
+        rows = []
+        cur = None  # (session_no, n, start, end)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_s")
+            for ts in pdf["ts_s"]:
+                ts = int(ts)
+                if last_ts is None or ts - last_ts > gap_seconds:
+                    if cur is not None:
+                        rows.append(cur)
+                    session_no += 1
+                    cur = [session_no, 0, ts, ts]
+                elif cur is None:
+                    # continuing the session opened in a previous batch
+                    cur = [session_no, 0, ts, ts]
+                cur[1] += 1
+                cur[3] = max(cur[3], ts)
+                last_ts = ts
+        if cur is not None:
+            rows.append(cur)
+        state.update((last_ts, session_no))
+        if timeout_seconds is not None:
+            state.setTimeoutDuration(timeout_seconds * 1000)
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(rows),
+                    "session_no": [r[0] for r in rows],
+                    "n_events": [r[1] for r in rows],
+                    "start_s": [r[2] for r in rows],
+                    "end_s": [r[3] for r in rows],
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    prepped = events_stream.select(
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("ts_s")
+    )
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_seconds is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=conf,
+    )
+
+
 def stream_edges_to_store(
     edges_stream: DataFrame,
     store: VersionedEdgeStore,

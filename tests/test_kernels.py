@@ -71,6 +71,32 @@ def test_pagerank_tol_mode(spark):
         assert math.isclose(r["rank"], 1 / 3, abs_tol=1e-6)
 
 
+def test_pagerank_warm_start_converges_same(spark):
+    """Warm start from a previous snapshot's scores converges (in tol mode)
+    to the same fixpoint as a cold run, in no more iterations."""
+    from llama_spark.operators.pagerank import pagerank_result
+
+    pairs = rmat_edges(scale=6, avg_degree=4)
+    df = edges_df(spark, pairs)
+    # L1 diff decays ~0.85^k, so tol=1e-4 needs ~50 iterations from cold
+    cold = pagerank_result(df, max_iter=80, tol=1e-4)
+    assert cold.converged
+    warm = pagerank_result(df, max_iter=80, tol=1e-4, initial_ranks=cold.state)
+    # starting AT the fixpoint: first step's L1 diff is already under tol
+    assert warm.converged and warm.iterations <= 3
+    a = {r["id"]: r["rank"] for r in cold.state.collect()}
+    b = {r["id"]: r["rank"] for r in warm.state.collect()}
+    for k in a:
+        assert math.isclose(a[k], b[k], abs_tol=2e-4), k
+    # nodes missing from initial_ranks default to 1/N (new nodes in a batch)
+    partial = cold.state.limit(5)
+    res = pagerank_result(df, max_iter=80, tol=1e-4, initial_ranks=partial)
+    assert res.converged
+    c = {r["id"]: r["rank"] for r in res.state.collect()}
+    for k in a:
+        assert math.isclose(a[k], c[k], abs_tol=2e-4), k
+
+
 def test_connected_components(graph):
     from llama_spark.operators.components import connected_components
 

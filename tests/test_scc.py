@@ -31,3 +31,21 @@ def test_scc(spark):
         }
         want = oracle.kosaraju_scc(pairs)
         assert got == want, (name, {k: (got[k], want[k]) for k in want if got.get(k) != want[k]})
+
+
+def test_scc_on_gate_edges(spark):
+    """Gate-adjacent: SCC on the ACTUAL sf0.01 gate edge table vs the
+    sequential Kosaraju oracle (SCC has no SQL-expressible DuckDB oracle —
+    documented in SURVEY §2.1 — so this is its correctness anchor at the
+    gate's own data)."""
+    from llama_spark.entry_queries import load_edges
+    from llama_spark.operators.scc import strongly_connected_components
+
+    edges = load_edges(spark, "/root/testdata/sf0.01")
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    got = {
+        r["id"]: r["scc"]
+        for r in strongly_connected_components(edges).collect()
+    }
+    want = oracle.kosaraju_scc(pairs)
+    assert got == want

@@ -196,6 +196,24 @@ def test_snap_loader_roundtrip(spark, tmp_path):
     assert goth == {(0, 1, 0.5), (1, 2, 2.25)}
 
 
+def test_xstream1_loader(spark, tmp_path):
+    """ll_load_xstream1.h analog: 12-byte (u32, u32, f32) records,
+    multi-task record-aligned range reads, trailing garbage truncated."""
+    import struct
+
+    from llama_spark.sources.files import read_xstream1
+
+    want = [(0, 1, 1.5), (1, 2, 0.25), (2, 0, 3.0), (7, 7, 0.0), (3, 1, 2.0)]
+    blob = b"".join(struct.pack("<IIf", s, d, w) for s, d, w in want)
+    p = tmp_path / "toy.dat"
+    p.write_bytes(blob + b"\x01\x02")  # trailing partial record → ignored
+    got = {
+        (r["src"], r["dst"], r["weight"])
+        for r in read_xstream1(spark, str(p), records_per_task=2).collect()
+    }
+    assert got == set(want)
+
+
 def test_erdos_renyi_generator(spark):
     """ER(nodes, edges, seed): exact row count, endpoints in range,
     partition-invariant, seed-sensitive."""

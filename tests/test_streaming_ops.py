@@ -1,0 +1,108 @@
+"""Event-time streaming operators: watermark windowing + stateful
+sessionization (mandate surface beyond the reference's count-window;
+reference streaming loop itself is covered in test_snapshots.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(rows, "user_id long, ts_s long, event_type string, value double")
+    df.select(
+        "user_id", F.to_timestamp(F.from_unixtime("ts_s")).alias("ts"), "event_type", "value"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_windowed_counts_watermark_drops_late(spark, tmp_path):
+    """Append mode emits only watermark-finalized windows; an event arriving
+    later than the watermark is dropped from its (already final) window."""
+    from llama_spark.streaming.stream import windowed_event_counts
+
+    src = str(tmp_path / "ev")
+    m = 60
+    # batch 1: three events in [0,5m) + one at 60m (advances watermark to 50m)
+    _write_batch(
+        spark,
+        src,
+        [(1, 0 * m, "a", 1.0), (1, 1 * m, "a", 1.0), (2, 4 * m, "a", 1.0), (1, 60 * m, "a", 1.0)],
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        windowed_event_counts(stream, window="5 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .start(checkpointLocation=str(tmp_path / "ck"))
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event for the finalized [0,5m) window + one fresh
+        _write_batch(spark, src, [(3, 2 * m, "a", 1.0), (1, 61 * m, "a", 1.0)])
+        q.processAllAvailable()
+        got = {
+            (r["win_start"].minute + r["win_start"].hour * 60, r["n"])
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+    finally:
+        q.stop()
+    # [0,5m) finalized with the 3 on-time events; the late 4th was dropped;
+    # [60,65m) not yet emitted (watermark hasn't passed it)
+    assert (0, 3) in got
+    assert all(start != 60 for start, _ in got)
+
+
+def test_sessionize_stream_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionizer: gap within a batch starts a new
+    session; state (last_ts, session_no) carries across micro-batches."""
+    from llama_spark.streaming.stream import sessionize_stream
+
+    src = str(tmp_path / "ev2")
+    _write_batch(spark, src, [(7, 0, "a", 1.0), (7, 100, "a", 1.0)])
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .start(checkpointLocation=str(tmp_path / "ck2"))
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one event continuing session 1, one far gap → session 2
+        _write_batch(spark, src, [(7, 200, "a", 1.0), (7, 5000, "a", 1.0)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sessions ORDER BY session_no, start_s").collect()
+    finally:
+        q.stop()
+    per_session = {}
+    for r in rows:
+        k = (r["user_id"], r["session_no"])
+        n, lo, hi = per_session.get(k, (0, None, None))
+        per_session[k] = (
+            n + r["n_events"],
+            r["start_s"] if lo is None else min(lo, r["start_s"]),
+            r["end_s"] if hi is None else max(hi, r["end_s"]),
+        )
+    # session 1: events at 0, 100, 200 (continued across the batch boundary)
+    assert per_session[(7, 1)] == (3, 0, 200)
+    # session 2: the 5000s event (gap 4800 > 1800)
+    assert per_session[(7, 2)] == (1, 5000, 5000)

@@ -115,6 +115,11 @@ class GraphSession:
 
         return betweenness_centrality(self._e(), roots=roots, k=k, **kw)
 
+    def k_core(self, k: int, **kw) -> DataFrame:
+        from .operators.kcore import k_core
+
+        return k_core(self._e(), k=k, **kw)
+
     def degrees(self) -> DataFrame:
         from .graph import degrees
 

@@ -162,6 +162,19 @@ def q_level_spread(spark, sf_dir):
     return level_spread_of(with_level)
 
 
+KCORE_K = 15  # gate graph degrees: min 3, median 22, max 70 → real peeling
+KCORE_UNROLL = 12
+
+
+def q_k_core(spark, sf_dir):
+    """k-core membership + in-core degree after exactly KCORE_UNROLL peels
+    (fixed-round mode — SQL-portable like BFS_UNROLL; the library's default
+    mode runs to convergence)."""
+    from .operators.kcore import k_core
+
+    return k_core(load_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_UNROLL)
+
+
 def q_sssp_weighted(spark, sf_dir):
     from .graph import with_synthetic_weights
     from .operators.traversal import sssp
@@ -386,6 +399,21 @@ FROM deg GROUP BY 1 ORDER BY 1""",
     "connected_components": _cc_sql(),
     "label_propagation": _lp_sql(),
     "triangle_count": _triangles_sql(),
+    "k_core": (lambda: (
+        "WITH "
+        + ",\n".join(
+            [f"edges AS MATERIALIZED ({EDGES_SQL})", f"e0 AS MATERIALIZED ({UND_SQL})"]
+            + [
+                f"""e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i-1} e
+  WHERE e.src IN (SELECT src FROM e{i-1} GROUP BY src HAVING COUNT(*) >= {KCORE_K})
+    AND e.dst IN (SELECT src FROM e{i-1} GROUP BY src HAVING COUNT(*) >= {KCORE_K})
+)"""
+                for i in range(1, KCORE_UNROLL + 1)
+            ]
+        )
+        + f"\nSELECT src AS id, COUNT(*) AS degree FROM e{KCORE_UNROLL} GROUP BY src"
+    ))(),
     "bfs_depths": _bfs_sql(),
     "bfs_reachable_count": f"""SELECT CAST(COUNT(*) AS BIGINT) AS reachable
 FROM ({_bfs_sql()}) WHERE depth IS NOT NULL""",
@@ -438,6 +466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_propagation": q_label_propagation,
     "triangle_count": q_triangle_count,
     "bfs_depths": q_bfs_depths,
+    "k_core": q_k_core,
     "bfs_reachable_count": q_bfs_reachable_count,
     "level_spread": q_level_spread,
     "sssp_weighted": q_sssp_weighted,

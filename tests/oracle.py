@@ -212,3 +212,23 @@ def kosaraju_scc(pairs):
         for v in members:
             comp[v] = m
     return comp
+
+
+def k_core(pairs, k):
+    """Sequential k-core peel on the symmetrized simple graph; returns
+    {id: in-core degree} for surviving nodes."""
+    adj = {}
+    for s, d in {tuple(p) for p in pairs}:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                if m in adj:
+                    adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items() if nb}

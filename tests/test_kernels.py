@@ -97,6 +97,31 @@ def test_pagerank_warm_start_converges_same(spark):
         assert math.isclose(a[k], c[k], abs_tol=2e-4), k
 
 
+def test_k_core(spark):
+    """Run-to-convergence k-core vs sequential peeling oracle, several
+    shapes and k values; fixed-round mode equals convergence mode once
+    rounds exceed the peel depth."""
+    from llama_spark.operators.kcore import k_core
+
+    cases = [
+        ("rmat", rmat_edges(scale=7, avg_degree=4), 3),
+        ("rmat_k5", rmat_edges(scale=7, avg_degree=4), 5),
+        ("chain", CHAIN10, 2),  # a chain has no 2-core → empty
+        ("k3", K3, 2),
+    ]
+    for name, pairs, k in cases:
+        got = {
+            r["id"]: r["degree"] for r in k_core(edges_df(spark, pairs), k=k).collect()
+        }
+        want = oracle.k_core(pairs, k)
+        assert got == want, (name, k)
+    fixed = {
+        r["id"]: r["degree"]
+        for r in k_core(edges_df(spark, CHAIN10), k=2, rounds=12).collect()
+    }
+    assert fixed == oracle.k_core(CHAIN10, 2)
+
+
 def test_connected_components(graph):
     from llama_spark.operators.components import connected_components
 

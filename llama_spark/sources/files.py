@@ -60,7 +60,16 @@ def read_xstream1(
     """DataFrame[src: long, dst: long, weight: double] from an X-Stream
     type-1 binary edge file. Trailing partial records are ignored, matching
     the reference's ``st_size / sizeof(xs1)`` truncation
-    (ll_load_xstream1.h:273)."""
+    (ll_load_xstream1.h:273).
+
+    Requires ``path`` to be a LOCAL/SHARED filesystem path mounted
+    identically on every executor (the size probe runs on the driver and
+    each task re-opens the same path) — the same contract as the
+    reference's mmap loader. For object stores / HDFS, land the file
+    locally first or use ``spark.read.format("binaryFile")`` + a single
+    in-task numpy decode (records are fixed 12-byte stride, so the
+    record-aligned split below is the only part that needs the seekable
+    local handle)."""
     import os
 
     n = os.path.getsize(path) // XS1_RECORD_BYTES

@@ -272,6 +272,9 @@ class VersionedEdgeStore:
         if entry is None:
             return self.spark.createDataFrame([], "id long")
         delta = self.spark.read.parquet(entry["path"])
+        if entry["kind"] == "delete_nodes":
+            # node-delete levels store bare ids, not (src, dst) pairs
+            return delta.select("id").distinct()
         return (
             delta.select(F.col("src").alias("id"))
             .unionAll(delta.select(F.col("dst").alias("id")))

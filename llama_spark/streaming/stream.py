@@ -99,8 +99,13 @@ def sessionize_stream(
     fires on wall-clock time, which ``processAllAvailable`` does not wait
     through deterministically.
 
-    Within-batch semantics match the batch sessionizer exactly when events
-    arrive in order (the pandas frame is sorted on ts before the scan)."""
+    Within-batch semantics match the batch sessionizer exactly: the group's
+    whole micro-batch is materialized and sorted on ts once before the scan
+    (applyInPandasWithState delivers a group as multiple UNORDERED Arrow
+    chunks — sorting per chunk would scan events out of global ts order and
+    silently merge sessions across a negative gap). Per-user-per-batch data
+    must therefore fit in one executor's memory — fine: a single user's
+    events in one micro-batch are bounded by the trigger interval."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key, pdfs, state: GroupState):
@@ -116,8 +121,9 @@ def sessionize_stream(
             last_ts, session_no = None, 0
         rows = []
         cur = None  # (session_no, n, start, end)
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts_s")
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts_s")
             for ts in pdf["ts_s"]:
                 ts = int(ts)
                 if last_ts is None or ts - last_ts > gap_seconds:

@@ -265,6 +265,3 @@ def test_multimodal_real_decode_branch(spark):
     row = mm.extract_features(media, decoder="real").collect()[0]
     assert (row["width"], row["height"]) == (3, 2)
     assert abs(row["mean_intensity"] - (255 / 3) / 255.0) < 1e-6
-    # the real decoder is stubbed in this container
-    with pytest.raises(NotImplementedError):
-        decode_image(b"not-a-real-image")

@@ -149,6 +149,9 @@ def test_delete_every_10th_node(spark, store):
     assert sums["o"] == len(survivors) and sums["i"] == len(survivors)
     # snapshot isolation: pre-delete level unaffected
     assert store.read_at(lvl - 1).count() == len(pairs)
+    # changed_vertices on a node-delete level returns the deleted ids
+    # (delta file stores bare ids, not src/dst pairs)
+    assert {r["id"] for r in store.changed_vertices(lvl).collect()} == set(doomed)
     # a node re-introduced by a later append is visible again
     n0 = doomed[0]
     store.append_level(edges_df(spark, [(n0, 1)]))

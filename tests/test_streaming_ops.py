@@ -106,3 +106,33 @@ def test_sessionize_stream_state_across_batches(spark, tmp_path):
     assert per_session[(7, 1)] == (3, 0, 200)
     # session 2: the 5000s event (gap 4800 > 1800)
     assert per_session[(7, 2)] == (1, 5000, 5000)
+
+
+def test_sessionize_stream_multi_chunk_group_sorted_once(spark, tmp_path):
+    """A group's micro-batch arrives as multiple unordered Arrow chunks;
+    the sessionizer must sort the WHOLE group, not each chunk. Force
+    1-row chunks and feed events out of ts order in one batch — per-chunk
+    sorting would scan 100, 0, 200 and report session start 100."""
+    from llama_spark.streaming.stream import sessionize_stream
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    src = str(tmp_path / "ev3")
+    _write_batch(spark, src, [(9, 100, "a", 1.0), (9, 0, "a", 1.0), (9, 200, "a", 1.0)])
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessions_mc")
+        .outputMode("append")
+        .start(checkpointLocation=str(tmp_path / "ck3"))
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sessions_mc").collect()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["session_no"], r["n_events"], r["start_s"], r["end_s"]) == (1, 3, 0, 200)

@@ -19,6 +19,7 @@ from .functions.dedup import MINHASH_K, minhash_params
 from .functions.text import LANG_MARKERS, P31, STOPWORDS
 
 JACCARD_T = 0.3
+NGRAM_MAX_DF = 256  # hot-shingle df-cap, symmetric with LSH max_bucket_size
 ANN_PLANES = 4
 NEAR_DUP_T = 0.2
 TOPK_K = 5
@@ -123,7 +124,10 @@ def q_ngram_jaccard(spark, sf_dir):
     from .functions.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=3, threshold=JACCARD_T
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        n=3,
+        threshold=JACCARD_T,
+        max_shingle_df=NGRAM_MAX_DF,
     )
 
 
@@ -234,7 +238,12 @@ SELECT h.doc_id, c.canonical_id, h.text_hash
 FROM hashed h JOIN canon c ON h.text_hash = c.text_hash""",
     "ngram_jaccard": f"""
 WITH toks AS MATERIALIZED ({TOKS_SQL}),
-sh AS MATERIALIZED ({SHINGLES_SQL}),
+sh0 AS MATERIALIZED ({SHINGLES_SQL}),
+-- same hot-shingle df-cap as ngram_jaccard_pairs(max_shingle_df={NGRAM_MAX_DF})
+sh AS MATERIALIZED (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle NOT IN (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > {NGRAM_MAX_DF})),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common

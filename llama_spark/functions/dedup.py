@@ -68,13 +68,36 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.4
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_shingle_df: int | None = 256,
 ) -> DataFrame:
     """DataFrame[doc_a, doc_b, jaccard] for pairs with J ≥ threshold.
 
     J = |A∩B| / (|A|+|B|-|A∩B|) over distinct n-gram shingle sets; the
-    inverted-index join means disjoint docs never meet."""
+    inverted-index join means disjoint docs never meet.
+
+    **Hot-shingle bound**: a shingle appearing in M documents contributes
+    M(M-1)/2 rows to the inverted-index self-join — a single boilerplate
+    phrase ("all rights reserved …") makes the join quadratic at corpus
+    scale. Shingles with document frequency > ``max_shingle_df`` are
+    dropped from the shingle space BEFORE the join (both intersection and
+    set sizes — J stays an exact Jaccard over the df-filtered space; the
+    same bound the LSH paths apply via ``max_bucket_size``). High-df
+    shingles are near-uninformative for near-dup detection (they raise
+    |A∩B| for essentially all pairs equally), so candidate recall is
+    barely affected; ``None`` disables the cap (exact classic Jaccard)."""
     sh = shingles(documents, n)
+    if max_shingle_df is not None:
+        # hot set is small by definition — anti-join it away (AQE broadcasts)
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -180,27 +203,26 @@ def lsh_candidate_pairs(
 
 def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     """DataFrame[doc_id, simhash] — 60-bit majority fingerprint over token
-    hashes (bit b set iff more token hashes have bit b set than not)."""
-    spark = documents.sparkSession
-    bit_df = F.broadcast(spark.range(bits).select(F.col("id").cast("int").alias("b")))
-    toks = tokenize(documents).select(
-        "doc_id", (token_hash(F.col("tok"))).alias("h")
+    hashes (bit b set iff more token hashes have bit b set than not).
+
+    One groupBy with ``bits`` sum-expressions — no row inflation: the old
+    plan crossJoined every token row with a 60-row bit table (60× the token
+    count through the shuffle); here each bit's ±1 vote is a separate
+    aggregate column, partially aggregated map-side, and the whole thing
+    stays in whole-stage codegen."""
+    toks = tokenize(documents).select("doc_id", (token_hash(F.col("tok"))).alias("h"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    votes = (
-        toks.crossJoin(bit_df)
-        .select(
-            "doc_id",
-            "b",
-            # expr form: pyspark's shiftright helper only takes literal bits
-            F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1).alias("v"),
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("v").alias("s"))
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select("doc_id", fingerprint.alias("simhash"))

@@ -112,6 +112,35 @@ def test_ngram_jaccard(docs):
     assert math.isclose(pairs[(0, 2)], want, abs_tol=1e-9)
 
 
+def test_ngram_hot_shingle_df_cap(spark):
+    """Boilerplate skew: one stop-phrase shingle shared by 40 otherwise-
+    disjoint docs would alone emit 40·39/2 inverted-index join rows. With
+    the df-cap the hot shingle is dropped BEFORE the self-join, so those
+    docs never meet; genuinely-duplicate docs (sharing many rare shingles)
+    are still found with their Jaccard over the filtered shingle space."""
+    from llama_spark.functions.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved worldwide"
+    # 40 docs: shared boilerplate + unique filler (disjoint but for the hot shingles)
+    docs = [(i, f"{boiler} unique{i} filler{i} token{i} words{i}") for i in range(40)]
+    # one true near-dup pair sharing rare content
+    docs += [
+        (100, "the quick brown fox jumps over the lazy dog tonight"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.3, max_shingle_df=8).collect()
+    }
+    assert (100, 101) in pairs and pairs[(100, 101)] == 1.0
+    # no boilerplate-only pair survives the cap
+    assert all(a == 100 for (a, _b) in pairs)
+    # uncapped mode on the same data does meet the boilerplate docs
+    exact = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_shingle_df=None)
+    assert exact.filter("doc_a < 40 AND doc_b < 40").count() == 40 * 39 // 2
+
+
 def test_minhash_lsh(docs):
     from llama_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
 

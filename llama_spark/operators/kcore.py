@@ -39,12 +39,13 @@ def k_core(
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     und = symmetrize(edges).repartition(p, SRC).localCheckpoint(eager=True)
     n_edges = und.count()
-    n_nodes_bound = n_edges  # keep-list never exceeds node count ≤ edges
 
     def _keep_hint(df: DataFrame) -> DataFrame:
-        # node-keyed keep list: ≤ V rows — broadcast while genuinely small,
-        # else shuffled-hash so the src-partitioned edge set streams
-        return F.broadcast(df) if n_nodes_bound <= 100_000 else df.hint("shuffle_hash")
+        # node-keyed keep list: ≤ V ≤ current edge count rows. The bound is
+        # re-read from the CURRENT round's n_edges (not frozen at entry) so
+        # a graph whose core collapses flips from shuffled-hash joins to
+        # broadcast once the surviving edge set is small enough.
+        return F.broadcast(df) if n_edges <= 100_000 else df.hint("shuffle_hash")
 
     limit = rounds if rounds is not None else max_iter
     for _ in range(limit):

@@ -42,7 +42,10 @@ def assign_dense_ids(
     ceiling (N/256 rows per task at 10^12 urls). The count is a property of
     the DATA, not the parallelism, so ids stay identical across partition
     counts and reruns. Offsets are a cumulative sum over the B-row bucket
-    histogram (window over one tiny partition — no driver collect/loop).
+    histogram, computed on the driver: B = N / target_rows_per_bucket is
+    ~500k ints even at 10^12 urls (a few MB, once per load) — cheaper and
+    quieter than an unpartitioned window (single-task sort + WindowExec
+    warning) for a frame this small.
     """
     from pyspark.sql import Window
 
@@ -54,11 +57,15 @@ def assign_dense_ids(
     bucketed = distinct.withColumn(
         "_b", F.pmod(F.xxhash64(F.col(col)), F.lit(buckets)).cast("int")
     )
-    hist = bucketed.groupBy("_b").agg(F.count("*").alias("_cnt"))
-    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = hist.select(
-        "_b", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
-    )
+    hist = {
+        r["_b"]: r["_cnt"]
+        for r in bucketed.groupBy("_b").agg(F.count("*").alias("_cnt")).collect()
+    }
+    off_rows, acc = [], 0
+    for bkt in sorted(hist):
+        off_rows.append((bkt, acc))
+        acc += hist[bkt]
+    offsets = df.sparkSession.createDataFrame(off_rows, "_b int, _off long")
     w = Window.partitionBy("_b").orderBy(col)
     out = (
         bucketed.join(F.broadcast(offsets), "_b")

@@ -43,8 +43,9 @@ def connected_components_result(
     """Delta iteration: each round propagates labels only FROM nodes whose
     label changed in the previous round (LLAMA relaxes only the updated
     frontier, sssp.h:124-161). The changed flag lives in the state row, so
-    the convergence probe is a cheap filter-count on the checkpointed state
-    instead of a prev⨝new diff join, and per-round join work shrinks with
+    the convergence probe is a sum over the flag observed INSIDE the
+    checkpoint job (one Spark job per round total), and per-round join work
+    shrinks with
     the frontier — on a web graph the frontier collapses after ~3 rounds."""
     spark = edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -94,7 +95,7 @@ def connected_components_result(
         init,
         step,
         max_iter=max_iter,
-        updated_count=lambda _prev, new: new.filter(F.col("changed")).count(),
+        updated_metric=F.sum(F.col("changed").cast("long")),
         checkpoint_dir=checkpoint_dir,
         resume=resume,
         name="connected_components",

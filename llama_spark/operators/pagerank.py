@@ -79,7 +79,12 @@ def pagerank_result(
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    # nodes cached HASH-PARTITIONED ON id: the per-iteration ranks-update
+    # join (nodes ⟕ contribs) keys on id, and contribs already arrives
+    # hash(id)-distributed from its groupBy — pinning nodes' layout removes
+    # the only other per-iteration exchange (V rows reshuffled per iter).
+    p0 = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nodes = nodes_of(edges).repartition(p0, "id").persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()
     if n == 0:
         # empty graph → empty result (max_nodes()==0, ll_mlcsr_sp.h:587-589)

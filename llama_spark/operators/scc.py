@@ -23,7 +23,7 @@ against a sequential Kosaraju oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -45,23 +45,30 @@ def strongly_connected_components(
         .localCheckpoint(eager=True)
     )
     active_nodes = all_nodes.localCheckpoint(eager=True)
-    assigned = None  # (id, scc) accumulated
+    # per-round (id, scc) frames accumulate in a Python list of already-
+    # checkpointed frames, unioned ONCE at the end — re-unioning and
+    # re-checkpointing the accumulator every round is O(rounds · V) writes
+    # (the same anti-pattern fixed in bc.py's forward-level accumulation)
+    assigned_parts: list[DataFrame] = []
 
     remaining = active_nodes.count()
     for _round in range(max_rounds):
         if remaining == 0:
             break
 
-        # 1. forward coloring to fixpoint (max-propagation along out-edges)
+        # 1. forward coloring to fixpoint (max-propagation along out-edges);
+        # the changed-count rides the checkpoint job via observe — one job
+        # per propagation iteration
         colors = active_nodes.select("id", F.col("id").alias("color"))
         colors = colors.localCheckpoint(eager=True)
         changed = 0
-        for _ in range(max_prop_iters):
+        for _pi in range(max_prop_iters):
             incoming = (
                 colors.join(active_edges, colors["id"] == active_edges[SRC])
                 .groupBy(F.col(DST).alias("id"))
                 .agg(F.max("color").alias("cmax"))
             )
+            obs = Observation(f"scc_r{_round}_p{_pi}")
             new_colors = (
                 colors.join(incoming, "id", "left")
                 .select(
@@ -71,10 +78,11 @@ def strongly_connected_components(
                         F.col("cmax").isNotNull() & (F.col("cmax") > F.col("color"))
                     ).alias("changed"),
                 )
+                .observe(obs, F.sum(F.col("changed").cast("long")).alias("n"))
                 .localCheckpoint(eager=True)
             )
-            changed = new_colors.filter("changed").count()
-            colors = new_colors.select("id", "color").localCheckpoint(eager=True)
+            changed = int(obs.get["n"] or 0)
+            colors = new_colors.select("id", "color")
             if changed == 0:
                 break
         if changed != 0:
@@ -85,14 +93,23 @@ def strongly_connected_components(
                 f"{changed} nodes still changing); raise max_prop_iters"
             )
 
-        # 2. backward mark from roots within color classes
+        # 2. backward mark from roots within color classes. Levels accumulate
+        # in a list of checkpointed frames (marked = lazy union — no
+        # re-checkpoint of the growing set per level); the level's row count
+        # rides its checkpoint job via observe.
         rev = active_edges.select(
             F.col(DST).alias(SRC), F.col(SRC).alias(DST)
         )
-        marked = colors.filter(F.col("id") == F.col("color")).select("id", "color")
-        marked = marked.localCheckpoint(eager=True)
-        frontier = marked
+        roots = colors.filter(F.col("id") == F.col("color")).select("id", "color")
+        marked_parts = [roots.localCheckpoint(eager=True)]
+        frontier = marked_parts[0]
+        lvl = 0
         while True:
+            marked = marked_parts[0]
+            for part in marked_parts[1:]:
+                marked = marked.unionByName(part)
+            obs = Observation(f"scc_r{_round}_b{lvl}")
+            lvl += 1
             step = (
                 frontier.join(rev, frontier["id"] == rev[SRC])
                 .select(F.col(DST).alias("id"), "color")
@@ -101,21 +118,23 @@ def strongly_connected_components(
                 .select("id", "color")
                 .join(marked, ["id", "color"], "left_anti")
                 .distinct()
+                .observe(obs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint(eager=True)
             )
-            if step.count() == 0:
+            if int(obs.get["n"] or 0) == 0:
                 break
-            marked = marked.unionByName(step).localCheckpoint(eager=True)
+            marked_parts.append(step)
             frontier = step
 
+        marked = marked_parts[0]
+        for part in marked_parts[1:]:
+            marked = marked.unionByName(part)
         # canonical label: min member id per (root) color class found
         canon = marked.groupBy("color").agg(F.min("id").alias("scc"))
         found = marked.join(canon, "color").select("id", "scc").localCheckpoint(
             eager=True
         )
-        assigned = (
-            found if assigned is None else assigned.unionByName(found).localCheckpoint(eager=True)
-        )
+        assigned_parts.append(found)
 
         # 3. peel off and continue on the remainder
         active_nodes = active_nodes.join(found, "id", "left_anti").localCheckpoint(
@@ -133,11 +152,15 @@ def strongly_connected_components(
             f"SCC did not settle all nodes within max_rounds={max_rounds} "
             f"({remaining} nodes unassigned); raise max_rounds"
         )
-    out = all_nodes.join(assigned, "id", "left") if assigned is not None else (
-        all_nodes.select("id", F.col("id").alias("scc"))
-    )
-    if assigned is not None:
-        out = out.select("id", F.coalesce("scc", "id").alias("scc"))
+    if assigned_parts:
+        assigned = assigned_parts[0]
+        for part in assigned_parts[1:]:
+            assigned = assigned.unionByName(part)
+        out = all_nodes.join(assigned, "id", "left").select(
+            "id", F.coalesce("scc", "id").alias("scc")
+        )
+    else:
+        out = all_nodes.select("id", F.col("id").alias("scc"))
     out = out.localCheckpoint(eager=True)
     all_nodes.unpersist()
     return out

@@ -86,7 +86,7 @@ def sssp(
         init,
         step,
         max_iter=max_iter,
-        updated_count=lambda _prev, new: new.filter(F.col("changed")).count(),
+        updated_metric=F.sum(F.col("changed").cast("long")),
         checkpoint_dir=checkpoint_dir,
         resume=resume,
         name="sssp",

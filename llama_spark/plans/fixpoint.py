@@ -28,6 +28,7 @@ from collections.abc import Callable
 from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 MANIFEST = "manifest.json"
 
@@ -70,17 +71,42 @@ def iterate(
     step: Callable[[DataFrame, int], DataFrame],
     max_iter: int,
     updated_count: Callable[[DataFrame, DataFrame], int] | None = None,
+    updated_metric=None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    truncate_every: int = 4,
     resume: bool = False,
     name: str = "fixpoint",
 ) -> FixpointResult:
     """Run ``state ← step(state, i)`` until convergence or ``max_iter``.
 
-    ``updated_count(prev, new)`` — optional convergence probe returning the
-    number of changed rows; 0 stops the loop. When None the loop always runs
-    exactly ``max_iter`` iterations (LLAMA's fixed-iteration PageRank mode,
-    pagerank.h:117: ``while (cnt < max)``).
+    Convergence probes (0 changed rows stops the loop), in preference order:
+
+    ``updated_metric`` — an aggregate *Column* over the new state (e.g.
+    ``F.sum(F.col("changed").cast("long"))``), evaluated via
+    ``DataFrame.observe`` **inside the eager-checkpoint job** — the probe
+    is free: one Spark job per iteration total. This matters at sandbox /
+    small-input sizes where per-job overhead (scheduling + barriers +
+    driver round-trip) is a measurable per-iteration floor; a separate
+    count() job doubles it.
+
+    ``updated_count(prev, new)`` — arbitrary-Python probe (extra job per
+    iteration); for probes that need prev AND new, e.g. an L1-delta.
+
+    When both are None the loop always runs exactly ``max_iter`` iterations
+    (LLAMA's fixed-iteration PageRank mode, pagerank.h:117:
+    ``while (cnt < max)``).
+
+    ``truncate_every`` — lineage-truncation cadence. ``localCheckpoint`` in
+    this Spark build drops the materialized frame's output partitioning
+    (measured: a join on the checkpointed side re-inserts an
+    ENSURE_REQUIREMENTS exchange), so checkpointing EVERY iteration costs
+    one avoidable V-row shuffle + stage barrier per iteration. Instead the
+    state is persisted (InMemoryTableScan preserves partitioning, so the
+    next iteration's id-keyed join needs no exchange) and materialized by
+    the probe/count job; only every ``truncate_every``-th iteration pays a
+    ``localCheckpoint`` to keep the logical plan flat. Either way it is ONE
+    Spark job per iteration.
     """
     spark = state.sparkSession
     entries: list[dict] = []
@@ -108,15 +134,30 @@ def iterate(
     for it in range(start_iter, max_iter):
         t0 = time.time()
         new_state = step(state, it)
-        # Truncate lineage: materialize this iteration's plan now. The eager
-        # checkpoint is the ONLY mandatory job per iteration; row counts are
-        # taken opportunistically (state size never changes in these kernels)
-        # to keep fixed-iteration kernels at one job per iteration.
-        new_state = new_state.localCheckpoint(eager=True)
+        # Materialize this iteration's plan now — ONE job: either the eager
+        # localCheckpoint (truncation iterations) or a count() that builds
+        # the persisted cache. The convergence probe rides that same job
+        # via observe; row counts are taken opportunistically.
+        obs = None
+        if updated_metric is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"{name}_it{it}")
+            new_state = new_state.observe(obs, updated_metric.alias("updated"))
+        if (it - start_iter) % truncate_every == truncate_every - 1:
+            new_state = new_state.localCheckpoint(eager=True)
+            state_is_persisted = False
+        else:
+            new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+            new_state.count()
+            state_is_persisted = True
         rows = -1
 
         updated = None
-        if updated_count is not None:
+        if obs is not None:
+            # metrics fired during the materialization job — no extra job
+            updated = int(obs.get["updated"] or 0)
+        elif updated_count is not None:
             updated = updated_count(state, new_state)
 
         m = IterationMetrics(iteration=it, seconds=time.time() - t0, rows=rows, updated=updated)
@@ -126,7 +167,9 @@ def iterate(
             path = os.path.join(checkpoint_dir, f"iter_{it:05d}")
             new_state.write.mode("overwrite").parquet(path)
             # durable state replaces the in-memory one (also frees executor mem)
+            new_state.unpersist()
             new_state = spark.read.parquet(path)
+            state_is_persisted = False
             m.rows = rows
             m.checkpoint_path = path
             from pyspark.sql import functions as F
@@ -139,7 +182,7 @@ def iterate(
                 .collect()
             ]
 
-        state.unpersist()  # drop the previous iteration's checkpoint blocks
+        state.unpersist()  # drop the previous iteration's blocks
         state = new_state
         metrics.append(m)
         entries.append({k: v for k, v in asdict(m).items() if v is not None} | {"name": name})
@@ -149,6 +192,15 @@ def iterate(
         if updated is not None and updated == 0:
             converged = True
             break
+
+    # Hand back a checkpointed frame, never a live CacheManager entry: a
+    # persisted final state would outlive the call (callers can't know to
+    # unpersist it) — one extra copy job at the END of the loop, not per
+    # iteration.
+    if metrics and state_is_persisted:
+        final = state.localCheckpoint(eager=True)
+        state.unpersist()
+        state = final
 
     return FixpointResult(
         state=state, iterations=it + 1 - 0, converged=converged, metrics=metrics

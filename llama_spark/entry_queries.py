@@ -175,6 +175,17 @@ def q_k_core(spark, sf_dir):
     return k_core(load_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_UNROLL)
 
 
+def q_scc(spark, sf_dir):
+    """Strongly connected components (distributed FW-BW coloring) on the
+    gate graph. The oracle is ALGORITHM-INDEPENDENT: SCC labels are a graph
+    property, so DuckDB computes them from the recursive-CTE transitive
+    closure (mutual reachability → min member id) rather than mirroring
+    the FW-BW rounds."""
+    from .operators.scc import strongly_connected_components
+
+    return strongly_connected_components(load_edges(spark, sf_dir))
+
+
 def q_sssp_weighted(spark, sf_dir):
     from .graph import with_synthetic_weights
     from .operators.traversal import sssp
@@ -414,6 +425,16 @@ FROM deg GROUP BY 1 ORDER BY 1""",
         )
         + f"\nSELECT src AS id, COUNT(*) AS degree FROM e{KCORE_UNROLL} GROUP BY src"
     ))(),
+    "scc": f"""WITH RECURSIVE edges AS MATERIALIZED ({EDGES_SQL}),
+nodes AS MATERIALIZED ({NODES_SQL}),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+SELECT n.id, LEAST(n.id, COALESCE(MIN(m.u), n.id)) AS scc
+FROM nodes n LEFT JOIN mutual m ON m.v = n.id GROUP BY n.id""",
     "bfs_depths": _bfs_sql(),
     "bfs_reachable_count": f"""SELECT CAST(COUNT(*) AS BIGINT) AS reachable
 FROM ({_bfs_sql()}) WHERE depth IS NOT NULL""",
@@ -467,6 +488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "bfs_depths": q_bfs_depths,
     "k_core": q_k_core,
+    "scc": q_scc,
     "bfs_reachable_count": q_bfs_reachable_count,
     "level_spread": q_level_spread,
     "sssp_weighted": q_sssp_weighted,

@@ -13,8 +13,10 @@ Forward phase (σ = shortest-path counts, level-synchronous BFS):
     frontier(root, id, depth, σ) ⨝ edges → anti-join visited
     → groupBy(root, dst): σ' = Σ σ     (bc_adj.h:73-90 σ-push)
 Backward phase (δ accumulation over the BFS DAG's "down edges", which the
-reference saves during the forward pass, ll_bfs_template.h:337-351; we
-recover them as edges whose endpoints sit on consecutive depths):
+reference saves during the forward pass, ll_bfs_template.h:337-351; we do
+the same — each forward expansion persists its (root, v@d, w@d+1) rows, so
+the backward sweep streams them from cache instead of re-joining the full
+edge table per depth):
     δ(v) = σ_v · Σ_{w ∈ succ(v)} (1 + δ(w)) / σ_w   (bc_adj.h:92-111)
     bc(v) = Σ_roots δ(v), v ≠ root
 
@@ -97,8 +99,14 @@ def betweenness_centrality(
     # ---- forward: level-synchronous multi-source BFS with σ counting ----
     # levels[d] holds the checkpointed (root, id, depth, sigma) rows of depth
     # d; counts[d] its size (drives the per-join broadcast/shuffle choice).
+    # downs[d] holds the BFS DAG's down edges INTO depth d — (root, vid@d-1,
+    # id@d) — persisted during the forward expansion exactly like the
+    # reference saves them (ll_bfs_template.h:337-351), so the backward
+    # sweep never re-joins the full edge table. Each depth is still ONE
+    # job: the level checkpoint materializes the down-edge cache en route.
     levels: list[DataFrame] = [level0]
     counts: list[int] = [len(roots)]
+    downs: list[DataFrame | None] = [None]
     frontier = level0
     depth = 0
     while depth < max_depth:
@@ -106,18 +114,19 @@ def betweenness_centrality(
         visited = levels[0]
         for lv in levels[1:]:
             visited = visited.unionByName(lv)
+        fr = frontier.select("root", F.col("id").alias("vid"), "sigma")
         cand = (
-            _hint(frontier, counts[-1])
-            .join(e, frontier["id"] == e[SRC])
-            .select("root", F.col(DST).alias("id"), "sigma")
+            _hint(fr, counts[-1])
+            .join(e, fr["vid"] == e[SRC])
+            .select("root", "vid", F.col(DST).alias("id"), "sigma")
         )
+        stepped = cand.join(
+            _hint(visited.select("root", "id"), sum(counts)),
+            ["root", "id"],
+            "left_anti",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         nxt = (
-            cand.join(
-                _hint(visited.select("root", "id"), sum(counts)),
-                ["root", "id"],
-                "left_anti",
-            )
-            .groupBy("root", "id")
+            stepped.groupBy("root", "id")
             .agg(F.sum("sigma").alias("sigma"))
             .withColumn("depth", F.lit(depth + 1))
             .select("root", "id", "depth", "sigma")
@@ -125,9 +134,11 @@ def betweenness_centrality(
         )
         n_nxt = nxt.count()
         if n_nxt == 0:
+            stepped.unpersist()
             break
         levels.append(nxt)
         counts.append(n_nxt)
+        downs.append(stepped)  # (root, vid@d, id@d+1, sigma) — cached
         frontier = nxt
         depth += 1
 
@@ -154,16 +165,18 @@ def betweenness_centrality(
                 ["root", "wid"],
             )
         )
-        down = (
-            _hint(v, counts[d])
-            .join(e, v["id"] == e[SRC])
-            .select("root", "id", "sigma", F.col(DST).alias("wid"))
+        # saved down edges INTO depth d+1: (root, vid@d, wid@d+1) — streams
+        # from the forward pass's cache; no edge-table re-join per depth
+        acc = (
+            downs[d + 1]
+            .select("root", "vid", F.col("id").alias("wid"))
+            .withColumnRenamed("vid", "id")
             .join(_hint(w, counts[d + 1]), ["root", "wid"])
             .groupBy("root", "id")
             .agg(F.sum((F.lit(1.0) + F.col("wdelta")) / F.col("wsigma")).alias("acc"))
         )
         deltas[d] = (
-            v.join(down, ["root", "id"], "left")
+            v.join(acc, ["root", "id"], "left")
             .select(
                 "root",
                 "id",
@@ -171,6 +184,7 @@ def betweenness_centrality(
             )
             .localCheckpoint(eager=True)
         )
+        downs[d + 1].unpersist()
 
     all_delta = deltas[0]
     for dd in deltas[1:]:

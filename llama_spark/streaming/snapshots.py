@@ -7,10 +7,11 @@ delete_level, benchmark.cc:1115-1123), and deletions are max-visible-level
 marks on edge values (ll_mlcsr_helpers.h:90-107).
 
 Spark-native equivalents, one concept each:
-- level        = one parquet directory ``level=K`` + a manifest entry
-                 (an Iceberg snapshot when the runtime jar is present —
-                 same interface, different backend; the jar is absent in
-                 this sandbox so the parquet backend is the tested one)
+- level        = one immutable blob + a manifest entry, behind
+                 :class:`SnapshotBackend` (``ParquetDirBackend`` default,
+                 ``InMemoryBackend`` second tested impl, ``IcebergBackend``
+                 plug-in sketch — the runtime jar is absent in this sandbox
+                 so it probes and refuses honestly)
 - RO clone     = ``read_at(level)`` — union of levels ≤ K minus deletes,
                  immutable by construction
 - sliding win  = ``set_min_level(K)`` — manifest marks levels < K dead;
@@ -73,72 +74,206 @@ def level_spread_of(edges_with_level: DataFrame) -> DataFrame:
     )
 
 
-class VersionedEdgeStore:
+class SnapshotBackend:
+    """Storage contract behind :class:`VersionedEdgeStore` (SURVEY §7's
+    dual-backend promise). A backend owns two things: the manifest document
+    (atomic read/write) and immutable level blobs addressed by an opaque
+    ``locator`` string recorded in the manifest. The store's level/delete/
+    window/compact LOGIC is backend-independent; swapping Iceberg for
+    parquet is a constructor argument, not a rewrite."""
+
+    def read_manifest(self) -> dict:
+        raise NotImplementedError
+
+    def write_manifest(self, m: dict) -> None:
+        raise NotImplementedError
+
+    def write_level(self, df: DataFrame, level: int) -> tuple[str, int]:
+        """Persist one immutable level; return (locator, row_count)."""
+        raise NotImplementedError
+
+    def read_level(self, locator: str) -> DataFrame:
+        raise NotImplementedError
+
+    def drop_level(self, locator: str) -> None:
+        """Physically remove a level blob (vacuum/compact)."""
+        raise NotImplementedError
+
+
+class ParquetDirBackend(SnapshotBackend):
+    """Default, tested backend: one parquet directory per level plus a
+    JSON manifest, all under ``path`` (works on any Hadoop-visible FS)."""
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
         os.makedirs(path, exist_ok=True)
 
-    # ---- manifest -------------------------------------------------------
-
     def _manifest_path(self) -> str:
         return os.path.join(self.path, MANIFEST)
 
-    def _read_manifest(self) -> dict:
+    def read_manifest(self) -> dict:
         if not os.path.exists(self._manifest_path()):
             return {"version": 1, "min_level": 0, "levels": []}
         with open(self._manifest_path()) as f:
             return json.load(f)
 
-    def _write_manifest(self, m: dict) -> None:
+    def write_manifest(self, m: dict) -> None:
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path())
 
+    def write_level(self, df: DataFrame, level: int) -> tuple[str, int]:
+        out = os.path.join(self.path, f"level={level}")
+        df.write.mode("errorifexists").parquet(out)
+        return out, self.spark.read.parquet(out).count()
+
+    def read_level(self, locator: str) -> DataFrame:
+        return self.spark.read.parquet(locator)
+
+    def drop_level(self, locator: str) -> None:
+        import shutil
+
+        shutil.rmtree(locator, ignore_errors=True)
+
+
+class InMemoryBackend(SnapshotBackend):
+    """Second backend (interface proof + fast tests): levels live as
+    eagerly-materialized DataFrames in the session, the manifest in a dict.
+    Passes the same store test suite as the parquet backend."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._manifest: dict | None = None
+        self._levels: dict[str, DataFrame] = {}
+
+    def read_manifest(self) -> dict:
+        if self._manifest is None:
+            return {"version": 1, "min_level": 0, "levels": []}
+        return json.loads(json.dumps(self._manifest))  # copy, file parity
+
+    def write_manifest(self, m: dict) -> None:
+        self._manifest = json.loads(json.dumps(m))
+
+    def write_level(self, df: DataFrame, level: int) -> tuple[str, int]:
+        locator = f"mem:level={level}"
+        if locator in self._levels:
+            raise FileExistsError(locator)  # errorifexists parity
+        snap = df.localCheckpoint(eager=True)
+        self._levels[locator] = snap
+        return locator, snap.count()
+
+    def read_level(self, locator: str) -> DataFrame:
+        return self._levels[locator]
+
+    def drop_level(self, locator: str) -> None:
+        df = self._levels.pop(locator, None)
+        if df is not None:
+            df.unpersist()
+
+
+class IcebergBackend(SnapshotBackend):
+    """Iceberg-catalog backend sketch: level blobs are immutable Iceberg
+    tables ``{namespace}.level_{K}`` (append-once), the manifest document a
+    single-row JSON table — Iceberg's own snapshot log then gives time
+    travel / retention on top of the store's level semantics. The runtime
+    jar (org.apache.iceberg:iceberg-spark-runtime) is NOT in this sandbox,
+    so the constructor probes for it and refuses honestly rather than
+    pretending; the parquet backend is the tested default."""
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str):
+        self.spark = spark
+        self.prefix = f"{catalog}.{namespace}"
+        try:
+            spark.sparkContext._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+        except Exception as exc:  # Py4J ClassNotFound
+            raise NotImplementedError(
+                "Iceberg runtime jar not on the Spark classpath; use "
+                "ParquetDirBackend (same store semantics) or add "
+                "iceberg-spark-runtime + a catalog config"
+            ) from exc
+
+    def read_manifest(self) -> dict:
+        try:
+            row = self.spark.table(f"{self.prefix}.manifest").collect()
+        except Exception:
+            return {"version": 1, "min_level": 0, "levels": []}
+        return json.loads(row[0]["doc"]) if row else {
+            "version": 1, "min_level": 0, "levels": []
+        }
+
+    def write_manifest(self, m: dict) -> None:
+        doc = json.dumps(m)
+        self.spark.createDataFrame([(doc,)], "doc string").writeTo(
+            f"{self.prefix}.manifest"
+        ).createOrReplace()
+
+    def write_level(self, df: DataFrame, level: int) -> tuple[str, int]:
+        locator = f"{self.prefix}.level_{level}"
+        df.writeTo(locator).create()  # fails if it exists — errorifexists parity
+        return locator, self.spark.table(locator).count()
+
+    def read_level(self, locator: str) -> DataFrame:
+        return self.spark.table(locator)
+
+    def drop_level(self, locator: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {locator}")
+
+
+class VersionedEdgeStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str | None = None,
+        backend: SnapshotBackend | None = None,
+    ):
+        if backend is None:
+            if path is None:
+                raise ValueError("need a path (parquet backend) or a backend")
+            backend = ParquetDirBackend(spark, path)
+        self.spark = spark
+        self.path = path
+        self.backend = backend
+
+    # ---- manifest (delegated) -------------------------------------------
+
+    def _read_manifest(self) -> dict:
+        return self.backend.read_manifest()
+
+    def _write_manifest(self, m: dict) -> None:
+        self.backend.write_manifest(m)
+
     # ---- writes ---------------------------------------------------------
+
+    def _commit(self, df: DataFrame, kind: str) -> int:
+        m = self._read_manifest()
+        level = (m["levels"][-1]["level"] + 1) if m["levels"] else 0
+        locator, rows = self.backend.write_level(df, level)
+        m["levels"].append(
+            {
+                "level": level,
+                "path": locator,
+                "rows": rows,
+                "parent": level - 1 if level > 0 else None,
+                "kind": kind,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+        )
+        self._write_manifest(m)
+        return level
 
     def append_level(self, edges: DataFrame) -> int:
         """Commit one immutable level of (src, dst[, weight]) — the
         checkpoint() analog. Returns the new level id."""
-        m = self._read_manifest()
-        level = (m["levels"][-1]["level"] + 1) if m["levels"] else 0
-        out = os.path.join(self.path, f"level={level}")
-        edges.write.mode("errorifexists").parquet(out)
-        rows = self.spark.read.parquet(out).count()
-        m["levels"].append(
-            {
-                "level": level,
-                "path": out,
-                "rows": rows,
-                "parent": level - 1 if level > 0 else None,
-                "kind": "append",
-                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
-            }
-        )
-        self._write_manifest(m)
-        return level
+        return self._commit(edges, "append")
 
     def delete_edges(self, edges: DataFrame) -> int:
         """Logical delete: commit a delete level. Edges disappear for all
         read levels ≥ the returned level (max-visible-level semantics)."""
-        m = self._read_manifest()
-        level = (m["levels"][-1]["level"] + 1) if m["levels"] else 0
-        out = os.path.join(self.path, f"level={level}")
-        edges.select("src", "dst").write.mode("errorifexists").parquet(out)
-        rows = self.spark.read.parquet(out).count()
-        m["levels"].append(
-            {
-                "level": level,
-                "path": out,
-                "rows": rows,
-                "parent": level - 1 if level > 0 else None,
-                "kind": "delete",
-                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
-            }
-        )
-        self._write_manifest(m)
-        return level
+        return self._commit(edges.select("src", "dst"), "delete")
 
     def delete_nodes(self, nodes: DataFrame) -> int:
         """Logical node delete (delete_node, tests/delete_nodes.h:104): a
@@ -146,23 +281,7 @@ class VersionedEdgeStore:
         appends with level < Ld — the node's out/in degree reads 0 from
         level Ld on. A later append may re-introduce the node (new visible
         edges), exactly like edge re-appends."""
-        m = self._read_manifest()
-        level = (m["levels"][-1]["level"] + 1) if m["levels"] else 0
-        out = os.path.join(self.path, f"level={level}")
-        nodes.select("id").write.mode("errorifexists").parquet(out)
-        rows = self.spark.read.parquet(out).count()
-        m["levels"].append(
-            {
-                "level": level,
-                "path": out,
-                "rows": rows,
-                "parent": level - 1 if level > 0 else None,
-                "kind": "delete_nodes",
-                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
-            }
-        )
-        self._write_manifest(m)
-        return level
+        return self._commit(nodes.select("id"), "delete_nodes")
 
     # ---- reads ----------------------------------------------------------
 
@@ -197,7 +316,7 @@ class VersionedEdgeStore:
         parts = []
         for e in appends:
             parts.append(
-                self.spark.read.parquet(e["path"]).withColumn(
+                self.backend.read_level(e["path"]).withColumn(
                     "_alevel", F.lit(e["level"]).cast("long")
                 )
             )
@@ -206,7 +325,7 @@ class VersionedEdgeStore:
             df = df.unionByName(p)
         if deletes:
             dparts = [
-                self.spark.read.parquet(e["path"])
+                self.backend.read_level(e["path"])
                 .select("src", "dst")
                 .withColumn("_dlevel", F.lit(e["level"]).cast("long"))
                 for e in deletes
@@ -232,7 +351,7 @@ class VersionedEdgeStore:
         ]
         if node_deletes:
             nparts = [
-                self.spark.read.parquet(e["path"])
+                self.backend.read_level(e["path"])
                 .select("id")
                 .withColumn("_dlevel", F.lit(e["level"]).cast("long"))
                 for e in node_deletes
@@ -271,7 +390,7 @@ class VersionedEdgeStore:
         entry = next((e for e in m["levels"] if e["level"] == level), None)
         if entry is None:
             return self.spark.createDataFrame([], "id long")
-        delta = self.spark.read.parquet(entry["path"])
+        delta = self.backend.read_level(entry["path"])
         if entry["kind"] == "delete_nodes":
             # node-delete levels store bare ids, not (src, dst) pairs
             return delta.select("id").distinct()
@@ -292,14 +411,12 @@ class VersionedEdgeStore:
 
     def vacuum(self) -> list[int]:
         """Physically drop append levels below min_level (delete_level)."""
-        import shutil
-
         m = self._read_manifest()
         dropped = []
         kept = []
         for e in m["levels"]:
             if e["kind"] == "append" and e["level"] < m["min_level"]:
-                shutil.rmtree(e["path"], ignore_errors=True)
+                self.backend.drop_level(e["path"])
                 dropped.append(e["level"])
             else:
                 kept.append(e)
@@ -314,13 +431,11 @@ class VersionedEdgeStore:
         current.count()
         m = self._read_manifest()
         level = (m["levels"][-1]["level"] + 1) if m["levels"] else 0
-        out = os.path.join(self.path, f"level={level}")
-        current.write.mode("errorifexists").parquet(out)
-        rows = self.spark.read.parquet(out).count()
+        locator, rows = self.backend.write_level(current, level)
         m["levels"] = [
             {
                 "level": level,
-                "path": out,
+                "path": locator,
                 "rows": rows,
                 "parent": None,
                 "kind": "append",

@@ -12,10 +12,14 @@ from tests import oracle
 from tests.conftest import edges_df, rmat_edges
 
 
-@pytest.fixture()
-def store(spark, tmp_path):
-    from llama_spark.streaming.snapshots import VersionedEdgeStore
+@pytest.fixture(params=["parquet", "memory"])
+def store(spark, tmp_path, request):
+    """Every store test runs against BOTH backends (SURVEY §7 dual-backend
+    promise: the level/delete/window logic is backend-independent)."""
+    from llama_spark.streaming.snapshots import InMemoryBackend, VersionedEdgeStore
 
+    if request.param == "memory":
+        return VersionedEdgeStore(spark, backend=InMemoryBackend(spark))
     return VersionedEdgeStore(spark, str(tmp_path / "graph"))
 
 

@@ -56,6 +56,13 @@ class GraphSession:
 
         return self.from_edges(read_xstream1(self.spark, path))
 
+    def from_fgf(self, path: str) -> "GraphSession":
+        """FGF v1 typed-property graph file(s) (ll_load_fgf.h analog);
+        node/edge property tables via sources.files.read_fgf directly."""
+        from .sources.files import read_fgf
+
+        return self.from_edges(read_fgf(self.spark, path, "edges").select("src", "dst"))
+
     def from_erdos_renyi(
         self, nodes: int, edges: int, seed: int = 42
     ) -> "GraphSession":

@@ -221,6 +221,83 @@ def test_xstream1_loader(spark, tmp_path):
     assert got == set(want)
 
 
+def _fgf_bytes() -> bytes:
+    """Build a spec-conformant FGF v1 file (ll_load_fgf.h:488-578 header,
+    :225-431 Java object-stream block framing): 1 vertex type (3 nodes with
+    lang/score properties), 2 edge types (2 'link' + 1 'ref' edges), block
+    boundaries deliberately mid-value to exercise cross-block reads."""
+    import struct
+
+    def s(x):
+        return struct.pack(">H", len(x)) + x.encode()
+
+    def w(x):
+        return struct.pack(">Q", x)
+
+    def stream(payload: bytes) -> bytes:
+        # Java ObjectOutputStream: 4-byte header, then 0x7A/0x77 blocks of
+        # awkward sizes so multi-byte values straddle block boundaries
+        out = bytearray(b"\xac\xed\x00\x05")
+        i = 0
+        first = True
+        while i < len(payload):
+            n = min(5 if first else 7, len(payload) - i)
+            if first:
+                out += b"\x7a" + struct.pack(">I", n)
+                first = False
+            else:
+                out += b"\x77" + bytes([n])
+            out += payload[i : i + n]
+            i += n
+        return bytes(out)
+
+    head = bytearray()
+    head += b"FGF1"
+    head += w(16) + w(0) + w(0)  # header_size, initial vertex/edge ids
+    head += b"CNTS"
+    head += w(2)  # property types: lang (string), score (int32)
+    head += w(1) + s("page") + w(3)  # 1 vertex type, 3 nodes
+    head += w(2) + s("link") + w(2) + s("ref") + w(1)  # 2 edge types
+    head += b"ATTR"
+    head += s("lang") + struct.pack(">H", 0x01)
+    head += s("score") + struct.pack(">H", 0x12)
+
+    node_payload = bytearray()
+    node_payload += b"NODE" + s("page")
+    node_payload += b"\x02" + b"\x00" + s("en") + b"\x01" + struct.pack(">i", 7)
+    node_payload += b"\x01" + b"\x00" + s("de")  # node 1: lang only
+    node_payload += b"\x00"  # node 2: no properties
+
+    link_payload = bytearray()
+    link_payload += b"EDGE" + s("link")
+    # (head, tail) with tail as out-edge source: tail 0 -> head 1
+    link_payload += w(1) + w(0) + b"\x01" + b"\x01" + struct.pack(">i", 42)
+    link_payload += w(2) + w(0) + b"\x00"
+    ref_payload = bytearray()
+    ref_payload += b"EDGE" + s("ref")
+    ref_payload += w(0) + w(2) + b"\x01" + b"\x00" + s("cite")
+
+    return bytes(head) + stream(bytes(node_payload)) + stream(
+        bytes(link_payload)
+    ) + stream(bytes(ref_payload))
+
+
+def test_fgf_loader_roundtrip(spark, tmp_path):
+    """ll_load_fgf.h analog: typed node/edge properties, tail-as-source
+    edge orientation, multiple edge types each in a fresh object stream."""
+    from llama_spark.sources.files import read_fgf
+
+    p = tmp_path / "toy.fgf"
+    p.write_bytes(_fgf_bytes())
+
+    edges = read_fgf(spark, str(p), "edges").collect()
+    got = {(r["src"], r["dst"], r["score"], r["lang"]) for r in edges}
+    assert got == {(0, 1, 42, None), (0, 2, None, None), (2, 0, None, "cite")}
+
+    nodes = {r["id"]: (r["lang"], r["score"]) for r in read_fgf(spark, str(p), "nodes").collect()}
+    assert nodes == {0: ("en", 7), 1: ("de", None), 2: (None, None)}
+
+
 def test_erdos_renyi_generator(spark):
     """ER(nodes, edges, seed): exact row count, endpoints in range,
     partition-invariant, seed-sensitive."""

@@ -2,8 +2,20 @@
 
 Prints ONE JSON line:
   {"metric": "total headline seconds", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1,
-   "pagerank_edges_per_sec_per_iter": X, ...}
+   "queries": {name: sec, ...}, "sf": 0.1, ...}
+
+Load-awareness (this box carries bursty external tenant load, 2-28 in
+/proc/loadavg, invisible in our PID namespace — an ungated single-shot
+bench measures the neighbors, not the engine):
+- the run start is GATED on loadavg < $SPARK_GRAFT_BENCH_GATE (default 4.0),
+  waiting up to $SPARK_GRAFT_BENCH_WAIT seconds (default 1200; 0 disables)
+  and recording how long it waited and at what load it started;
+- every query runs $SPARK_GRAFT_BENCH_REPEATS times (default 2) and
+  reports the MINIMUM; queries whose first run exceeds
+  $SPARK_GRAFT_BENCH_REPEAT_CAP seconds (default 45) are not repeated
+  (bounds total wall time) — the JSON carries every raw run;
+- /proc/loadavg is recorded before and after every run per query, so a
+  contended artifact is *visibly* contended instead of silently wrong.
 
 The primary BASELINE.json metric (PageRank edges/sec per iteration) is
 reported alongside; scripts/scaling.py produces the N-vs-4N-cores scaling
@@ -22,13 +34,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 PR_ITERS = 10
 
 
+def loadavg() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeat_cap = float(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_CAP", "45"))
+    gate = float(os.environ.get("SPARK_GRAFT_BENCH_GATE", "4.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "1200"))
     try:
         sf = float(sf_dir.rstrip("/").split("sf")[-1])
     except ValueError:
         sf = None
+
+    waited = 0.0
+    while max_wait > 0 and loadavg() >= gate and waited < max_wait:
+        time.sleep(30)
+        waited += 30
+    start_load = loadavg()
 
     from pyspark.storagelevel import StorageLevel
 
@@ -41,16 +71,27 @@ def main() -> None:
     n_edges = edges.count()
 
     times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    loads: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        times[name] = round(time.time() - t0, 3)
+        runs[name] = []
+        loads[name] = []
+        for i in range(max(1, repeats)):
+            loads[name].append(loadavg())
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            loads[name].append(loadavg())
+            runs[name].append(round(dt, 3))
+            if dt > repeat_cap:
+                break  # bound total wall time; raw runs show n=1
+        times[name] = min(runs[name])
 
     from llama_spark.operators.components import connected_components, label_propagation
     from llama_spark.operators.csr import pagerank_csr
-    from llama_spark.operators.pagerank import pagerank
+    from llama_spark.operators.pagerank import pagerank_result
     from llama_spark.operators.traversal import bfs_depths
     from llama_spark.operators.triangles import triangle_count
 
@@ -58,14 +99,13 @@ def main() -> None:
     from llama_spark.functions.similarity import cosine_topk
     from llama_spark.operators.bc import betweenness_centrality
 
-    from llama_spark.operators.pagerank import pagerank_result
-
-    pr_holder = {}
+    pr_holder: dict[str, list[float]] = {}
 
     def run_pagerank():
         res = pagerank_result(edges, max_iter=PR_ITERS)
         res.state.count()
-        pr_holder["iter_secs"] = [m.seconds for m in res.metrics]
+        # best (steady-state) iteration across repeats
+        pr_holder.setdefault("iter_secs", []).extend(m.seconds for m in res.metrics)
 
     timed("pagerank10", run_pagerank)
     timed("pagerank10_csr", lambda: pagerank_csr(edges, max_iter=PR_ITERS).count())
@@ -117,10 +157,19 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline query wall seconds (sum)",
+                "metric": "headline query wall seconds (sum of per-query minima)",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "query_runs": runs,
+                "query_loadavg": loads,
+                "gate": {
+                    "threshold": gate,
+                    "waited_sec": waited,
+                    "start_loadavg": start_load,
+                    "end_loadavg": loadavg(),
+                },
+                "repeats": repeats,
                 "sf": sf,
                 "cpus": cpus,
                 **extras,

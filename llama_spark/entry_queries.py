@@ -175,6 +175,22 @@ def q_k_core(spark, sf_dir):
     return k_core(load_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_UNROLL)
 
 
+PPR_SOURCES = [0, 42, 1234]  # teleport set for the gate (all ids exist mod 4096)
+
+
+def q_personalized_pagerank(spark, sf_dir):
+    """Seeded PageRank (teleport restricted to PPR_SOURCES); output scaled
+    by N and rounded like the pagerank gate."""
+    from .operators.pagerank import personalized_pagerank
+
+    edges = load_edges(spark, sf_dir)
+    ranks = personalized_pagerank(edges, PPR_SOURCES, damping=DAMPING, max_iter=PR_ITERS)
+    n = ranks.count()
+    return ranks.select(
+        "id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_scaled")
+    )
+
+
 def q_scc(spark, sf_dir):
     """Strongly connected components (distributed FW-BW coloring) on the
     gate graph. The oracle is ALGORITHM-INDEPENDENT: SCC labels are a graph
@@ -252,6 +268,36 @@ def _pagerank_sql() -> str:
             f"""r{i} AS MATERIALIZED (
   SELECT nodes.id,
          CAST({base_factor} AS DOUBLE)/(SELECT n FROM nn)
+         + CAST({DAMPING!r} AS DOUBLE) * COALESCE(c.contrib, 0e0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / d.od) AS contrib
+    FROM r{i-1} r JOIN edges e ON e.src = r.id JOIN deg d ON d.id = r.id
+    GROUP BY e.dst
+  ) c ON nodes.id = c.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank * (SELECT n FROM nn), 6) AS rank_scaled FROM r{PR_ITERS}"
+    )
+
+
+def _ppr_sql() -> str:
+    srcs = ", ".join(str(s) for s in PPR_SOURCES)
+    ev = f"(CASE WHEN nodes.id IN ({srcs}) THEN CAST({1.0 / len(PPR_SOURCES)!r} AS DOUBLE) ELSE 0e0 END)"
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS od FROM edges GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT nodes.id, {ev} AS rank FROM nodes)",
+    ]
+    base_factor = repr(1.0 - DAMPING)
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT nodes.id,
+         CAST({base_factor} AS DOUBLE) * {ev}
          + CAST({DAMPING!r} AS DOUBLE) * COALESCE(c.contrib, 0e0) AS rank
   FROM nodes LEFT JOIN (
     SELECT e.dst AS id, SUM(r.rank / d.od) AS contrib
@@ -407,6 +453,7 @@ SELECT CAST(FLOOR(LOG2(od)) AS BIGINT) AS bucket,
 FROM deg GROUP BY 1 ORDER BY 1""",
     "pagerank": _pagerank_sql(),
     "pagerank_top10": _pagerank_top10_sql(),
+    "personalized_pagerank": _ppr_sql(),
     "connected_components": _cc_sql(),
     "label_propagation": _lp_sql(),
     "triangle_count": _triangles_sql(),
@@ -483,6 +530,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_distribution": q_degree_distribution,
     "pagerank": q_pagerank,
     "pagerank_top10": q_pagerank_top10,
+    "personalized_pagerank": q_personalized_pagerank,
     "connected_components": q_connected_components,
     "label_propagation": q_label_propagation,
     "triangle_count": q_triangle_count,

@@ -162,6 +162,67 @@ def pagerank_result(
     return result
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: list[int],
+    damping: float = 0.85,
+    max_iter: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame[id, rank] — PageRank with teleport restricted to
+    ``sources`` (uniform 1/|S| restart vector): the standard seeded
+    relevance ranking over a link graph. Same recurrence shape, caching
+    and join policy as :func:`pagerank` (pagerank.h:159-166 with e(v)
+    in place of 1/N; dangling mass lost identically); init rank = e."""
+    if not sources:
+        raise ValueError("personalized_pagerank needs at least one source")
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nodes = nodes_of(edges).repartition(p, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("rank"))
+
+    out_deg = edges.groupBy(SRC).agg(F.count("*").alias("od"))
+    edges_inv = (
+        edges.select(SRC, DST)
+        .join(out_deg, SRC)
+        .select(SRC, DST, (F.lit(1.0) / F.col("od")).alias("inv_deg"))
+        .repartition(p, SRC)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges_inv.count()
+
+    e_v = F.when(F.col("id").isin(sources), F.lit(1.0 / len(sources))).otherwise(
+        F.lit(0.0)
+    )
+    init = nodes.select("id", e_v.alias("rank"))
+    tiny_state = n <= 100_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
+
+    def step(ranks: DataFrame, _i: int) -> DataFrame:
+        contribs = (
+            _hint(ranks).join(edges_inv, ranks["id"] == edges_inv[SRC])
+            .select(F.col(DST).alias("id"), (F.col("rank") * F.col("inv_deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        return nodes.join(_hint(contribs), "id", "left").select(
+            "id",
+            (
+                F.lit(1.0 - damping) * e_v
+                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("rank"),
+        )
+
+    result = iterate(init, step, max_iter=max_iter, name="personalized_pagerank")
+    nodes.unpersist()
+    edges_inv.unpersist()
+    return result.state
+
+
 def top_k_pagerank(edges: DataFrame, k: int = 10, **kwargs) -> DataFrame:
     """Top-k nodes by rank (examples/llama-pagerank.cc:253-270 qsort top-10).
 

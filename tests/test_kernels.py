@@ -48,6 +48,38 @@ def test_pagerank_allclose(graph):
         assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=1e-6), (name, k)
 
 
+def test_personalized_pagerank(spark):
+    """PPR vs a python power iteration with the same restart vector; mass
+    concentrates on/near the teleport set."""
+    from llama_spark.operators.pagerank import personalized_pagerank
+
+    pairs = rmat_edges(scale=7, avg_degree=4)
+    df = edges_df(spark, pairs)
+    sources = [0, 5]
+    got = {r["id"]: r["rank"] for r in personalized_pagerank(df, sources, max_iter=10).collect()}
+
+    # python oracle over the RAW pair list (dups/self-loops kept, exactly
+    # like oracle.pagerank and the DataFrame plan)
+    from collections import defaultdict
+
+    nodes = sorted({u for e in pairs for u in e})
+    out_deg = defaultdict(int)
+    for s, _d in pairs:
+        out_deg[s] += 1
+    e_v = {v: (1 / len(sources) if v in sources else 0.0) for v in nodes}
+    rank = dict(e_v)
+    for _ in range(10):
+        contrib = defaultdict(float)
+        for s, d in pairs:
+            contrib[d] += rank[s] / out_deg[s]
+        rank = {v: (1.0 - 0.85) * e_v[v] + 0.85 * contrib[v] for v in nodes}
+    assert set(got) == set(rank)
+    for k in rank:
+        assert math.isclose(got[k], rank[k], rel_tol=0, abs_tol=1e-9), k
+    # teleport mass: sources dominate their neighborhoods
+    assert got[0] > sorted(got.values())[len(got) // 2]
+
+
 def test_pagerank_dangling_mass_lost(spark):
     """chain10's node 9 has out-degree 0 → rank sum < 1 (pagerank.h:287-288)."""
     from llama_spark.operators.pagerank import pagerank

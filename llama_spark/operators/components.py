@@ -97,6 +97,7 @@ def connected_components_result(
         max_iter=max_iter,
         updated_metric=F.sum(F.col("changed").cast("long")),
         checkpoint_dir=checkpoint_dir,
+        truncate_every=1 if tiny_state else 4,
         resume=resume,
         name="connected_components",
     )
@@ -160,6 +161,7 @@ def label_propagation(
         max_iter=max_iter,
         updated_count=None,  # fixed rounds for cross-engine determinism
         checkpoint_dir=checkpoint_dir,
+        truncate_every=1 if tiny_state else 4,
         resume=resume,
         name="label_propagation",
     )

@@ -154,6 +154,11 @@ def pagerank_result(
         updated_count=updated,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
+        # broadcast-tiny states gain nothing from persist's partitioning
+        # (the state never shuffles) but pay per-iteration plan depth —
+        # truncate every iteration; big states keep the exchange-free
+        # persist window (measured: 9.9s vs 13.5s warm at sf0.1 tiny)
+        truncate_every=1 if tiny_state else 4,
         resume=resume,
         name="pagerank",
     )
@@ -217,7 +222,13 @@ def personalized_pagerank(
             ).alias("rank"),
         )
 
-    result = iterate(init, step, max_iter=max_iter, name="personalized_pagerank")
+    result = iterate(
+        init,
+        step,
+        max_iter=max_iter,
+        truncate_every=1 if tiny_state else 4,
+        name="personalized_pagerank",
+    )
     nodes.unpersist()
     edges_inv.unpersist()
     return result.state

@@ -47,7 +47,7 @@ def sssp(
         .repartition(p, SRC)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    rel.count()
+    m_edges = rel.count()
     nodes = nodes_of(edges)
     init = nodes.select(
         "id",
@@ -88,6 +88,9 @@ def sssp(
         max_iter=max_iter,
         updated_metric=F.sum(F.col("changed").cast("long")),
         checkpoint_dir=checkpoint_dir,
+        # edge count is already materialized; nodes ≤ 2m, so m bounds the
+        # state size for the tiny/big truncation-cadence choice
+        truncate_every=1 if m_edges <= 100_000 else 4,
         resume=resume,
         name="sssp",
     )

@@ -1,14 +1,16 @@
 #!/bin/bash
 # Wait for a quiet window (external tenant load < 1.0), then measure:
-#  1. the per-iteration floor at RMAT scale 21, local[32] (12 iters)
-#  2. same-window 8-vs-32 legs at RMAT scale 23 (the north-rule N->4N proxy)
+#  1. same-window 8-vs-32 legs at RMAT scale 23 (the north-rule N->4N proxy;
+#     8-leg FIRST — it is the less contention-sensitive one, and the 32-leg
+#     then runs in the freshest part of the window)
+#  2. the per-iteration floor at RMAT scale 21, local[32]
 # Prints one JSON line per leg; loadavg recorded before/after each leg.
 cd "$(dirname "$0")/.." || exit 1
-for attempt in $(seq 1 "${QF_ATTEMPTS:-40}"); do
+for attempt in $(seq 1 "${QF_ATTEMPTS:-60}"); do
   L=$(cut -d' ' -f1 /proc/loadavg)
   if awk -v l="$L" 'BEGIN{exit !(l<1.0)}'; then
     echo "quiet window at $(date +%T) pre-load $L (attempt $attempt)"
-    for leg in "32 21 12" "32 23 10" "8 23 6"; do
+    for leg in "8 23 6" "32 23 8" "32 21 10"; do
       set -- $leg
       echo "LEG cores=$1 scale=$2 iters=$3 pre-load $(cut -d' ' -f1 /proc/loadavg)"
       python - "$1" "$2" "$3" <<'PY' 2>/dev/null | grep '^{'
@@ -25,7 +27,7 @@ PY
     done
     exit 0
   fi
-  sleep 60
+  sleep 45
 done
-echo "no quiet window in ${QF_ATTEMPTS:-40} attempts"
+echo "no quiet window in ${QF_ATTEMPTS:-60} attempts"
 exit 2

@@ -170,6 +170,37 @@ def q_lsh_ann(spark, sf_dir):
     return df.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing gate: documents.text bytes become the binary
+    payload column of a media table; the REAL mapInPandas/Arrow plan runs
+    with the deterministic digest-derived fake decoder (the documented
+    stub for the absent codec), so every derived feature is exactly
+    SQL-replicable. feature_bytes_sum folds the float32 feature vector
+    back to its integer digest bytes (x*255 rounds exactly)."""
+    from .functions.multimodal import extract_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("doc").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.create_map(F.lit("src"), F.lit("documents")).alias("meta"),
+    )
+    feats = extract_features(media, feat_dim=8, decoder="fake")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.aggregate(
+            "feature",
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.round(x * 255, 0).cast("long"),
+        ).alias("feature_bytes_sum"),
+    )
+
+
 def q_near_dup_embeddings(spark, sf_dir):
     from .functions.similarity import near_duplicate_pairs
 
@@ -253,6 +284,25 @@ SELECT doc_a, doc_b,
        ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= {JACCARD_T}""",
+    "media_features": """
+WITH d AS (
+  SELECT doc_id, md5(text) AS mh, sha256(text) AS sh,
+         octet_length(CAST(text AS BLOB)) AS nb
+  FROM documents)
+SELECT doc_id,
+       CAST(16 + CAST(('0x' || substr(mh, 1, 2)) AS INTEGER) % 240 AS BIGINT) AS width,
+       CAST(16 + CAST(('0x' || substr(mh, 3, 2)) AS INTEGER) % 240 AS BIGINT) AS height,
+       CAST(nb AS BIGINT) AS n_bytes,
+       ROUND(CAST(('0x' || substr(mh, 5, 4)) AS INTEGER) / 65535.0, 6) AS mean_intensity,
+       CAST(CAST(('0x' || substr(sh, 1, 2)) AS INTEGER)
+          + CAST(('0x' || substr(sh, 3, 2)) AS INTEGER)
+          + CAST(('0x' || substr(sh, 5, 2)) AS INTEGER)
+          + CAST(('0x' || substr(sh, 7, 2)) AS INTEGER)
+          + CAST(('0x' || substr(sh, 9, 2)) AS INTEGER)
+          + CAST(('0x' || substr(sh, 11, 2)) AS INTEGER)
+          + CAST(('0x' || substr(sh, 13, 2)) AS INTEGER)
+          + CAST(('0x' || substr(sh, 15, 2)) AS INTEGER) AS BIGINT) AS feature_bytes_sum
+FROM d""",
     "minhash_signatures": f"""
 WITH toks AS MATERIALIZED ({TOKS_SQL}),
 sh AS MATERIALIZED ({SHINGLES_SQL}),
@@ -363,6 +413,7 @@ DOCS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "lsh_ann": q_lsh_ann,
     "near_dup_embeddings": q_near_dup_embeddings,
+    "media_features": q_media_features,
 }
 
 

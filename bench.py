@@ -46,7 +46,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    repeat_cap = float(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_CAP", "45"))
+    # every headline query runs < 20s clean, so repeating even a 90s
+    # (clearly burst-poisoned) first run is the right call — a skipped
+    # repeat turns one host burst into the recorded number
+    repeat_cap = float(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_CAP", "90"))
     gate = float(os.environ.get("SPARK_GRAFT_BENCH_GATE", "4.0"))
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "1200"))
     try:

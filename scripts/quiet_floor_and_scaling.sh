@@ -10,7 +10,8 @@ for attempt in $(seq 1 "${QF_ATTEMPTS:-60}"); do
   L=$(cut -d' ' -f1 /proc/loadavg)
   if awk -v l="$L" 'BEGIN{exit !(l<1.0)}'; then
     echo "quiet window at $(date +%T) pre-load $L (attempt $attempt)"
-    for leg in "8 23 6" "32 23 8" "32 21 10"; do
+    IFS='|' read -ra LEGS <<< "${QF_LEGS:-8 23 6|32 23 8|32 21 10}"
+    for leg in "${LEGS[@]}"; do
       set -- $leg
       echo "LEG cores=$1 scale=$2 iters=$3 pre-load $(cut -d' ' -f1 /proc/loadavg)"
       python - "$1" "$2" "$3" <<'PY' 2>/dev/null | grep '^{'

@@ -191,6 +191,24 @@ def q_personalized_pagerank(spark, sf_dir):
     )
 
 
+CLOSE_ROOTS = [0, 42, 77, 1234]  # sampled roots for the closeness gate
+
+
+def q_closeness(spark, sf_dir):
+    """K-sample closeness centrality via one multi-source BFS."""
+    from .operators.traversal import closeness_centrality
+
+    c = closeness_centrality(load_edges(spark, sf_dir), roots=CLOSE_ROOTS)
+    return c.select("id", F.round("closeness", 6).alias("closeness"))
+
+
+def q_approx_diameter(spark, sf_dir):
+    """Double-sweep diameter lower bound (2 BFS passes)."""
+    from .operators.traversal import approx_diameter
+
+    return approx_diameter(load_edges(spark, sf_dir), seed_root=0)
+
+
 def q_scc(spark, sf_dir):
     """Strongly connected components (distributed FW-BW coloring) on the
     gate graph. The oracle is ALGORITHM-INDEPENDENT: SCC labels are a graph
@@ -309,6 +327,82 @@ def _ppr_sql() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, ROUND(rank * (SELECT n FROM nn), 6) AS rank_scaled FROM r{PR_ITERS}"
+    )
+
+
+def _closeness_sql() -> str:
+    roots = ", ".join(f"({r})" for r in CLOSE_ROOTS)
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        f"roots(root) AS (VALUES {roots})",
+        "m0 AS MATERIALIZED (SELECT r.root, n.id, "
+        "CASE WHEN n.id = r.root THEN 0 END AS depth FROM nodes n CROSS JOIN roots r)",
+    ]
+    for i in range(1, BFS_UNROLL + 1):
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (
+  SELECT p.root, p.id,
+         CASE WHEN c.cand IS NULL THEN p.depth
+              WHEN p.depth IS NULL OR c.cand < p.depth THEN c.cand
+              ELSE p.depth END AS depth
+  FROM m{i-1} p LEFT JOIN (
+    SELECT q.root, e.dst AS id, MIN(q.depth + 1) AS cand
+    FROM m{i-1} q JOIN edges e ON e.src = q.id
+    WHERE q.depth IS NOT NULL GROUP BY q.root, e.dst
+  ) c ON p.root = c.root AND p.id = c.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT root AS id,
+       ROUND(CASE WHEN SUM(depth) > 0
+                  THEN (COUNT(depth) - 1) / CAST(SUM(depth) AS DOUBLE)
+                  ELSE 0e0 END, 6) AS closeness
+FROM m{BFS_UNROLL} WHERE depth IS NOT NULL GROUP BY root"""
+    )
+
+
+def _diameter_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "d0 AS MATERIALIZED (SELECT id, CASE WHEN id = 0 THEN 0 END AS depth FROM nodes)",
+    ]
+
+    def sweep(prefix: str, start: int) -> None:
+        for i in range(1, BFS_UNROLL + 1):
+            ctes.append(
+                f"""{prefix}{i} AS MATERIALIZED (
+  SELECT p.id,
+         CASE WHEN c.cand IS NULL THEN p.depth
+              WHEN p.depth IS NULL OR c.cand < p.depth THEN c.cand
+              ELSE p.depth END AS depth
+  FROM {prefix}{i-1} p LEFT JOIN (
+    SELECT e.dst AS id, MIN(q.depth + 1) AS cand
+    FROM {prefix}{i-1} q JOIN edges e ON e.src = q.id
+    WHERE q.depth IS NOT NULL GROUP BY e.dst
+  ) c ON p.id = c.id
+)"""
+            )
+
+    sweep("d", 0)
+    ctes.append(
+        f"far AS (SELECT id FROM d{BFS_UNROLL} WHERE depth IS NOT NULL "
+        "ORDER BY depth DESC, id ASC LIMIT 1)"
+    )
+    ctes.append(
+        "g0 AS MATERIALIZED (SELECT id, CASE WHEN id = (SELECT id FROM far) "
+        "THEN 0 END AS depth FROM nodes)"
+    )
+    sweep("g", 0)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT CAST((SELECT id FROM far) AS BIGINT) AS peripheral_id,
+       CAST(MAX(depth) AS BIGINT) AS diameter_lb
+FROM g{BFS_UNROLL}"""
     )
 
 
@@ -472,6 +566,8 @@ FROM deg GROUP BY 1 ORDER BY 1""",
         )
         + f"\nSELECT src AS id, COUNT(*) AS degree FROM e{KCORE_UNROLL} GROUP BY src"
     ))(),
+    "closeness": _closeness_sql(),
+    "approx_diameter": _diameter_sql(),
     "scc": f"""WITH RECURSIVE edges AS MATERIALIZED ({EDGES_SQL}),
 nodes AS MATERIALIZED ({NODES_SQL}),
 reach(a, b) AS (
@@ -537,6 +633,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_depths": q_bfs_depths,
     "k_core": q_k_core,
     "scc": q_scc,
+    "closeness": q_closeness,
+    "approx_diameter": q_approx_diameter,
     "bfs_reachable_count": q_bfs_reachable_count,
     "level_spread": q_level_spread,
     "sssp_weighted": q_sssp_weighted,

@@ -114,6 +114,115 @@ def bfs_count(edges: DataFrame, root: int = 0, max_iter: int = 100) -> int:
     )
 
 
+def multi_source_bfs_depths(
+    edges: DataFrame, roots: list[int], max_iter: int = 100
+) -> DataFrame:
+    """DataFrame[root, id, depth] — BFS depth from EVERY root at once, the
+    root as a key column so all |roots| waves share each Spark job (the
+    same multi-source shape as bc.py's forward phase; ll_bfs_template run
+    per source in the reference). Unreachable (root, id) pairs carry NULL.
+    State is |roots|·V rows — meant for sampled-root centralities (K of
+    order tens), not all-pairs."""
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rel = edges.select(SRC, DST).distinct().repartition(p, SRC).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    m_edges = rel.count()
+    nodes = nodes_of(edges)
+    roots_df = F.broadcast(
+        spark.createDataFrame([(r,) for r in roots], "root long")
+    )
+    init = nodes.crossJoin(roots_df).select(
+        "root",
+        "id",
+        F.when(F.col("id") == F.col("root"), F.lit(0)).cast("long").alias("depth"),
+        (F.col("id") == F.col("root")).alias("changed"),
+    )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        frontier = state.filter(F.col("changed")).select("root", "id", "depth")
+        cand = (
+            frontier.join(rel, frontier["id"] == rel[SRC])
+            .groupBy("root", F.col(DST).alias("id"))
+            .agg(F.min(F.col("depth") + 1).alias("cand"))
+        )
+        return state.join(cand, ["root", "id"], "left").select(
+            "root",
+            "id",
+            F.when(
+                F.col("cand").isNotNull()
+                & (F.col("depth").isNull() | (F.col("cand") < F.col("depth"))),
+                F.col("cand"),
+            )
+            .otherwise(F.col("depth"))
+            .alias("depth"),
+            (
+                F.col("cand").isNotNull()
+                & (F.col("depth").isNull() | (F.col("cand") < F.col("depth")))
+            ).alias("changed"),
+        )
+
+    res = iterate(
+        init,
+        step,
+        max_iter=max_iter,
+        updated_metric=F.sum(F.col("changed").cast("long")),
+        truncate_every=1 if m_edges <= 100_000 else 4,
+        name="multi_source_bfs",
+    )
+    rel.unpersist()
+    return res.state.select("root", "id", "depth")
+
+
+def closeness_centrality(
+    edges: DataFrame, roots: list[int], max_iter: int = 100
+) -> DataFrame:
+    """DataFrame[id, closeness] for the sampled ``roots``: classic
+    within-reach closeness C(v) = (|reach(v)|-1) / Σ_{u∈reach(v)} d(v,u),
+    0 for roots that reach nothing — the standard K-sample estimator over
+    a link graph, one multi-source BFS for all roots."""
+    d = multi_source_bfs_depths(edges, roots, max_iter=max_iter)
+    per_root = (
+        d.filter(F.col("depth").isNotNull())
+        .groupBy("root")
+        .agg(F.count("*").alias("n_r"), F.sum("depth").alias("sum_d"))
+    )
+    return per_root.select(
+        F.col("root").alias("id"),
+        F.when(
+            F.col("sum_d") > 0, (F.col("n_r") - 1) / F.col("sum_d")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+    )
+
+
+def approx_diameter(edges: DataFrame, seed_root: int = 0, max_iter: int = 100) -> DataFrame:
+    """One-row DataFrame[peripheral_id, diameter_lb] — the classic
+    double-sweep lower bound: BFS from ``seed_root``, hop to the farthest
+    reached node (ties → smallest id), BFS again; the second eccentricity
+    lower-bounds the graph diameter (and is exact on trees). Two BFS
+    passes total — the cheapest useful diameter estimate at scale."""
+    d1 = bfs_depths(edges, root=seed_root, max_iter=max_iter)
+    far = (
+        d1.filter(F.col("depth").isNotNull())
+        .orderBy(F.desc("depth"), F.asc("id"))
+        .limit(1)
+        .collect()
+    )
+    if not far:
+        return edges.sparkSession.createDataFrame(
+            [], "peripheral_id long, diameter_lb long"
+        )
+    far_id = far[0]["id"]
+    d2 = bfs_depths(edges, root=far_id, max_iter=max_iter)
+    return d2.agg(
+        F.lit(far_id).cast("long").alias("peripheral_id"),
+        F.max("depth").alias("diameter_lb"),
+    )
+
+
 def sssp_max_finite(edges: DataFrame, root: int = 0, weight_col: str | None = None) -> float:
     """LLAMA's SSSP 'result' — max finite distance (sssp.h:191-205)."""
     d = sssp(edges, root=root, weight_col=weight_col)

@@ -207,6 +207,39 @@ def test_bfs_and_sssp_chain(spark):
     assert bfs_count(df, root=5) == 5
 
 
+def test_multi_source_bfs_and_closeness(spark):
+    """Multi-source BFS equals per-root bfs_depths; closeness matches the
+    hand formula; double-sweep diameter is exact on a chain."""
+    from llama_spark.operators.traversal import (
+        approx_diameter,
+        bfs_depths,
+        closeness_centrality,
+        multi_source_bfs_depths,
+    )
+
+    pairs = rmat_edges(scale=6, avg_degree=4)
+    df = edges_df(spark, pairs)
+    roots = [0, 3]
+    ms = {
+        (r["root"], r["id"]): r["depth"]
+        for r in multi_source_bfs_depths(df, roots).collect()
+    }
+    for root in roots:
+        single = {r["id"]: r["depth"] for r in bfs_depths(df, root=root).collect()}
+        assert {i: ms[(root, i)] for _r, i in ms if _r == root} == single
+
+    c = {r["id"]: r["closeness"] for r in closeness_centrality(df, roots).collect()}
+    for root in roots:
+        reach = {i: d for (rt, i), d in ms.items() if rt == root and d is not None}
+        want = (len(reach) - 1) / sum(reach.values()) if sum(reach.values()) else 0.0
+        assert math.isclose(c[root], want, abs_tol=1e-9)
+
+    # chain 0→1→…→9: sweep from the middle finds an end, diameter_lb = 9
+    chain = edges_df(spark, [(i, i + 1) for i in range(9)] + [(i + 1, i) for i in range(9)])
+    row = approx_diameter(chain, seed_root=4).collect()[0]
+    assert row["diameter_lb"] == 9 and row["peripheral_id"] in (0, 9)
+
+
 def test_sssp_weighted(graph):
     from llama_spark.graph import with_synthetic_weights
     from llama_spark.operators.traversal import sssp

@@ -220,6 +220,18 @@ def q_scc(spark, sf_dir):
     return strongly_connected_components(load_edges(spark, sf_dir))
 
 
+CORENESS_UNROLL = 12
+
+
+def q_coreness(spark, sf_dir):
+    """Full core decomposition after exactly CORENESS_UNROLL h-index
+    rounds (fixed-round SQL-portable mode; converged rounds are no-ops on
+    both sides)."""
+    from .operators.kcore import coreness
+
+    return coreness(load_edges(spark, sf_dir), rounds=CORENESS_UNROLL)
+
+
 def q_sssp_weighted(spark, sf_dir):
     from .graph import with_synthetic_weights
     from .operators.traversal import sssp
@@ -327,6 +339,33 @@ def _ppr_sql() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, ROUND(rank * (SELECT n FROM nn), 6) AS rank_scaled FROM r{PR_ITERS}"
+    )
+
+
+def _coreness_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "c0 AS MATERIALIZED (SELECT src AS id, COUNT(*) AS c FROM und GROUP BY src)",
+    ]
+    for i in range(1, CORENESS_UNROLL + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT p.id, CAST(COALESCE(h.h, 0) AS BIGINT) AS c
+  FROM c{i-1} p LEFT JOIN (
+    SELECT id, MAX(LEAST(value, cum)) AS h FROM (
+      SELECT id, value, SUM(cnt) OVER (PARTITION BY id ORDER BY value DESC) AS cum
+      FROM (
+        SELECT u.dst AS id, q.c AS value, COUNT(*) AS cnt
+        FROM c{i-1} q JOIN und u ON u.src = q.id
+        GROUP BY u.dst, q.c)
+    ) GROUP BY id
+  ) h ON p.id = h.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, c AS coreness FROM c{CORENESS_UNROLL}"
     )
 
 
@@ -568,6 +607,7 @@ FROM deg GROUP BY 1 ORDER BY 1""",
     ))(),
     "closeness": _closeness_sql(),
     "approx_diameter": _diameter_sql(),
+    "coreness": _coreness_sql(),
     "scc": f"""WITH RECURSIVE edges AS MATERIALIZED ({EDGES_SQL}),
 nodes AS MATERIALIZED ({NODES_SQL}),
 reach(a, b) AS (
@@ -635,6 +675,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scc": q_scc,
     "closeness": q_closeness,
     "approx_diameter": q_approx_diameter,
+    "coreness": q_coreness,
     "bfs_reachable_count": q_bfs_reachable_count,
     "level_spread": q_level_spread,
     "sssp_weighted": q_sssp_weighted,

@@ -154,6 +154,36 @@ def test_k_core(spark):
     assert fixed == oracle.k_core(CHAIN10, 2)
 
 
+def test_coreness(spark):
+    """h-index fixpoint (convergence mode) equals sequential min-degree
+    peeling (the textbook coreness algorithm) on K3, a chain, and RMAT."""
+    from collections import defaultdict
+
+    from llama_spark.operators.kcore import coreness
+
+    def py_coreness(pairs):
+        adj = defaultdict(set)
+        for s, d in pairs:
+            if s != d:
+                adj[s].add(d)
+                adj[d].add(s)
+        deg = {v: len(ns) for v, ns in adj.items()}
+        core = {}
+        live = dict(deg)
+        while live:
+            v = min(live, key=lambda x: (live[x], x))
+            core[v] = live[v]
+            k = live.pop(v)
+            for u in adj[v]:
+                if u in live:
+                    live[u] = max(live[u] - 1, k)
+        return core
+
+    for pairs in (K3, CHAIN10, rmat_edges(scale=7, avg_degree=4)):
+        got = {r["id"]: r["coreness"] for r in coreness(edges_df(spark, pairs)).collect()}
+        assert got == py_coreness(pairs), "coreness mismatch"
+
+
 def test_connected_components(graph):
     from llama_spark.operators.components import connected_components
 

@@ -202,6 +202,14 @@ def q_closeness(spark, sf_dir):
     return c.select("id", F.round("closeness", 6).alias("closeness"))
 
 
+def q_harmonic(spark, sf_dir):
+    """K-sample harmonic centrality (same multi-source BFS as closeness)."""
+    from .operators.traversal import harmonic_centrality
+
+    h = harmonic_centrality(load_edges(spark, sf_dir), roots=CLOSE_ROOTS)
+    return h.select("id", F.round("harmonic", 6).alias("harmonic"))
+
+
 def q_approx_diameter(spark, sf_dir):
     """Double-sweep diameter lower bound (2 BFS passes)."""
     from .operators.traversal import approx_diameter
@@ -369,7 +377,9 @@ def _coreness_sql() -> str:
     )
 
 
-def _closeness_sql() -> str:
+def _ms_bfs_with(final_select: str) -> str:
+    """Shared multi-root unrolled-BFS CTE chain (m0..m{BFS_UNROLL});
+    ``final_select`` consumes m{BFS_UNROLL}(root, id, depth)."""
     roots = ", ".join(f"({r})" for r in CLOSE_ROOTS)
     ctes = [
         f"edges AS MATERIALIZED ({EDGES_SQL})",
@@ -392,14 +402,23 @@ def _closeness_sql() -> str:
   ) c ON p.root = c.root AND p.id = c.id
 )"""
         )
-    return (
-        "WITH " + ",\n".join(ctes)
-        + f"""
-SELECT root AS id,
+    return "WITH " + ",\n".join(ctes) + "\n" + final_select
+
+
+def _closeness_sql() -> str:
+    return _ms_bfs_with(
+        f"""SELECT root AS id,
        ROUND(CASE WHEN SUM(depth) > 0
                   THEN (COUNT(depth) - 1) / CAST(SUM(depth) AS DOUBLE)
                   ELSE 0e0 END, 6) AS closeness
 FROM m{BFS_UNROLL} WHERE depth IS NOT NULL GROUP BY root"""
+    )
+
+
+def _harmonic_sql() -> str:
+    return _ms_bfs_with(
+        f"""SELECT root AS id, ROUND(SUM(1e0 / depth), 6) AS harmonic
+FROM m{BFS_UNROLL} WHERE depth IS NOT NULL AND depth > 0 GROUP BY root"""
     )
 
 
@@ -606,6 +625,7 @@ FROM deg GROUP BY 1 ORDER BY 1""",
         + f"\nSELECT src AS id, COUNT(*) AS degree FROM e{KCORE_UNROLL} GROUP BY src"
     ))(),
     "closeness": _closeness_sql(),
+    "harmonic": _harmonic_sql(),
     "approx_diameter": _diameter_sql(),
     "coreness": _coreness_sql(),
     "scc": f"""WITH RECURSIVE edges AS MATERIALIZED ({EDGES_SQL}),
@@ -674,6 +694,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_core": q_k_core,
     "scc": q_scc,
     "closeness": q_closeness,
+    "harmonic": q_harmonic,
     "approx_diameter": q_approx_diameter,
     "coreness": q_coreness,
     "bfs_reachable_count": q_bfs_reachable_count,

@@ -198,6 +198,23 @@ def closeness_centrality(
     )
 
 
+def harmonic_centrality(
+    edges: DataFrame, roots: list[int], max_iter: int = 100
+) -> DataFrame:
+    """DataFrame[id, harmonic] for the sampled ``roots``:
+    H(v) = Σ_{u ≠ v, reachable} 1/d(v,u) — closeness's well-behaved
+    cousin (defined even on disconnected graphs, no reach-size
+    normalization trap). Shares the one multi-source BFS with
+    closeness_centrality."""
+    d = multi_source_bfs_depths(edges, roots, max_iter=max_iter)
+    return (
+        d.filter(F.col("depth").isNotNull() & (F.col("depth") > 0))
+        .groupBy("root")
+        .agg(F.sum(F.lit(1.0) / F.col("depth")).alias("harmonic"))
+        .select(F.col("root").alias("id"), "harmonic")
+    )
+
+
 def approx_diameter(edges: DataFrame, seed_root: int = 0, max_iter: int = 100) -> DataFrame:
     """One-row DataFrame[peripheral_id, diameter_lb] — the classic
     double-sweep lower bound: BFS from ``seed_root``, hop to the farthest

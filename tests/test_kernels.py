@@ -259,10 +259,15 @@ def test_multi_source_bfs_and_closeness(spark):
         assert {i: ms[(root, i)] for _r, i in ms if _r == root} == single
 
     c = {r["id"]: r["closeness"] for r in closeness_centrality(df, roots).collect()}
+    from llama_spark.operators.traversal import harmonic_centrality
+
+    h = {r["id"]: r["harmonic"] for r in harmonic_centrality(df, roots).collect()}
     for root in roots:
         reach = {i: d for (rt, i), d in ms.items() if rt == root and d is not None}
         want = (len(reach) - 1) / sum(reach.values()) if sum(reach.values()) else 0.0
         assert math.isclose(c[root], want, abs_tol=1e-9)
+        want_h = sum(1.0 / d for d in reach.values() if d > 0)
+        assert math.isclose(h[root], want_h, rel_tol=1e-9)
 
     # chain 0→1→…→9: sweep from the middle finds an end, diameter_lb = 9
     chain = edges_df(spark, [(i, i + 1) for i in range(9)] + [(i + 1, i) for i in range(9)])

@@ -421,36 +421,10 @@ def q_lsh_verified_dedup(spark, sf_dir):
     """The canonical two-stage dedup: LSH candidates → exact Jaccard verify
     (≥ 0.5). Candidate generation is subquadratic; verification touches
     only candidate pairs."""
-    from .functions.dedup import lsh_candidate_pairs, shingles
+    from .functions.dedup import verified_near_duplicates
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cands = lsh_candidate_pairs(docs)
-    sh = shingles(docs, 3)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        cands.join(a, cands["doc_a"] == F.col("a.doc_id"))
-        .join(
-            b,
-            (cands["doc_b"] == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
+    return verified_near_duplicates(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.5
     )
 
 
@@ -476,3 +450,39 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.5""",
 )
 DOCS_QUERIES["lsh_verified_dedup"] = q_lsh_verified_dedup
+
+CURATE_MIN_TOKENS = 20
+
+
+def q_corpus_curation(spark, sf_dir):
+    """The composed curation pipeline (token floor → lang → exact dedup →
+    verified near-dup) — each stage an already-gated operator; this gate
+    checks the composition end-to-end."""
+    from .functions.dedup import curate_corpus
+
+    return curate_corpus(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        min_tokens=CURATE_MIN_TOKENS,
+        langs=("en",),
+        jaccard_t=0.5,
+    )
+
+
+DOCS_ORACLE["corpus_curation"] = f"""
+WITH tc AS MATERIALIZED (SELECT doc_id, n_tokens FROM ({DOCS_ORACLE['token_counts']})),
+li AS MATERIALIZED (SELECT doc_id, lang_pred FROM ({DOCS_ORACLE['language_id']})),
+ed AS MATERIALIZED (SELECT doc_id, canonical_id FROM ({DOCS_ORACLE['exact_duplicates']})),
+nd AS MATERIALIZED (SELECT DISTINCT doc_b AS doc_id FROM ({DOCS_ORACLE['lsh_verified_dedup']})),
+r AS (
+  SELECT d.doc_id,
+         CASE WHEN tc.n_tokens < {CURATE_MIN_TOKENS} THEN 'too_short'
+              WHEN li.lang_pred <> 'en' THEN 'lang'
+              WHEN ed.canonical_id <> d.doc_id THEN 'exact_dup'
+              WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END AS reject_reason
+  FROM documents d
+  JOIN tc ON tc.doc_id = d.doc_id
+  JOIN li ON li.doc_id = d.doc_id
+  JOIN ed ON ed.doc_id = d.doc_id
+  LEFT JOIN nd ON nd.doc_id = d.doc_id)
+SELECT doc_id, reject_reason IS NULL AS keep, reject_reason FROM r"""
+DOCS_QUERIES["corpus_curation"] = q_corpus_curation

@@ -226,3 +226,91 @@ def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
         )
         fingerprint = term if fingerprint is None else fingerprint + term
     return votes.select("doc_id", fingerprint.alias("simhash"))
+
+
+def verified_near_duplicates(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """DataFrame[doc_a, doc_b, jaccard] — the canonical two-stage dedup:
+    LSH candidate pairs (subquadratic) verified by exact shingle Jaccard
+    (computed only on candidate pairs), kept at J ≥ threshold."""
+    cands = lsh_candidate_pairs(documents, k, bands, n, max_bucket_size)
+    sh = shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cands.join(a, cands["doc_a"] == F.col("a.doc_id"))
+        .join(
+            b,
+            (cands["doc_b"] == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def curate_corpus(
+    documents: DataFrame,
+    min_tokens: int = 20,
+    langs: tuple[str, ...] = ("en",),
+    jaccard_t: float = 0.5,
+) -> DataFrame:
+    """DataFrame[doc_id, keep, reject_reason] — the composed training-data
+    curation pipeline a 100-TB corpus actually runs, as ONE declarative
+    plan: token-count floor → language filter → exact dedup (keep the min
+    doc_id of each byte-identical cluster) → two-stage near-dup removal
+    (LSH + exact-Jaccard verify; the larger doc_id of each verified pair
+    loses). ``reject_reason`` is the FIRST failing stage in that fixed
+    order (deterministic, cross-engine-stable); keep = no stage failed.
+
+    Every stage is a reused, individually-oracle-gated operator — this
+    gate checks their composition."""
+    from .text import language_id, token_counts
+
+    tc = token_counts(documents).select("doc_id", "n_tokens")
+    li = language_id(documents)
+    ed = exact_duplicates(documents).select("doc_id", "canonical_id")
+    losers = (
+        verified_near_duplicates(documents, threshold=jaccard_t)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_nd", F.lit(True))
+    )
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(~F.col("lang_pred").isin(*langs), F.lit("lang"))
+        .when(F.col("canonical_id") != F.col("doc_id"), F.lit("exact_dup"))
+        .when(F.col("_nd"), F.lit("near_dup"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(tc, "doc_id")
+        .join(li, "doc_id")
+        .join(ed, "doc_id")
+        .join(losers, "doc_id", "left")
+        .select(
+            "doc_id",
+            reason.isNull().alias("keep"),
+            reason.alias("reject_reason"),
+        )
+    )

@@ -141,6 +141,31 @@ def test_ngram_hot_shingle_df_cap(spark):
     assert exact.filter("doc_a < 40 AND doc_b < 40").count() == 40 * 39 // 2
 
 
+def test_corpus_curation_branches(spark):
+    """Every reject reason fires on a doc built to trip exactly it, in the
+    fixed precedence order (too_short > lang > exact_dup > near_dup)."""
+    from llama_spark.functions.dedup import curate_corpus
+
+    en = "the and is in of to for with on this that from stock market news report today"
+    docs = [
+        (0, en + " alpha beta gamma delta epsilon"),             # kept
+        (1, "short text"),                                       # too_short
+        (2, "der und die das ist nicht ein mit für auf werden haben sein auch wird sind einer einem"),  # lang
+        (3, en + " alpha beta gamma delta epsilon"),             # exact_dup of 0
+        (4, en + " alpha beta gamma delta zeta"),                # near_dup of 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["keep"], r["reject_reason"])
+        for r in curate_corpus(df, min_tokens=10, langs=("en",), jaccard_t=0.5).collect()
+    }
+    assert got[0] == (True, None)
+    assert got[1] == (False, "too_short")
+    assert got[2] == (False, "lang")
+    assert got[3] == (False, "exact_dup")
+    assert got[4] == (False, "near_dup")
+
+
 def test_minhash_lsh(docs):
     from llama_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
 

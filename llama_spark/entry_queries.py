@@ -229,6 +229,16 @@ def q_scc(spark, sf_dir):
 
 
 CORENESS_UNROLL = 12
+TRUSS_K = 4  # sf0.01 cascade: 59673 → 4226 → 202 → 60 edges (4 rounds)
+TRUSS_UNROLL = 6
+
+
+def q_k_truss(spark, sf_dir):
+    """k-truss edge set after exactly TRUSS_UNROLL support-peels
+    (fixed-round SQL-portable mode; converged rounds are no-ops)."""
+    from .operators.truss import k_truss
+
+    return k_truss(load_edges(spark, sf_dir), k=TRUSS_K, rounds=TRUSS_UNROLL)
 
 
 def q_coreness(spark, sf_dir):
@@ -347,6 +357,38 @@ def _ppr_sql() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, ROUND(rank * (SELECT n FROM nn), 6) AS rank_scaled FROM r{PR_ITERS}"
+    )
+
+
+def _truss_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS src, "
+        "GREATEST(src, dst) AS dst FROM edges WHERE src <> dst)",
+    ]
+    for i in range(1, TRUSS_UNROLL + 1):
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT a.src AS u, a.dst AS v, b.dst AS w
+  FROM e{i-1} a JOIN e{i-1} b ON b.src = a.dst
+  JOIN e{i-1} c ON c.src = a.src AND c.dst = b.dst
+)"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i-1} e JOIN (
+    SELECT src, dst, COUNT(*) AS c FROM (
+      SELECT u AS src, v AS dst FROM t{i} UNION ALL
+      SELECT v AS src, w AS dst FROM t{i} UNION ALL
+      SELECT u AS src, w AS dst FROM t{i}
+    ) GROUP BY src, dst
+  ) s ON s.src = e.src AND s.dst = e.dst
+  WHERE s.c >= {TRUSS_K - 2}
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT src, dst FROM e{TRUSS_UNROLL}"
     )
 
 
@@ -628,6 +670,7 @@ FROM deg GROUP BY 1 ORDER BY 1""",
     "harmonic": _harmonic_sql(),
     "approx_diameter": _diameter_sql(),
     "coreness": _coreness_sql(),
+    "k_truss": _truss_sql(),
     "scc": f"""WITH RECURSIVE edges AS MATERIALIZED ({EDGES_SQL}),
 nodes AS MATERIALIZED ({NODES_SQL}),
 reach(a, b) AS (
@@ -697,6 +740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "harmonic": q_harmonic,
     "approx_diameter": q_approx_diameter,
     "coreness": q_coreness,
+    "k_truss": q_k_truss,
     "bfs_reachable_count": q_bfs_reachable_count,
     "level_spread": q_level_spread,
     "sssp_weighted": q_sssp_weighted,

@@ -1,0 +1,92 @@
+"""k-truss decomposition — iterative triangle-support peeling.
+
+Same fixpoint family as k-core (kcore.py) one level up the subgraph
+hierarchy: the k-truss is the maximal subgraph in which every edge closes
+at least k-2 triangles *within the subgraph*. Peeling: repeatedly drop
+edges whose in-subgraph support < k-2 until none change — the community-
+core detector of choice on link graphs (denser than k-core, cheaper than
+clique mining).
+
+Spark plan per round over the canonical oriented edge set (u < v,
+deduped, self-loop-free — triangles.py's orientation trick):
+    tri   = e(u,v) ⨝ e(v,w) ⨝ e(u,w)          (each triangle found once)
+    supp  = explode each triangle into its 3 edges → groupBy count
+    e'    = e ⨝ supp WHERE support ≥ k-2       (no supp row ⇒ support 0)
+The edge set only shrinks, so per-round cost is monotone non-increasing;
+each round truncates lineage with an eager checkpoint. ``rounds`` forces
+the fixed-round SQL-portable mode (like k_core/coreness); ``rounds=None``
+peels to convergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST)
+        )
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+    )
+
+
+def edge_support(e: DataFrame) -> DataFrame:
+    """DataFrame[src, dst, support] over a canonical oriented edge set —
+    number of triangles each edge closes (edges in no triangle absent)."""
+    a, b, c = e.alias("a"), e.alias("b"), e.alias("c")
+    tri = (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .join(
+            c,
+            (F.col("c.src") == F.col("a.src")) & (F.col("c.dst") == F.col("b.dst")),
+        )
+        .select(
+            F.col("a.src").alias("u"), F.col("a.dst").alias("v"), F.col("b.dst").alias("w")
+        )
+    )
+    sides = (
+        tri.select(F.col("u").alias(SRC), F.col("v").alias(DST))
+        .unionAll(tri.select(F.col("v").alias(SRC), F.col("w").alias(DST)))
+        .unionAll(tri.select(F.col("u").alias(SRC), F.col("w").alias(DST)))
+    )
+    return sides.groupBy(SRC, DST).agg(F.count("*").alias("support"))
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """DataFrame[src, dst] (src < dst) — the k-truss of the undirected,
+    deduped view of ``edges``."""
+    if k < 3:
+        raise ValueError("k-truss is defined for k >= 3")
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = _canonical(edges).repartition(p, SRC).localCheckpoint(eager=True)
+    m = e.count()
+
+    limit = rounds if rounds is not None else max_iter
+    for _ in range(limit):
+        if m == 0:
+            break
+        supp = edge_support(e)
+        kept = (
+            e.join(supp, [SRC, DST], "left")
+            .filter(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select(SRC, DST)
+            .localCheckpoint(eager=True)
+        )
+        m2 = kept.count()
+        if m2 == m:
+            break  # fixpoint — remaining unrolled rounds are no-ops too
+        e, m = kept, m2
+
+    return e

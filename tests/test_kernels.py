@@ -154,6 +154,23 @@ def test_k_core(spark):
     assert fixed == oracle.k_core(CHAIN10, 2)
 
 
+def test_k_truss(spark):
+    """4-truss of K4-plus-tail is exactly K4 (every K4 edge closes 2
+    triangles); 5-truss of K4 is empty; direction/dup/self-loop noise in
+    the input is canonicalized away."""
+    from llama_spark.operators.truss import k_truss
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (3, 9), (9, 3)]
+    df = edges_df(spark, noisy)
+    got4 = {(r["src"], r["dst"]) for r in k_truss(df, k=4).collect()}
+    assert got4 == set(k4)
+    assert k_truss(df, k=5).count() == 0
+    # fixed-round mode at ≥ convergence depth matches convergence mode
+    fixed = {(r["src"], r["dst"]) for r in k_truss(df, k=4, rounds=5).collect()}
+    assert fixed == got4
+
+
 def test_coreness(spark):
     """h-index fixpoint (convergence mode) equals sequential min-degree
     peeling (the textbook coreness algorithm) on K3, a chain, and RMAT."""

@@ -127,6 +127,14 @@ def main() -> None:
         lambda: betweenness_centrality(edges, k=100, max_depth=12).count(),
     )
 
+    from llama_spark.operators.kcore import coreness
+    from llama_spark.operators.scc import strongly_connected_components
+    from llama_spark.operators.truss import k_truss
+
+    timed("scc", lambda: strongly_connected_components(edges).count())
+    timed("coreness", lambda: coreness(edges).count())
+    timed("k_truss4", lambda: k_truss(edges, k=4).count())
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("minhash_lsh_dedup", lambda: lsh_candidate_pairs(docs).count())

@@ -93,10 +93,10 @@ def triangles_per_node(edges: DataFrame, orient: str = "degree") -> DataFrame:
             F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
         )
     )
-    corners = (
-        tris.select(F.col("a").alias("id"))
-        .unionAll(tris.select(F.col("b").alias("id")))
-        .unionAll(tris.select(F.col("c").alias("id")))
+    # one pass over the triangle join — a unionAll of three projections
+    # would re-plan (and re-execute) the whole 3-way join per branch
+    corners = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("id")
     )
     out = corners.groupBy("id").agg(F.count("*").alias("triangles")).localCheckpoint(
         eager=True

@@ -175,6 +175,20 @@ def q_k_core(spark, sf_dir):
     return k_core(load_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_UNROLL)
 
 
+def q_pagerank_redistribute(spark, sf_dir):
+    """Textbook dangling-mass-redistribution PageRank on a graph with real
+    dangling nodes (all out-edges of ids ≡ 0 mod 7 dropped, so those ids
+    appear as link targets only). Σrank stays 1 by construction."""
+    from .operators.pagerank import pagerank
+
+    edges = load_edges(spark, sf_dir).filter(F.col("src") % 7 != 0)
+    ranks = pagerank(edges, max_iter=PR_ITERS, dangling="redistribute")
+    n = ranks.count()
+    return ranks.select(
+        "id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_scaled")
+    )
+
+
 PPR_SOURCES = [0, 42, 1234]  # teleport set for the gate (all ids exist mod 4096)
 
 
@@ -317,6 +331,40 @@ def _pagerank_sql() -> str:
   SELECT nodes.id,
          CAST({base_factor} AS DOUBLE)/(SELECT n FROM nn)
          + CAST({DAMPING!r} AS DOUBLE) * COALESCE(c.contrib, 0e0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / d.od) AS contrib
+    FROM r{i-1} r JOIN edges e ON e.src = r.id JOIN deg d ON d.id = r.id
+    GROUP BY e.dst
+  ) c ON nodes.id = c.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank * (SELECT n FROM nn), 6) AS rank_scaled FROM r{PR_ITERS}"
+    )
+
+
+def _pagerank_redistribute_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES_SQL}) WHERE src % 7 <> 0)",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS od FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, 1e0/(SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    base_factor = repr(1.0 - DAMPING)
+    for i in range(1, PR_ITERS + 1):
+        # same operation grouping as the Spark column expression:
+        # (base + d*coalesce(contrib,0)) + (d*dm)/n
+        ctes.append(
+            f"""dm{i-1} AS (SELECT COALESCE(SUM(rank), 0e0) AS dm FROM r{i-1}
+  WHERE id NOT IN (SELECT id FROM deg)),
+r{i} AS MATERIALIZED (
+  SELECT nodes.id,
+         (CAST({base_factor} AS DOUBLE)/(SELECT n FROM nn)
+          + CAST({DAMPING!r} AS DOUBLE) * COALESCE(c.contrib, 0e0))
+         + (CAST({DAMPING!r} AS DOUBLE) * (SELECT dm FROM dm{i-1}))
+           / CAST((SELECT n FROM nn) AS DOUBLE) AS rank
   FROM nodes LEFT JOIN (
     SELECT e.dst AS id, SUM(r.rank / d.od) AS contrib
     FROM r{i-1} r JOIN edges e ON e.src = r.id JOIN deg d ON d.id = r.id
@@ -648,6 +696,7 @@ FROM deg GROUP BY 1 ORDER BY 1""",
     "pagerank": _pagerank_sql(),
     "pagerank_top10": _pagerank_top10_sql(),
     "personalized_pagerank": _ppr_sql(),
+    "pagerank_redistribute": _pagerank_redistribute_sql(),
     "connected_components": _cc_sql(),
     "label_propagation": _lp_sql(),
     "triangle_count": _triangles_sql(),
@@ -730,6 +779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "pagerank_top10": q_pagerank_top10,
     "personalized_pagerank": q_personalized_pagerank,
+    "pagerank_redistribute": q_pagerank_redistribute,
     "connected_components": q_connected_components,
     "label_propagation": q_label_propagation,
     "triangle_count": q_triangle_count,

@@ -45,6 +45,7 @@ def pagerank(
     checkpoint_every: int = 5,
     resume: bool = False,
     num_partitions: int | None = None,
+    dangling: str = "lost",
 ) -> DataFrame:
     """Return DataFrame[id: long, rank: double] after power iteration."""
     return pagerank_result(
@@ -56,6 +57,7 @@ def pagerank(
         checkpoint_every=checkpoint_every,
         resume=resume,
         num_partitions=num_partitions,
+        dangling=dangling,
     ).state
 
 
@@ -69,13 +71,22 @@ def pagerank_result(
     resume: bool = False,
     num_partitions: int | None = None,
     initial_ranks: DataFrame | None = None,
+    dangling: str = "lost",
 ) -> FixpointResult:
     """``initial_ranks`` (DataFrame[id, rank]) warm-starts the power
     iteration from a previous snapshot's scores — the streaming-loop
     pattern (run_batch_loop): nodes absent from it start at 1/N. The
     fixpoint is initialization-independent, so a warm start changes only
     the convergence distance, never the answer (verified in
-    test_pagerank_warm_start_converges_same)."""
+    test_pagerank_warm_start_converges_same).
+
+    ``dangling="lost"`` (default) reproduces the reference exactly: a
+    node with out-degree 0 contributes nothing and total rank drifts
+    below 1 (pagerank.h:287-288). ``dangling="redistribute"`` is the
+    textbook variant — each iteration spreads the dangling nodes' rank
+    mass uniformly, keeping Σrank = 1. The dangling mass is a 1-row
+    aggregate cross-joined into the same plan (no extra driver round
+    trip; still one job per iteration)."""
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -124,6 +135,16 @@ def pagerank_result(
     def _hint(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
 
+    if dangling not in ("lost", "redistribute"):
+        raise ValueError(f"dangling must be 'lost' or 'redistribute', got {dangling!r}")
+    dangling_ids = None
+    if dangling == "redistribute":
+        dangling_ids = (
+            nodes.join(out_deg.select(F.col(SRC).alias("id")), "id", "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        dangling_ids.count()
+
     def step(ranks: DataFrame, _i: int) -> DataFrame:
         contribs = (
             _hint(ranks).join(edges_inv, ranks["id"] == edges_inv[SRC])
@@ -131,10 +152,16 @@ def pagerank_result(
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
         )
-        return nodes.join(_hint(contribs), "id", "left").select(
-            "id",
-            (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
-        )
+        new_rank = F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+        out = nodes.join(_hint(contribs), "id", "left")
+        if dangling_ids is not None:
+            dmass = (
+                ranks.join(dangling_ids, "id", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            )
+            out = out.crossJoin(F.broadcast(dmass))
+            new_rank = new_rank + F.lit(damping) * F.col("_dm") / F.lit(float(n))
+        return out.select("id", new_rank.alias("rank"))
 
     updated = None
     if tol is not None:
@@ -164,6 +191,8 @@ def pagerank_result(
     )
     nodes.unpersist()
     edges_inv.unpersist()
+    if dangling_ids is not None:
+        dangling_ids.unpersist()
     return result
 
 

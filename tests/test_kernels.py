@@ -91,6 +91,35 @@ def test_pagerank_dangling_mass_lost(spark):
     assert math.isclose(total, want, abs_tol=1e-9)
 
 
+def test_pagerank_dangling_redistribute(spark):
+    """The textbook variant conserves Σrank = 1 on a graph with dangling
+    nodes and matches a python power iteration with mass spreading."""
+    from collections import defaultdict
+
+    from llama_spark.operators.pagerank import pagerank
+
+    pairs = [(s, d) for s, d in rmat_edges(scale=6, avg_degree=3) if s % 5 != 0]
+    df = edges_df(spark, pairs)
+    got = {r["id"]: r["rank"] for r in pagerank(df, max_iter=10, dangling="redistribute").collect()}
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+    nodes = sorted({u for e in pairs for u in e})
+    n = len(nodes)
+    out_deg = defaultdict(int)
+    for s, _d in pairs:
+        out_deg[s] += 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        dm = sum(rank[v] for v in nodes if out_deg[v] == 0)
+        contrib = defaultdict(float)
+        for s, d in pairs:
+            contrib[d] += rank[s] / out_deg[s]
+        rank = {v: 0.15 / n + 0.85 * contrib[v] + 0.85 * dm / n for v in nodes}
+    assert set(got) == set(rank)
+    for k in rank:
+        assert math.isclose(got[k], rank[k], rel_tol=0, abs_tol=1e-9), k
+
+
 def test_pagerank_tol_mode(spark):
     """Convergence mode (examples/llama-pagerank.cc:183-185)."""
     from llama_spark.operators.pagerank import pagerank_result

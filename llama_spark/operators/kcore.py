@@ -88,8 +88,21 @@ def coreness(
     round; state checkpointed via the usual cadence.
 
     ``rounds`` forces a fixed round count (SQL-oracle-portable mode, like
-    ``k_core``); ``rounds=None`` iterates until no value changes."""
-    from pyspark.sql import Window
+    ``k_core``); ``rounds=None`` iterates until no value changes.
+
+    **Delta iteration**: h(v) can only change when some neighbor's value
+    changed last round, so after the first full round each round recomputes
+    h ONLY for the ``affected`` set (neighbors of changed nodes), coalescing
+    everyone else's value from state — the same changed-frontier treatment
+    as ``components.py`` / ``traversal.py``. The affected set is derived
+    with two broadcast semi-joins against the src-partitioned edge table
+    (which therefore streams, never reshuffles); symmetry turns
+    "edges INTO affected" into the mirror of "edges FROM affected", keeping
+    both semi-joins on the src key. Rounds whose changed set exceeds the
+    100k broadcast bound fall back to the full recompute (identical
+    semantics — on real graphs the frontier collapses under the bound
+    within a few rounds, exactly when the delta pays)."""
+    from pyspark.sql import Observation, Window
 
     spark = edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -102,30 +115,56 @@ def coreness(
 
     w = Window.partitionBy("id").orderBy(F.desc("value"))
     limit = rounds if rounds is not None else max_iter
+    changed_ids = None  # None → full-recompute round (round 0 / big frontier)
     for _ in range(limit):
+        if changed_ids is None:
+            sub = und
+        else:
+            # neighbors of last round's changed nodes; then (by symmetry of
+            # und) edges INTO them = mirrored edges FROM them — both joins
+            # key on src, so the checkpointed edge table never reshuffles
+            aff = (
+                und.join(
+                    F.broadcast(changed_ids.withColumnRenamed("id", SRC)),
+                    SRC,
+                    "left_semi",
+                )
+                .select(F.col(DST).alias(SRC))
+                .distinct()
+            )
+            sub = und.join(F.broadcast(aff), SRC, "left_semi").select(
+                F.col(DST).alias(SRC), F.col(SRC).alias(DST)
+            )
         hi = (
-            c.join(und, c["id"] == und[SRC])
+            c.join(sub, c["id"] == sub[SRC])
             .groupBy(F.col(DST).alias("id"), F.col("c").alias("value"))
             .agg(F.count("*").alias("cnt"))
             .withColumn("cum", F.sum("cnt").over(w))
             .groupBy("id")
             .agg(F.max(F.least(F.col("value"), F.col("cum"))).alias("h"))
         )
+        # h is NULL exactly for nodes outside the recompute set (in a full
+        # round every node has ≥1 und edge) — they keep their value
         new_c = (
             c.select("id", F.col("c").alias("c_old"))
             .join(hi, "id", "left")
-            .select("id", F.coalesce("h", F.lit(0)).cast("long").alias("c"),
-                    (F.coalesce("h", F.lit(0)) != F.col("c_old")).alias("changed"))
+            .select("id", F.coalesce("h", "c_old").cast("long").alias("c"),
+                    (F.col("h").isNotNull() & (F.col("h") != F.col("c_old"))).alias("changed"))
         )
-        from pyspark.sql import Observation
-
         obs = Observation(f"coreness_{_}")
         new_c = new_c.observe(
             obs, F.sum(F.col("changed").cast("long")).alias("n")
         ).localCheckpoint(eager=True)
         changed = int(obs.get["n"] or 0)
         c = new_c.select("id", "c")
-        if rounds is None and changed == 0:
+        changed_ids = (
+            new_c.filter(F.col("changed")).select("id")
+            if 0 < changed <= 100_000
+            else None
+        )
+        if changed == 0:
+            # fixpoint: remaining rounds are no-ops in BOTH modes (the SQL
+            # oracle's remaining unrolled rounds are no-ops too)
             break
 
     return c.select("id", F.col("c").alias("coreness"))

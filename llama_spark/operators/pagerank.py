@@ -216,6 +216,17 @@ def personalized_pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("id", F.lit(0.0).alias("rank"))
+    # teleport mass only lands on nodes of the edge-derived node set; a
+    # source id absent from it would silently lose its 1/|S| share and
+    # degenerate the whole ranking toward zero — fail loudly instead
+    present = nodes.filter(F.col("id").isin(sources)).count()
+    if present != len(set(sources)):
+        found = {r["id"] for r in nodes.filter(F.col("id").isin(sources)).collect()}
+        missing = sorted(set(sources) - found)
+        raise ValueError(
+            f"personalized_pagerank sources not in the graph's node set: "
+            f"{missing} (teleport mass for them would be silently dropped)"
+        )
 
     out_deg = edges.groupBy(SRC).agg(F.count("*").alias("od"))
     edges_inv = (

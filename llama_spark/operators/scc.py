@@ -31,9 +31,17 @@ from ..graph import DST, SRC, drop_self_loops, nodes_of
 
 
 def strongly_connected_components(
-    edges: DataFrame, max_rounds: int = 50, max_prop_iters: int = 100
+    edges: DataFrame,
+    max_rounds: int = 50,
+    max_prop_iters: int = 100,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """DataFrame[id, scc] — scc = min member id of the node's SCC."""
+    """DataFrame[id, scc] — scc = min member id of the node's SCC.
+
+    ``stats`` (optional dict) is filled with ``colorings`` (forward-coloring
+    fixpoints paid), ``trim_rounds`` (degree-peel iterations) and
+    ``trimmed`` (nodes settled by Trim alone) — the observable that the
+    Trim step actually replaces colorings (see test_scc_trim_chain)."""
     spark = edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -50,9 +58,47 @@ def strongly_connected_components(
     # re-checkpointing the accumulator every round is O(rounds · V) writes
     # (the same anti-pattern fixed in bc.py's forward-level accumulation)
     assigned_parts: list[DataFrame] = []
+    _stats = {"colorings": 0, "trim_rounds": 0, "trimmed": 0}
 
     remaining = active_nodes.count()
     for _round in range(max_rounds):
+        if remaining == 0:
+            break
+
+        # 0. Trim (FW-BW-Trim): a node whose in- OR out-degree within the
+        # active subgraph is 0 is a singleton SCC — peel those iteratively
+        # with cheap degree filters BEFORE paying a full coloring fixpoint.
+        # On web graphs trivial SCCs dominate once the giant SCC is gone,
+        # so this turns most outer rounds' colorings into no-ops.
+        while remaining > 0:
+            keep = (
+                active_edges.select(F.col(SRC).alias("id"))
+                .distinct()
+                .join(active_edges.select(F.col(DST).alias("id")).distinct(), "id")
+                .localCheckpoint(eager=True)
+            )
+            n_keep = keep.count()
+            n_trivial = remaining - n_keep
+            if n_trivial == 0:
+                break
+            trivial = active_nodes.join(keep, "id", "left_anti").select(
+                "id", F.col("id").alias("scc")
+            ).localCheckpoint(eager=True)
+            assigned_parts.append(trivial)
+            _stats["trim_rounds"] += 1
+            _stats["trimmed"] += n_trivial
+            tiny = n_keep <= 100_000
+
+            def _keep_hint(df: DataFrame) -> DataFrame:
+                return F.broadcast(df) if tiny else df.hint("shuffle_hash")
+
+            active_nodes = keep
+            active_edges = (
+                active_edges.join(_keep_hint(keep.withColumnRenamed("id", SRC)), SRC, "left_semi")
+                .join(_keep_hint(keep.withColumnRenamed("id", DST)), DST, "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            remaining = n_keep
         if remaining == 0:
             break
 
@@ -61,6 +107,7 @@ def strongly_connected_components(
         # per propagation iteration
         colors = active_nodes.select("id", F.col("id").alias("color"))
         colors = colors.localCheckpoint(eager=True)
+        _stats["colorings"] += 1
         changed = 0
         for _pi in range(max_prop_iters):
             incoming = (
@@ -163,4 +210,6 @@ def strongly_connected_components(
         out = all_nodes.select("id", F.col("id").alias("scc"))
     out = out.localCheckpoint(eager=True)
     all_nodes.unpersist()
+    if stats is not None:
+        stats.update(_stats)
     return out

@@ -301,13 +301,15 @@ def read_fgf(
     per FILE (``binaryFile`` source → one parse task each); convert to
     parquet once for anything read repeatedly."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-    first = files.limit(1).collect()
+    # schema inference: deterministically from the lexicographically FIRST
+    # file of the glob (limit(1) on an unordered scan picks an arbitrary
+    # file — two runs over a mixed-schema glob would silently infer
+    # different column sets). Property blocks are variable-length so we
+    # parse that one file driver-side (FGF files are interchange-sized, not
+    # data-lake tables — the scale path is fgf_to_parquet).
+    first = files.orderBy("path").limit(1).collect()
     if not first:
         raise FileNotFoundError(path)
-    # schema inference: the ATTR declarations sit in the first KBs of the
-    # header, but property blocks are variable-length so we parse the first
-    # file once driver-side (FGF files are interchange-sized, not data-lake
-    # tables — the scale path is fgf_to_parquet)
     prop_types, _, _ = _parse_fgf(bytes(first[0]["content"]))
 
     prop_cols = [
@@ -324,8 +326,17 @@ def read_fgf(
         import pandas as pd
 
         for pdf in it:
-            for blob in pdf["content"]:
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
                 ptypes, nodes, edges = _parse_fgf(bytes(blob))
+                if ptypes != prop_types:
+                    # every file of the glob must declare the SAME ATTR set
+                    # as the schema-inference file — otherwise its rows
+                    # would be parsed against the wrong column set silently
+                    raise ValueError(
+                        f"FGF schema mismatch: {fpath} declares {ptypes}, "
+                        f"inferred schema (from first-by-path file) is "
+                        f"{prop_types}"
+                    )
                 names = [n for n, _ in ptypes]
                 if what == "edges":
                     yield pd.DataFrame(

@@ -430,6 +430,7 @@ class VersionedEdgeStore:
         current = self.read_at().persist()
         current.count()
         m = self._read_manifest()
+        superseded = list(m["levels"])
         level = (m["levels"][-1]["level"] + 1) if m["levels"] else 0
         locator, rows = self.backend.write_level(current, level)
         m["levels"] = [
@@ -444,5 +445,10 @@ class VersionedEdgeStore:
         ]
         m["min_level"] = level
         self._write_manifest(m)
+        # the old levels are unreachable from the new manifest — reclaim
+        # them now (parquet dirs deleted / in-memory checkpoint frames
+        # unpinned); leaving them would orphan storage no vacuum() can see
+        for e in superseded:
+            self.backend.drop_level(e["path"])
         current.unpersist()
         return level

@@ -300,9 +300,11 @@ def test_multi_source_bfs_and_closeness(spark):
         (r["root"], r["id"]): r["depth"]
         for r in multi_source_bfs_depths(df, roots).collect()
     }
+    assert all(d is not None for d in ms.values())  # sparse: reached only
     for root in roots:
         single = {r["id"]: r["depth"] for r in bfs_depths(df, root=root).collect()}
-        assert {i: ms[(root, i)] for _r, i in ms if _r == root} == single
+        reached = {i: d for i, d in single.items() if d is not None}
+        assert {i: ms[(root, i)] for _r, i in ms if _r == root} == reached
 
     c = {r["id"]: r["closeness"] for r in closeness_centrality(df, roots).collect()}
     from llama_spark.operators.traversal import harmonic_centrality

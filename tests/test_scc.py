@@ -49,3 +49,27 @@ def test_scc_on_gate_edges(spark):
     }
     want = oracle.kosaraju_scc(pairs)
     assert got == want
+
+
+def test_scc_trim_chain(spark):
+    """FW-BW-Trim: a reversed chain of singleton SCCs feeding a cycle is
+    settled almost entirely by the Trim degree-peel — the expensive
+    forward-coloring fixpoint runs ONCE (for the cycle), where plain FW-BW
+    pays one coloring per chain node (max-id coloring finds a single root
+    per round on a descending-id chain)."""
+    from llama_spark.operators.scc import strongly_connected_components
+
+    tail = [(i + 1, i) for i in range(3, 10)]  # 10→9→…→4→3, descending ids
+    cycle = [(0, 1), (1, 2), (2, 0), (3, 0)]
+    pairs = tail + cycle
+    stats: dict = {}
+    got = {
+        r["id"]: r["scc"]
+        for r in strongly_connected_components(
+            edges_df(spark, pairs), stats=stats
+        ).collect()
+    }
+    want = oracle.kosaraju_scc(pairs)
+    assert got == want
+    assert stats["colorings"] == 1, stats   # plain FW-BW would pay ~8
+    assert stats["trimmed"] == 8, stats     # every chain node settled by Trim

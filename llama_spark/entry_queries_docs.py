@@ -149,6 +149,18 @@ def q_simhash(spark, sf_dir):
     return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+SIMHASH_MAX_HAMMING = 3  # < bands(4) → pigeonhole-exact recall
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from .functions.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     from .functions.similarity import cosine_topk
 
@@ -338,6 +350,29 @@ votes AS (
 SELECT doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id""",
+    "simhash_pairs": f"""
+WITH toks AS MATERIALIZED ({TOKS_SQL}),
+h AS (SELECT doc_id, {HASH.format('tok')} AS h FROM toks),
+bits AS (SELECT CAST(range AS INTEGER) AS b FROM range(60)),
+votes AS (
+  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN bits GROUP BY doc_id, b),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id),
+bands AS (SELECT CAST(range AS INTEGER) AS band FROM range(4)),
+banded AS MATERIALIZED (
+  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bv
+  FROM sh CROSS JOIN bands),
+cands AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM cands c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
     "cosine_topk": f"""
 WITH vecs AS ({VECS_SQL}),
 normed AS MATERIALIZED ({NORMED_SQL}),
@@ -410,6 +445,7 @@ DOCS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
     "lsh_ann": q_lsh_ann,
     "near_dup_embeddings": q_near_dup_embeddings,

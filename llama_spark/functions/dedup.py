@@ -228,6 +228,88 @@ def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 4 bands × 15 bits
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """DataFrame[doc_a, doc_b, hamming] — document pairs whose simhash
+    fingerprints differ in at most ``max_hamming`` bits (doc_a < doc_b).
+
+    The two-stage shape every simhash dedup runs at scale:
+
+    1. **band-of-bits blocking**: the ``bits``-bit fingerprint splits into
+       ``bands`` equal bit-bands; candidates = pairs agreeing exactly on at
+       least one band (a groupBy on (band, band_value) — subquadratic).
+       By pigeonhole, ``max_hamming < bands`` differing bits cannot touch
+       every band, so recall is EXACT for the default (3 < 4); at larger
+       ``max_hamming`` blocking is approximate (standard Manku et al.
+       trade-off) but deterministic, and the oracle mirrors it.
+    2. **verify**: ``bit_count(a XOR b) <= max_hamming`` on candidates only.
+
+    **Giant-bucket bound**: same canonical-star treatment as
+    ``lsh_candidate_pairs`` — a band bucket larger than ``max_bucket_size``
+    links every member to the bucket's min doc_id (O(M) pairs, duplicate
+    clusters still spanned) instead of emitting M(M-1)/2 pairs."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sh = simhash(documents, bits=bits)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftright(simhash, {b * band_bits}) & {mask}")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bv"),
+    )
+    if max_bucket_size is not None:
+        stats = banded.groupBy("band", "bv").agg(
+            F.count("*").alias("_m"), F.min("doc_id").alias("_hub")
+        )
+        banded = banded.join(stats, ["band", "bv"])
+        small = banded.filter(F.col("_m") <= max_bucket_size)
+        star = banded.filter(
+            (F.col("_m") > max_bucket_size) & (F.col("doc_id") != F.col("_hub"))
+        ).select(F.col("_hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    else:
+        small, star = banded, None
+    x, y = small.alias("x"), small.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    )
+    if star is not None:
+        cands = cands.unionByName(star)
+    cands = cands.distinct()
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_ha"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_hb"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def verified_near_duplicates(
     documents: DataFrame,
     threshold: float = 0.5,

@@ -75,14 +75,19 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(vec_col, dim: int, planes: int = 8):
+def hyperplane_bucket(vec_col, dim: int, planes: int = 8, plane_offset: int = 0):
     """Sign-bit bucket id (0..2^planes-1) for a double-array column —
-    closed-form plane weights, portable to SQL."""
+    closed-form plane weights, portable to SQL. ``plane_offset`` shifts
+    into a later stretch of the plane-weight stream (table t of a
+    multi-table LSH index uses ``plane_offset = t * planes``; offset 0 is
+    bit-identical to the original single-table formula)."""
     bucket = F.lit(0)
     for p in range(planes):
         dot = F.lit(0.0)
         for d in range(dim):
-            wconst = ((1103515245 * (p * dim + d) + 12345) % 65536) / 65536.0 - 0.5
+            wconst = (
+                (1103515245 * ((plane_offset + p) * dim + d) + 12345) % 65536
+            ) / 65536.0 - 0.5
             dot = dot + F.element_at(vec_col, d + 1) * F.lit(wconst)
         bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
@@ -95,35 +100,55 @@ def lsh_ann(
     n_queries: int | None = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact rescoring within the query's LSH bucket."""
+    """Approximate top-k: exact rescoring within the query's LSH buckets.
+
+    ``tables`` = L independent hyperplane tables (OR-amplification): table
+    t hashes with planes ``t*planes .. (t+1)*planes-1`` of the same weight
+    stream, candidates are the UNION over tables (deduped), rescored once.
+    Collision probability goes from p^k (one table, recall collapses as N
+    grows) to 1-(1-p^k)^L — the standard production-ANN recall knob; cost
+    is L bucket columns computed in the same single pass over the data and
+    L candidate joins. ``tables=1`` is bit-identical to the original
+    single-table formula (plane offset 0)."""
     dim = len(embeddings.select(vec_col).first()[0])
-    base = (
-        embeddings.select(
-            F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
+    base = embeddings.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    for t in range(tables):
+        base = base.withColumn(
+            f"b{t}", hyperplane_bucket(F.col("v"), dim, planes, plane_offset=t * planes)
         )
-        .withColumn("nrm", _norm(F.col("v")))
-        .withColumn("bucket", hyperplane_bucket(F.col("v"), dim, planes))
-    )
     q = base.select(
         F.col("nid").alias("qid"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
-        F.col("bucket").alias("qbucket"),
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(tables)],
     )
     if n_queries is not None:
         q = q.orderBy("qid").limit(n_queries)
-    pairs = (
-        F.broadcast(q)
-        .join(base, F.col("qbucket") == F.col("bucket"))
-        .filter(F.col("qid") != F.col("nid"))
-    )
-    scored = pairs.select(
-        F.col("qid").alias("query_id"),
-        F.col("nid").alias("neighbor_id"),
-        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4).alias(
-            "cos_sim"
-        ),
+    # candidate pairs: union of per-table bucket joins, deduped BEFORE the
+    # (more expensive) exact rescoring — each table's join only moves ids
+    cands = None
+    for t in range(tables):
+        ct = (
+            F.broadcast(q.select("qid", f"qb{t}"))
+            .join(base.select("nid", f"b{t}"), F.col(f"qb{t}") == F.col(f"b{t}"))
+            .select("qid", "nid")
+        )
+        cands = ct if cands is None else cands.unionByName(ct)
+    cands = cands.filter(F.col("qid") != F.col("nid")).distinct()
+    scored = (
+        cands.join(F.broadcast(q.select("qid", "qv", "qn")), "qid")
+        .join(base.select("nid", "v", "nrm"), "nid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

@@ -275,6 +275,58 @@ def test_lsh_ann_and_near_dups(vectors):
     assert (0, 40) in dups
 
 
+def test_simhash_near_dup_pairs(docs):
+    """Band-blocked Hamming pairing vs a brute-force python model: with
+    max_hamming(3) < bands(4) the pigeonhole guarantee makes blocking
+    recall EXACT, so the operator must return precisely the brute-force
+    pair set. Exact dups (docs 0/1) land at hamming 0."""
+    from llama_spark.functions.dedup import simhash_near_dup_pairs
+
+    def py_simhash(text, bits=60):
+        votes = [0] * bits
+        for tok in py_tokens(text):
+            h = md5_int(tok)
+            for b in range(bits):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum((1 << b) for b in range(bits) if votes[b] > 0)
+
+    fps = {i: py_simhash(t) for i, t in DOCS}
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == want
+    assert (0, 1, 0) in got  # exact duplicates agree on every bit
+
+
+def test_lsh_ann_multi_table_recall(vectors):
+    """OR-amplification: recall@k vs the exact brute force improves with
+    the number of independent hyperplane tables (1-(1-p^k)^L vs p^k);
+    tables=1 stays bit-identical to the original single-table formula."""
+    from llama_spark.functions.similarity import cosine_topk, lsh_ann
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(vectors, k=3, n_queries=10).collect()
+    }
+    recall = {}
+    for L in (1, 4, 8):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_ann(vectors, k=3, planes=6, n_queries=10, tables=L).collect()
+        }
+        recall[L] = len(exact & approx) / len(exact)
+    # measured on this seeded fixture: 0.17 -> 0.43 -> 0.53
+    assert recall[1] < recall[4] <= recall[8]
+    assert recall[8] > 0.5
+
+
 def test_multimodal_pipeline(spark):
     from llama_spark.functions.multimodal import (
         decode_image,

@@ -93,12 +93,14 @@ def q_degree_distribution(spark, sf_dir):
 
 
 def q_pagerank(spark, sf_dir):
-    from .operators.pagerank import pagerank
+    from .operators.pagerank import pagerank_result
 
     edges = load_edges(spark, sf_dir)
-    n = edges.selectExpr("src AS id").union(edges.selectExpr("dst AS id")).distinct().count()
-    r = pagerank(edges, damping=DAMPING, max_iter=PR_ITERS)
-    return r.select("id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_scaled"))
+    # the kernel already materialized |V| for its 1/N — no extra count() job
+    res = pagerank_result(edges, damping=DAMPING, max_iter=PR_ITERS)
+    return res.state.select(
+        "id", F.round(F.col("rank") * F.lit(float(res.n_nodes)), 6).alias("rank_scaled")
+    )
 
 
 def q_pagerank_top10(spark, sf_dir):
@@ -179,13 +181,12 @@ def q_pagerank_redistribute(spark, sf_dir):
     """Textbook dangling-mass-redistribution PageRank on a graph with real
     dangling nodes (all out-edges of ids ≡ 0 mod 7 dropped, so those ids
     appear as link targets only). Σrank stays 1 by construction."""
-    from .operators.pagerank import pagerank
+    from .operators.pagerank import pagerank_result
 
     edges = load_edges(spark, sf_dir).filter(F.col("src") % 7 != 0)
-    ranks = pagerank(edges, max_iter=PR_ITERS, dangling="redistribute")
-    n = ranks.count()
-    return ranks.select(
-        "id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_scaled")
+    res = pagerank_result(edges, max_iter=PR_ITERS, dangling="redistribute")
+    return res.state.select(
+        "id", F.round(F.col("rank") * F.lit(float(res.n_nodes)), 6).alias("rank_scaled")
     )
 
 
@@ -195,14 +196,49 @@ PPR_SOURCES = [0, 42, 1234]  # teleport set for the gate (all ids exist mod 4096
 def q_personalized_pagerank(spark, sf_dir):
     """Seeded PageRank (teleport restricted to PPR_SOURCES); output scaled
     by N and rounded like the pagerank gate."""
-    from .operators.pagerank import personalized_pagerank
+    from .operators.pagerank import personalized_pagerank_result
 
     edges = load_edges(spark, sf_dir)
-    ranks = personalized_pagerank(edges, PPR_SOURCES, damping=DAMPING, max_iter=PR_ITERS)
-    n = ranks.count()
-    return ranks.select(
-        "id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_scaled")
+    res = personalized_pagerank_result(
+        edges, PPR_SOURCES, damping=DAMPING, max_iter=PR_ITERS
     )
+    return res.state.select(
+        "id", F.round(F.col("rank") * F.lit(float(res.n_nodes)), 6).alias("rank_scaled")
+    )
+
+
+def q_weighted_pagerank(spark, sf_dir):
+    """Weighted PageRank: contributions scaled by edge weight / node's
+    total out-weight (the synthetic SQL-portable weights SSSP uses). The
+    last reference-loader property (edge weights, ll_load_utils.h:1076-1090)
+    now feeds a second kernel beyond SSSP."""
+    from .graph import with_synthetic_weights
+    from .operators.pagerank import pagerank_result
+
+    edges = with_synthetic_weights(load_edges(spark, sf_dir))
+    res = pagerank_result(
+        edges, damping=DAMPING, max_iter=PR_ITERS, weight_col="weight"
+    )
+    return res.state.select(
+        "id", F.round(F.col("rank") * F.lit(float(res.n_nodes)), 6).alias("rank_scaled")
+    )
+
+
+CC_DELTA_MOD = 5  # cc_incremental: edges with src % 5 == 0 arrive "later"
+
+
+def q_cc_incremental(spark, sf_dir):
+    """Incremental recompute gate: run CC on the graph WITHOUT the delta
+    edges, then warm-start from those labels on the full graph. Hash-min is
+    monotone, so the warm start must converge to EXACTLY the cold fixpoint
+    — the oracle is the plain unrolled CC on the full edge set, so any
+    warm-start shortcut that changed the answer would hash-mismatch."""
+    from .operators.components import connected_components
+
+    edges = load_edges(spark, sf_dir)
+    old = edges.filter(F.col("src") % CC_DELTA_MOD != 0)
+    prev = connected_components(old)
+    return connected_components(edges, initial_components=prev)
 
 
 CLOSE_ROOTS = [0, 42, 77, 1234]  # sampled roots for the closeness gate
@@ -367,6 +403,36 @@ r{i} AS MATERIALIZED (
            / CAST((SELECT n FROM nn) AS DOUBLE) AS rank
   FROM nodes LEFT JOIN (
     SELECT e.dst AS id, SUM(r.rank / d.od) AS contrib
+    FROM r{i-1} r JOIN edges e ON e.src = r.id JOIN deg d ON d.id = r.id
+    GROUP BY e.dst
+  ) c ON nodes.id = c.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank * (SELECT n FROM nn), 6) AS rank_scaled FROM r{PR_ITERS}"
+    )
+
+
+def _weighted_pagerank_sql() -> str:
+    w = "(1e0 + ((e.src*31 + e.dst) % 100)/100e0)"
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT e.src AS id, "
+        f"SUM({w}) AS ow FROM edges e GROUP BY e.src)",
+        "r0 AS MATERIALIZED (SELECT id, 1e0/(SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    base_factor = repr(1.0 - DAMPING)
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT nodes.id,
+         CAST({base_factor} AS DOUBLE)/(SELECT n FROM nn)
+         + CAST({DAMPING!r} AS DOUBLE) * COALESCE(c.contrib, 0e0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank * ({w} / d.ow)) AS contrib
     FROM r{i-1} r JOIN edges e ON e.src = r.id JOIN deg d ON d.id = r.id
     GROUP BY e.dst
   ) c ON nodes.id = c.id
@@ -695,6 +761,10 @@ SELECT CAST(FLOOR(LOG2(od)) AS BIGINT) AS bucket,
 FROM deg GROUP BY 1 ORDER BY 1""",
     "pagerank": _pagerank_sql(),
     "pagerank_top10": _pagerank_top10_sql(),
+    "weighted_pagerank": _weighted_pagerank_sql(),
+    # incremental warm-start must land on the SAME fixpoint as cold CC —
+    # the oracle is deliberately initialization-blind (full-graph unroll)
+    "cc_incremental": _cc_sql(),
     "personalized_pagerank": _ppr_sql(),
     "pagerank_redistribute": _pagerank_redistribute_sql(),
     "connected_components": _cc_sql(),
@@ -778,6 +848,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_distribution": q_degree_distribution,
     "pagerank": q_pagerank,
     "pagerank_top10": q_pagerank_top10,
+    "weighted_pagerank": q_weighted_pagerank,
+    "cc_incremental": q_cc_incremental,
     "personalized_pagerank": q_personalized_pagerank,
     "pagerank_redistribute": q_pagerank_redistribute,
     "connected_components": q_connected_components,

@@ -52,7 +52,8 @@ def connected_components_result(
     und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
     nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    tiny_state = nodes.count() <= 100_000
+    n = nodes.count()
+    tiny_state = n <= 100_000
     if initial_components is not None:
         # warm start (incremental recompute): hash-min is monotone, so any
         # init with component(v) ≥ fixpoint(v) — e.g. the previous
@@ -102,6 +103,7 @@ def connected_components_result(
         name="connected_components",
     )
     result.state = result.state.select("id", "component")
+    result.n_nodes = n
     und.unpersist()
     nodes.unpersist()
     return result

@@ -46,6 +46,7 @@ def pagerank(
     resume: bool = False,
     num_partitions: int | None = None,
     dangling: str = "lost",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Return DataFrame[id: long, rank: double] after power iteration."""
     return pagerank_result(
@@ -58,6 +59,7 @@ def pagerank(
         resume=resume,
         num_partitions=num_partitions,
         dangling=dangling,
+        weight_col=weight_col,
     ).state
 
 
@@ -72,6 +74,7 @@ def pagerank_result(
     num_partitions: int | None = None,
     initial_ranks: DataFrame | None = None,
     dangling: str = "lost",
+    weight_col: str | None = None,
 ) -> FixpointResult:
     """``initial_ranks`` (DataFrame[id, rank]) warm-starts the power
     iteration from a previous snapshot's scores — the streaming-loop
@@ -86,7 +89,14 @@ def pagerank_result(
     textbook variant — each iteration spreads the dangling nodes' rank
     mass uniformly, keeping Σrank = 1. The dangling mass is a 1-row
     aggregate cross-joined into the same plan (no extra driver round
-    trip; still one job per iteration)."""
+    trip; still one job per iteration).
+
+    ``weight_col`` — weighted PageRank: node w's contribution to t is
+    rank(w) · weight(w,t) / Σ_out-edges weight(w,·) instead of the uniform
+    rank(w)/out_deg(w) (the per-edge factor is precomputed once in the
+    same cached edges_inv table, so the per-iteration plan is IDENTICAL to
+    the unweighted one). The reference loader carries edge weights
+    (ll_load_utils.h:1076-1090) that only SSSP consumed until now."""
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -102,18 +112,29 @@ def pagerank_result(
         from ..plans.fixpoint import FixpointResult
 
         empty = nodes.select("id", F.lit(0.0).alias("rank"))
-        return FixpointResult(state=empty, iterations=0, converged=True, metrics=[])
+        return FixpointResult(
+            state=empty, iterations=0, converged=True, metrics=[], n_nodes=0
+        )
 
-    # Precompute 1/out_degree once (LL_PRECOMPUTED_DEGREE analog) and pin the
-    # edge table's partitioning on src for the per-iteration join.
-    out_deg = edges.groupBy(SRC).agg(F.count("*").alias("od"))
-    edges_inv = (
-        edges.select(SRC, DST)
-        .join(out_deg, SRC)
-        .select(SRC, DST, (F.lit(1.0) / F.col("od")).alias("inv_deg"))
-        .repartition(p, SRC)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # Precompute the per-edge contribution factor once (LL_PRECOMPUTED_DEGREE
+    # analog) and pin the edge table's partitioning on src for the
+    # per-iteration join: 1/out_degree unweighted, weight/Σweights weighted.
+    if weight_col is None:
+        out_deg = edges.groupBy(SRC).agg(F.count("*").alias("od"))
+        edges_inv = (
+            edges.select(SRC, DST)
+            .join(out_deg, SRC)
+            .select(SRC, DST, (F.lit(1.0) / F.col("od")).alias("inv_deg"))
+        )
+    else:
+        w = F.col(weight_col).cast("double")
+        out_deg = edges.groupBy(SRC).agg(F.sum(w).alias("ow"))
+        edges_inv = (
+            edges.select(SRC, DST, w.alias("_w"))
+            .join(out_deg, SRC)
+            .select(SRC, DST, (F.col("_w") / F.col("ow")).alias("inv_deg"))
+        )
+    edges_inv = edges_inv.repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
     edges_inv.count()
 
     base = (1.0 - damping) / n
@@ -193,6 +214,7 @@ def pagerank_result(
     edges_inv.unpersist()
     if dangling_ids is not None:
         dangling_ids.unpersist()
+    result.n_nodes = n
     return result
 
 
@@ -208,6 +230,21 @@ def personalized_pagerank(
     relevance ranking over a link graph. Same recurrence shape, caching
     and join policy as :func:`pagerank` (pagerank.h:159-166 with e(v)
     in place of 1/N; dangling mass lost identically); init rank = e."""
+    return personalized_pagerank_result(
+        edges, sources, damping=damping, max_iter=max_iter,
+        num_partitions=num_partitions,
+    ).state
+
+
+def personalized_pagerank_result(
+    edges: DataFrame,
+    sources: list[int],
+    damping: float = 0.85,
+    max_iter: int = 10,
+    num_partitions: int | None = None,
+) -> FixpointResult:
+    """:func:`personalized_pagerank` with the full FixpointResult (state +
+    per-iteration metrics + the node count the kernel already paid for)."""
     if not sources:
         raise ValueError("personalized_pagerank needs at least one source")
     spark = edges.sparkSession
@@ -215,7 +252,10 @@ def personalized_pagerank(
     nodes = nodes_of(edges).repartition(p, "id").persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()
     if n == 0:
-        return nodes.select("id", F.lit(0.0).alias("rank"))
+        return FixpointResult(
+            state=nodes.select("id", F.lit(0.0).alias("rank")),
+            iterations=0, converged=True, metrics=[], n_nodes=0,
+        )
     # teleport mass only lands on nodes of the edge-derived node set; a
     # source id absent from it would silently lose its 1/|S| share and
     # degenerate the whole ranking toward zero — fail loudly instead
@@ -271,7 +311,8 @@ def personalized_pagerank(
     )
     nodes.unpersist()
     edges_inv.unpersist()
-    return result.state
+    result.n_nodes = n
+    return result
 
 
 def top_k_pagerank(edges: DataFrame, k: int = 10, **kwargs) -> DataFrame:

@@ -49,6 +49,9 @@ class FixpointResult:
     iterations: int
     converged: bool
     metrics: list[IterationMetrics] = field(default_factory=list)
+    # node count the kernel already materialized (e.g. pagerank's 1/N) —
+    # callers that need |V| read it here instead of paying a count() job
+    n_nodes: int | None = None
 
 
 def _write_manifest(checkpoint_dir: str, entries: list[dict]) -> None:

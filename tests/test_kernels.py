@@ -120,6 +120,42 @@ def test_pagerank_dangling_redistribute(spark):
         assert math.isclose(got[k], rank[k], rel_tol=0, abs_tol=1e-9), k
 
 
+def test_weighted_pagerank(spark):
+    """weight_col: contributions are rank*w/Σw per out-edge; matches a
+    python power iteration with the same synthetic weights, and differs
+    from the unweighted ranking (the weights are non-uniform)."""
+    import numpy as np
+
+    from llama_spark.graph import with_synthetic_weights
+    from llama_spark.operators.pagerank import pagerank
+
+    pairs = sorted(set(rmat_edges(scale=6, avg_degree=4)))
+    pairs = [(s, d) for s, d in pairs if s != d]
+    df = with_synthetic_weights(edges_df(spark, pairs))
+    got = {r["id"]: r["rank"] for r in pagerank(df, max_iter=10, weight_col="weight").collect()}
+
+    ids = sorted({u for e in pairs for u in e})
+    idx = {u: i for i, u in enumerate(ids)}
+    n = len(ids)
+    w = {(s, d): 1.0 + ((s * 31 + d) % 100) / 100.0 for s, d in pairs}
+    ow = np.zeros(n)
+    for s, d in pairs:
+        ow[idx[s]] += w[(s, d)]
+    rank = np.full(n, 1.0 / n)
+    for _ in range(10):
+        contrib = np.zeros(n)
+        for s, d in pairs:
+            contrib[idx[d]] += rank[idx[s]] * w[(s, d)] / ow[idx[s]]
+        rank = (1.0 - 0.85) / n + 0.85 * contrib
+    want = dict(zip(ids, rank.tolist()))
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-9), k
+
+    unweighted = {r["id"]: r["rank"] for r in pagerank(edges_df(spark, pairs), max_iter=10).collect()}
+    assert any(abs(unweighted[k] - got[k]) > 1e-6 for k in got)
+
+
 def test_pagerank_tol_mode(spark):
     """Convergence mode (examples/llama-pagerank.cc:183-185)."""
     from llama_spark.operators.pagerank import pagerank_result

@@ -137,10 +137,23 @@ def main() -> None:
     timed("coreness", lambda: coreness(edges).count())
     timed("k_truss4", lambda: k_truss(edges, k=4).count())
 
+    # K=64 sampled-root closeness — exercises the sparse multi-source BFS
+    # (only reached (root,id) rows materialize; the dense K·V state this
+    # replaced wrote 64×V rows per depth)
+    from llama_spark.operators.bc import pick_roots
+    from llama_spark.operators.traversal import closeness_centrality
+
+    roots64 = pick_roots(edges, 64)
+    timed("closeness_k64", lambda: closeness_centrality(edges, roots=roots64).count())
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("minhash_lsh_dedup", lambda: lsh_candidate_pairs(docs).count())
     timed("cosine_topk", lambda: cosine_topk(emb, k=5, n_queries=20).count())
+
+    from llama_spark.functions.dedup import simhash_near_dup_pairs
+
+    timed("simhash_pairs", lambda: simhash_near_dup_pairs(docs).count())
 
     def pages_pipeline() -> None:
         from llama_spark.api import GraphSession

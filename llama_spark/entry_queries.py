@@ -241,6 +241,15 @@ def q_cc_incremental(spark, sf_dir):
     return connected_components(edges, initial_components=prev)
 
 
+def q_cc_alternating(spark, sf_dir):
+    """Large-star/small-star CC (O(log² n) rounds — the huge-diameter
+    scale path). Oracle-shared with connected_components: both must land
+    on the exact min-member labeling."""
+    from .operators.components import connected_components_alternating
+
+    return connected_components_alternating(load_edges(spark, sf_dir))
+
+
 CLOSE_ROOTS = [0, 42, 77, 1234]  # sampled roots for the closeness gate
 
 
@@ -765,6 +774,7 @@ FROM deg GROUP BY 1 ORDER BY 1""",
     # incremental warm-start must land on the SAME fixpoint as cold CC —
     # the oracle is deliberately initialization-blind (full-graph unroll)
     "cc_incremental": _cc_sql(),
+    "cc_alternating": _cc_sql(),
     "personalized_pagerank": _ppr_sql(),
     "pagerank_redistribute": _pagerank_redistribute_sql(),
     "connected_components": _cc_sql(),
@@ -850,6 +860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_top10": q_pagerank_top10,
     "weighted_pagerank": q_weighted_pagerank,
     "cc_incremental": q_cc_incremental,
+    "cc_alternating": q_cc_alternating,
     "personalized_pagerank": q_personalized_pagerank,
     "pagerank_redistribute": q_pagerank_redistribute,
     "connected_components": q_connected_components,

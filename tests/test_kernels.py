@@ -194,6 +194,44 @@ def test_pagerank_warm_start_converges_same(spark):
         assert math.isclose(a[k], c[k], abs_tol=2e-4), k
 
 
+def test_cc_alternating_matches_hashmin(spark):
+    """Large-star/small-star CC equals hash-min CC (exact min-member
+    labels) on every fixture shape INCLUDING a 200-node shuffled-id chain,
+    where star contraction needs O(log n) rounds vs hash-min's O(n)."""
+    import random
+
+    from llama_spark.operators.components import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    rng = random.Random(3)
+    perm = list(range(201))
+    rng.shuffle(perm)
+    cases = {
+        "k3": K3,
+        "self_loops_dups": SELF_LOOPS_DUPS,
+        "two_islands": two_islands(),
+        "chain200_shuffled": [(perm[i + 1], perm[i]) for i in range(200)],
+        "rmat": rmat_edges(scale=6, avg_degree=4),
+    }
+    for name, pairs in cases.items():
+        df = edges_df(spark, pairs)
+        alt = {
+            r["id"]: r["component"]
+            for r in connected_components_alternating(df).collect()
+        }
+        # python oracle everywhere; spark hash-min only off the chain —
+        # there it would need ~200 delta rounds (exactly the case the
+        # alternating algorithm exists for)
+        assert alt == oracle.connected_components(pairs), name
+        if name != "chain200_shuffled":
+            ref = {
+                r["id"]: r["component"] for r in connected_components(df).collect()
+            }
+            assert alt == ref, name
+
+
 def test_k_core(spark):
     """Run-to-convergence k-core vs sequential peeling oracle, several
     shapes and k values; fixed-round mode equals convergence mode once

@@ -66,13 +66,22 @@ spark.stop()
 """
 
 
+def _loadavg() -> float:
+    return float(open("/proc/loadavg").read().split()[0])
+
+
 def run(cores: int, scale: int, iters: int) -> dict:
+    pre = _loadavg()
     out = subprocess.run(
         [sys.executable, "-c", WORKER.format(repo=REPO), str(cores), str(scale), str(iters)],
         capture_output=True, text=True, timeout=3000,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    r = json.loads(line)
+    # pre-load is externals only; post-load includes our own `cores` threads,
+    # so post - cores ≈ externals during the leg (bursty, but visible)
+    r["loadavg_pre"], r["loadavg_post"] = pre, _loadavg()
+    return r
 
 
 def main() -> None:
@@ -95,6 +104,16 @@ def main() -> None:
         hi_runs.append(run(hi_cores, scale, iters))
     lo = min(lo_runs, key=lambda r: r["min_iter_sec"])
     hi = min(hi_runs, key=lambda r: r["min_iter_sec"])
+    legs = {
+        "lo_runs": [{"min_iter_sec": round(r["min_iter_sec"], 2),
+                     "iter_secs": [round(x, 2) for x in r["iter_secs"]],
+                     "loadavg_pre": r["loadavg_pre"], "loadavg_post": r["loadavg_post"]}
+                    for r in lo_runs],
+        "hi_runs": [{"min_iter_sec": round(r["min_iter_sec"], 2),
+                     "iter_secs": [round(x, 2) for x in r["iter_secs"]],
+                     "loadavg_pre": r["loadavg_pre"], "loadavg_post": r["loadavg_post"]}
+                    for r in hi_runs],
+    }
     m = lo["edges"]
     lo_tp = m / lo["min_iter_sec"]
     hi_tp = m / hi["min_iter_sec"]
@@ -109,6 +128,7 @@ def main() -> None:
                                "edges_per_sec_per_iter": round(hi_tp)},
         "scaling_efficiency_Nto4N": round(eff, 3),
         "host_loadavg": open("/proc/loadavg").read().split()[0],
+        "per_leg": legs,
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(result))

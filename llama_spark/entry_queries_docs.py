@@ -149,6 +149,26 @@ def q_simhash(spark, sf_dir):
     return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+KMV_K = 256
+TOP_TOKENS_K = 20
+
+
+def q_kmv_distinct_tokens(spark, sf_dir):
+    from .functions.sketch import kmv_distinct_tokens
+
+    return kmv_distinct_tokens(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=KMV_K
+    )
+
+
+def q_top_tokens(spark, sf_dir):
+    from .functions.sketch import top_tokens
+
+    return top_tokens(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=TOP_TOKENS_K
+    )
+
+
 SIMHASH_MAX_HAMMING = 3  # < bands(4) → pigeonhole-exact recall
 
 
@@ -350,6 +370,19 @@ votes AS (
 SELECT doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id""",
+    "kmv_distinct_tokens": f"""
+WITH toks AS MATERIALIZED ({TOKS_SQL}),
+h AS (SELECT DISTINCT {HASH.format('tok')} % {P31} AS h FROM toks),
+u AS (SELECT h / CAST({P31} AS DOUBLE) AS u FROM h ORDER BY u LIMIT {KMV_K})
+SELECT COUNT(*) AS n_seen_k,
+       ROUND(MAX(u), 9) AS kth_min_u,
+       ROUND(CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE {float(KMV_K - 1)!r} / MAX(u) END, 3) AS distinct_est
+FROM u""",
+    "top_tokens": f"""
+WITH toks AS MATERIALIZED ({TOKS_SQL})
+SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+ORDER BY n DESC, tok ASC LIMIT {TOP_TOKENS_K}""",
     "simhash_pairs": f"""
 WITH toks AS MATERIALIZED ({TOKS_SQL}),
 h AS (SELECT doc_id, {HASH.format('tok')} AS h FROM toks),
@@ -446,6 +479,8 @@ DOCS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_candidates": q_lsh_candidates,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
+    "kmv_distinct_tokens": q_kmv_distinct_tokens,
+    "top_tokens": q_top_tokens,
     "cosine_topk": q_cosine_topk,
     "lsh_ann": q_lsh_ann,
     "near_dup_embeddings": q_near_dup_embeddings,

@@ -1,0 +1,62 @@
+"""Corpus-statistics sketches for 100-TB profiling.
+
+- ``kmv_distinct``: K-Minimum-Values cardinality estimator (Bar-Yossef et
+  al. 2002): hash every element to (0,1), keep the k smallest DISTINCT
+  hashes, estimate |D| ≈ (k-1)/u_(k). The Spark plan is a TakeOrdered —
+  each partition contributes at most k rows to the driver-side merge, so
+  the full-shuffle ``countDistinct`` is replaced by O(P·k) movement.
+  Deterministic (md5-derived hash, no RNG) and exactly reproducible in
+  ANSI SQL, so the driver gate can hash-match it against DuckDB — unlike
+  HyperLogLog, whose register layout is engine-private.
+- ``top_tokens``: exact corpus heavy hitters — groupBy(token) is
+  map-side-combined (one row per distinct token per partition reaches the
+  shuffle) and the top-k cut is a TakeOrderedAndProject, so the full
+  sorted token histogram never materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import P31, token_hash, tokenize
+
+
+def kmv_distinct(values: DataFrame, col: str = "h", k: int = 256) -> DataFrame:
+    """1-row DataFrame[n_seen_k, kth_min_u, distinct_est] from a DataFrame
+    of already-hashed values ``col`` in [0, P31). When fewer than k
+    distinct hashes exist the estimate IS the exact distinct count."""
+    u = (
+        values.select(F.col(col).alias("h"))
+        .distinct()
+        .select((F.col("h").cast("double") / F.lit(float(P31))).alias("u"))
+    )
+    topk = u.orderBy("u").limit(k)
+    return topk.agg(
+        F.count("*").alias("n_seen_k"),
+        F.round(F.max("u"), 9).alias("kth_min_u"),
+        F.round(
+            F.when(F.count("*") < k, F.count("*").cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.max("u")
+            ),
+            3,
+        ).alias("distinct_est"),
+    )
+
+
+def kmv_distinct_tokens(documents: DataFrame, k: int = 256) -> DataFrame:
+    """KMV estimate of the corpus's distinct-token cardinality."""
+    toks = tokenize(documents).select((token_hash(F.col("tok")) % P31).alias("h"))
+    return kmv_distinct(toks, "h", k)
+
+
+def top_tokens(documents: DataFrame, k: int = 20) -> DataFrame:
+    """DataFrame[tok, n] — the k most frequent tokens (ties → lexicographic
+    smallest), exact."""
+    return (
+        tokenize(documents)
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(k)
+    )

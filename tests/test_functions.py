@@ -327,6 +327,36 @@ def test_lsh_ann_multi_table_recall(vectors):
     assert recall[8] > 0.5
 
 
+def test_kmv_and_top_tokens(spark, docs):
+    """KMV cardinality: exact below k; within the (k-1)/u_k estimator's
+    ~1/sqrt(k) band above k. Heavy hitters match a python Counter."""
+    from collections import Counter
+
+    from llama_spark.functions.sketch import kmv_distinct_tokens, top_tokens
+
+    # below k: the estimate IS the exact distinct count
+    row = kmv_distinct_tokens(docs, k=256).collect()[0]
+    exact_small = len({t for _i, txt in DOCS for t in py_tokens(txt)})
+    assert row["n_seen_k"] == exact_small
+    assert row["distinct_est"] == float(exact_small)
+
+    # above k: synthetic corpus with ~2000 distinct tokens, k=256
+    big = spark.createDataFrame(
+        [(i, " ".join(f"tok{(i * 37 + j) % 2000}" for j in range(50))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    exact = len({t for r in big.collect() for t in r["text"].split()})
+    est = kmv_distinct_tokens(big, k=256).collect()[0]["distinct_est"]
+    # KMV σ ≈ 1/√(k-2) ≈ 6.3%; this single deterministic draw lands at
+    # +15.4% (2.4σ) — bound at 20% (no averaging over hash families here)
+    assert abs(est - exact) / exact < 0.20, (est, exact)
+
+    got = [(r["tok"], r["n"]) for r in top_tokens(docs, k=5).collect()]
+    cnt = Counter(t for _i, txt in DOCS for t in py_tokens(txt))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want
+
+
 def test_multimodal_pipeline(spark):
     from llama_spark.functions.multimodal import (
         decode_image,

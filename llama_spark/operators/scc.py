@@ -47,11 +47,24 @@ def strongly_connected_components(
 
     all_nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
     all_nodes.count()
+    # the active edge set is persisted (NOT localCheckpointed) so its
+    # hash(src) layout survives — this build's localCheckpoint drops output
+    # partitioning, which would re-exchange the edge table through every
+    # coloring iteration's join (see plans/fixpoint.py); each peel/trim
+    # rebuild persists the new frame, materializes it, then drops the old
     active_edges = (
         drop_self_loops(edges.select(SRC, DST).distinct())
         .repartition(p, SRC)
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    active_edges.count()
+
+    def _swap_edges(new_edges: DataFrame, old: DataFrame) -> DataFrame:
+        new_edges = new_edges.persist(StorageLevel.MEMORY_AND_DISK)
+        new_edges.count()
+        old.unpersist()
+        return new_edges
+
     active_nodes = all_nodes.localCheckpoint(eager=True)
     # per-round (id, scc) frames accumulate in a Python list of already-
     # checkpointed frames, unioned ONCE at the end — re-unioning and
@@ -93,10 +106,10 @@ def strongly_connected_components(
                 return F.broadcast(df) if tiny else df.hint("shuffle_hash")
 
             active_nodes = keep
-            active_edges = (
+            active_edges = _swap_edges(
                 active_edges.join(_keep_hint(keep.withColumnRenamed("id", SRC)), SRC, "left_semi")
-                .join(_keep_hint(keep.withColumnRenamed("id", DST)), DST, "left_semi")
-                .localCheckpoint(eager=True)
+                .join(_keep_hint(keep.withColumnRenamed("id", DST)), DST, "left_semi"),
+                active_edges,
             )
             remaining = n_keep
         if remaining == 0:
@@ -105,13 +118,21 @@ def strongly_connected_components(
         # 1. forward coloring to fixpoint (max-propagation along out-edges);
         # the changed-count rides the checkpoint job via observe — one job
         # per propagation iteration
+        tiny_state = remaining <= 100_000
+
+        def _state_hint(df: DataFrame) -> DataFrame:
+            # broadcast the V-row state while tiny; else shuffled-hash so
+            # the persisted edge table STREAMS (pagerank.py policy)
+            return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
+
         colors = active_nodes.select("id", F.col("id").alias("color"))
         colors = colors.localCheckpoint(eager=True)
+        colors_persisted = False
         _stats["colorings"] += 1
         changed = 0
         for _pi in range(max_prop_iters):
             incoming = (
-                colors.join(active_edges, colors["id"] == active_edges[SRC])
+                _state_hint(colors).join(active_edges, colors["id"] == active_edges[SRC])
                 .groupBy(F.col(DST).alias("id"))
                 .agg(F.max("color").alias("cmax"))
             )
@@ -126,12 +147,30 @@ def strongly_connected_components(
                     ).alias("changed"),
                 )
                 .observe(obs, F.sum(F.col("changed").cast("long")).alias("n"))
-                .localCheckpoint(eager=True)
             )
+            # persist cadence (localCheckpoint every 4th for lineage) —
+            # same reasoning as the fixpoint driver: keep the state's
+            # partitioning between iterations
+            old_colors, old_persisted = colors, colors_persisted
+            if _pi % 4 == 3:
+                new_colors = new_colors.localCheckpoint(eager=True)
+                colors_persisted = False
+            else:
+                new_colors = new_colors.persist(StorageLevel.MEMORY_AND_DISK)
+                new_colors.count()
+                colors_persisted = True
             changed = int(obs.get["n"] or 0)
             colors = new_colors.select("id", "color")
+            if old_persisted:
+                old_colors.unpersist()
             if changed == 0:
                 break
+        if colors_persisted:
+            # hand the backward phase a checkpointed frame so nothing
+            # persisted leaks past this round
+            final = colors.localCheckpoint(eager=True)
+            new_colors.unpersist()
+            colors = final
         if changed != 0:
             # a non-fixpoint coloring would split real SCCs silently
             raise RuntimeError(
@@ -144,9 +183,12 @@ def strongly_connected_components(
         # in a list of checkpointed frames (marked = lazy union — no
         # re-checkpoint of the growing set per level); the level's row count
         # rides its checkpoint job via observe.
-        rev = active_edges.select(
-            F.col(DST).alias(SRC), F.col(SRC).alias(DST)
+        rev = (
+            active_edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+            .repartition(p, SRC)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        rev.count()
         roots = colors.filter(F.col("id") == F.col("color")).select("id", "color")
         marked_parts = [roots.localCheckpoint(eager=True)]
         frontier = marked_parts[0]
@@ -172,6 +214,7 @@ def strongly_connected_components(
                 break
             marked_parts.append(step)
             frontier = step
+        rev.unpersist()
 
         marked = marked_parts[0]
         for part in marked_parts[1:]:
@@ -188,10 +231,10 @@ def strongly_connected_components(
             eager=True
         )
         remaining = active_nodes.count()
-        active_edges = (
+        active_edges = _swap_edges(
             active_edges.join(found.select(F.col("id").alias(SRC)), SRC, "left_anti")
-            .join(found.select(F.col("id").alias(DST)), DST, "left_anti")
-            .localCheckpoint(eager=True)
+            .join(found.select(F.col("id").alias(DST)), DST, "left_anti"),
+            active_edges,
         )
 
     if remaining > 0:
@@ -210,6 +253,7 @@ def strongly_connected_components(
         out = all_nodes.select("id", F.col("id").alias("scc"))
     out = out.localCheckpoint(eager=True)
     all_nodes.unpersist()
+    active_edges.unpersist()
     if stats is not None:
         stats.update(_stats)
     return out

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..graph import DST, SRC
 
@@ -77,11 +78,16 @@ def k_truss(
         raise ValueError("k-truss is defined for k >= 3")
     spark = edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = _canonical(edges).repartition(p, SRC).localCheckpoint(eager=True)
+    # persist (not localCheckpoint) keeps the hash(src) layout so the
+    # triangle join's b-side needs no exchange each round (localCheckpoint
+    # drops partitioning in this build — see plans/fixpoint.py); lineage is
+    # truncated with a localCheckpoint every 4th peel
+    e = _canonical(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
     m = e.count()
+    e_persisted = True
 
     limit = rounds if rounds is not None else max_iter
-    for _ in range(limit):
+    for _i in range(limit):
         if m == 0:
             break
         supp = edge_support(e)
@@ -89,11 +95,25 @@ def k_truss(
             e.join(supp, [SRC, DST], "left")
             .filter(F.coalesce("support", F.lit(0)) >= k - 2)
             .select(SRC, DST)
-            .localCheckpoint(eager=True)
         )
+        if _i % 4 == 3:
+            kept = kept.localCheckpoint(eager=True)
+            kept_persisted = False
+        else:
+            kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+            kept_persisted = True
         m2 = kept.count()
         if m2 == m:
+            if kept_persisted:
+                kept.unpersist()
             break  # fixpoint — remaining unrolled rounds are no-ops too
-        e, m = kept, m2
+        if e_persisted:
+            e.unpersist()
+        e, m, e_persisted = kept, m2, kept_persisted
 
+    if e_persisted:
+        # hand back a checkpointed frame, never a live CacheManager entry
+        out = e.localCheckpoint(eager=True)
+        e.unpersist()
+        return out
     return e

@@ -146,6 +146,10 @@ def main() -> None:
     roots64 = pick_roots(edges, 64)
     timed("closeness_k64", lambda: closeness_centrality(edges, roots=roots64).count())
 
+    from llama_spark.operators.walks import random_walks
+
+    timed("random_walks_l4", lambda: random_walks(edges, walk_length=4).count())
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("minhash_lsh_dedup", lambda: lsh_candidate_pairs(docs).count())

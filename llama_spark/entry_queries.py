@@ -241,6 +241,53 @@ def q_cc_incremental(spark, sf_dir):
     return connected_components(edges, initial_components=prev)
 
 
+WALK_LEN = 3
+WALK_SEED = 42
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic random walks (DeepWalk sampling stage): step t of
+    walk w moves to out-neighbor index H(walk_id:t:seed) mod out_deg —
+    no RNG state, so the DuckDB oracle replays the exact walks."""
+    from .operators.walks import random_walks
+
+    w = random_walks(
+        load_edges(spark, sf_dir), walk_length=WALK_LEN, walks_per_node=1,
+        seed=WALK_SEED,
+    )
+    return w.select("walk_id", F.col("step").cast("long").alias("step"), "node")
+
+
+def _walks_sql() -> str:
+    h = (
+        "CAST(('0x' || substr(md5(concat_ws(':', f.walk_id, {t}, "
+        f"{WALK_SEED})), 1, 15)) AS BIGINT)"
+    )
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "adj AS MATERIALIZED (SELECT src, dst, "
+        "ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS idx FROM edges)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)",
+        "s0 AS (SELECT id AS walk_id, 0 AS step, id AS node FROM nodes)",
+    ]
+    for t in range(WALK_LEN):
+        ctes.append(
+            f"""s{t+1} AS MATERIALIZED (
+  SELECT f.walk_id, {t+1} AS step, a.dst AS node
+  FROM s{t} f JOIN deg d ON d.src = f.node
+  JOIN adj a ON a.src = f.node AND a.idx = ({h.format(t=t)} % d.od) + 1
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, step, node FROM s{t}" for t in range(WALK_LEN + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT walk_id, CAST(step AS BIGINT) AS step, node FROM ({union})"
+    )
+
+
 def q_cc_alternating(spark, sf_dir):
     """Large-star/small-star CC (O(log² n) rounds — the huge-diameter
     scale path). Oracle-shared with connected_components: both must land
@@ -775,6 +822,7 @@ FROM deg GROUP BY 1 ORDER BY 1""",
     # the oracle is deliberately initialization-blind (full-graph unroll)
     "cc_incremental": _cc_sql(),
     "cc_alternating": _cc_sql(),
+    "random_walks": _walks_sql(),
     "personalized_pagerank": _ppr_sql(),
     "pagerank_redistribute": _pagerank_redistribute_sql(),
     "connected_components": _cc_sql(),
@@ -861,6 +909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_pagerank": q_weighted_pagerank,
     "cc_incremental": q_cc_incremental,
     "cc_alternating": q_cc_alternating,
+    "random_walks": q_random_walks,
     "personalized_pagerank": q_personalized_pagerank,
     "pagerank_redistribute": q_pagerank_redistribute,
     "connected_components": q_connected_components,

@@ -232,6 +232,46 @@ def test_cc_alternating_matches_hashmin(spark):
             assert alt == ref, name
 
 
+def test_random_walks(spark):
+    """Deterministic walks match a python replay exactly (same md5-derived
+    pick at every step); sinks end walks early."""
+    import hashlib
+
+    from llama_spark.operators.walks import random_walks
+
+    pairs = sorted(set(rmat_edges(scale=5, avg_degree=3)))
+    pairs = [(s_, d) for s_, d in pairs if s_ != d]
+    df = edges_df(spark, pairs)
+    got = {
+        (r["walk_id"], r["step"]): r["node"]
+        for r in random_walks(df, walk_length=4, walks_per_node=2, seed=7).collect()
+    }
+
+    adj = {}
+    for s_, d in pairs:
+        adj.setdefault(s_, []).append(d)
+    for k in adj:
+        adj[k] = sorted(adj[k])
+    nodes = sorted({u for e in pairs for u in e})
+
+    def h(sval):
+        return int(hashlib.md5(sval.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for node in nodes:
+        for w in range(2):
+            wid = node * 2 + w
+            cur = node
+            want[(wid, 0)] = cur
+            for t in range(4):
+                nb = adj.get(cur)
+                if not nb:
+                    break
+                cur = nb[h(f"{wid}:{t}:7") % len(nb)]
+                want[(wid, t + 1)] = cur
+    assert got == want
+
+
 def test_k_core(spark):
     """Run-to-convergence k-core vs sequential peeling oracle, several
     shapes and k values; fixed-round mode equals convergence mode once

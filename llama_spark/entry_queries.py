@@ -177,6 +177,48 @@ def q_k_core(spark, sf_dir):
     return k_core(load_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_UNROLL)
 
 
+WKCORE_K = 25.0  # weighted threshold ≈ unweighted degree ~17 at avg w 1.5
+
+
+def q_weighted_k_core(spark, sf_dir):
+    """Weighted (s-core) peeling: survive while Σ incident weights ≥ k in
+    the surviving subgraph; und weight = max over directions (symmetric,
+    SQL-portable); weighted degrees rounded 6 dp before the compare."""
+    from .graph import with_synthetic_weights
+    from .operators.kcore import k_core
+
+    return k_core(
+        with_synthetic_weights(load_edges(spark, sf_dir)),
+        k=WKCORE_K,
+        rounds=KCORE_UNROLL,
+        weight_col="weight",
+    )
+
+
+def _weighted_k_core_sql() -> str:
+    hav = f"HAVING ROUND(SUM(w), 6) >= {WKCORE_K!r}"
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "base AS (SELECT src, dst, 1e0 + ((src*31 + dst) % 100)/100e0 AS w "
+        "FROM edges WHERE src <> dst)",
+        "e0 AS MATERIALIZED (SELECT src, dst, MAX(w) AS w FROM ("
+        "SELECT src, dst, w FROM base UNION ALL "
+        "SELECT dst AS src, src AS dst, w FROM base) GROUP BY src, dst)",
+    ]
+    for i in range(1, KCORE_UNROLL + 1):
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w FROM e{i-1} e
+  WHERE e.src IN (SELECT src FROM e{i-1} GROUP BY src {hav})
+    AND e.dst IN (SELECT src FROM e{i-1} GROUP BY src {hav})
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT src AS id, ROUND(SUM(w), 6) AS wdegree FROM e{KCORE_UNROLL} GROUP BY src"
+    )
+
+
 def q_pagerank_redistribute(spark, sf_dir):
     """Textbook dangling-mass-redistribution PageRank on a graph with real
     dangling nodes (all out-edges of ids ≡ 0 mod 7 dropped, so those ids
@@ -823,6 +865,7 @@ FROM deg GROUP BY 1 ORDER BY 1""",
     "cc_incremental": _cc_sql(),
     "cc_alternating": _cc_sql(),
     "random_walks": _walks_sql(),
+    "weighted_k_core": _weighted_k_core_sql(),
     "personalized_pagerank": _ppr_sql(),
     "pagerank_redistribute": _pagerank_redistribute_sql(),
     "connected_components": _cc_sql(),
@@ -910,6 +953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_incremental": q_cc_incremental,
     "cc_alternating": q_cc_alternating,
     "random_walks": q_random_walks,
+    "weighted_k_core": q_weighted_k_core,
     "personalized_pagerank": q_personalized_pagerank,
     "pagerank_redistribute": q_pagerank_redistribute,
     "connected_components": q_connected_components,

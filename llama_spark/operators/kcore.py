@@ -29,12 +29,21 @@ from ..graph import DST, SRC, symmetrize
 
 def k_core(
     edges: DataFrame,
-    k: int,
+    k: float,
     rounds: int | None = None,
     max_iter: int = 100,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """DataFrame[id, degree] — nodes of the k-core of the undirected,
-    deduped, self-loop-free view of ``edges``, with in-core degrees."""
+    deduped, self-loop-free view of ``edges``, with in-core degrees.
+
+    ``weight_col``: weighted (s-core) peeling — a node survives while its
+    total incident weight in the surviving subgraph is ≥ k. The undirected
+    edge weight is max over the directions/duplicates of the pair (a
+    deterministic, SQL-portable symmetric rule); weighted degrees are
+    rounded to 6 dp BEFORE the threshold compare on both engines so
+    float accumulation order can't flip membership at the boundary.
+    Output column becomes ``wdegree`` (double, 6 dp)."""
     from pyspark.storagelevel import StorageLevel
 
     spark = edges.sparkSession
@@ -43,7 +52,23 @@ def k_core(
     # the per-round degree groupBy runs exchange-free — this build's
     # localCheckpoint drops output partitioning (see plans/fixpoint.py);
     # lineage is truncated with a localCheckpoint every 4th round instead
-    und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    if weight_col is None:
+        und = symmetrize(edges)
+        deg_agg = F.count("*")
+        out_col = "degree"
+    else:
+        w = F.col(weight_col).cast("double")
+        base = edges.filter(F.col(SRC) != F.col(DST)).select(SRC, DST, w.alias("_w"))
+        und = (
+            base.unionByName(
+                base.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "_w")
+            )
+            .groupBy(SRC, DST)
+            .agg(F.max("_w").alias("_w"))
+        )
+        deg_agg = F.round(F.sum("_w"), 6)
+        out_col = "wdegree"
+    und = und.repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = und.count()
     und_is_persisted = True
 
@@ -58,8 +83,8 @@ def k_core(
     for _i in range(limit):
         if n_edges == 0:
             break
-        deg = und.groupBy(SRC).agg(F.count("*").alias("degree"))
-        keep = deg.filter(F.col("degree") >= k).select(SRC)
+        deg = und.groupBy(SRC).agg(deg_agg.alias(out_col))
+        keep = deg.filter(F.col(out_col) >= k).select(SRC)
         pruned = (
             und.join(_keep_hint(keep), SRC, "left_semi")
             .join(_keep_hint(keep.withColumnRenamed(SRC, DST)), DST, "left_semi")
@@ -81,7 +106,7 @@ def k_core(
             und.unpersist()
         und, n_edges, und_is_persisted = pruned, m, pruned_is_persisted
 
-    out = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("degree"))
+    out = und.groupBy(F.col(SRC).alias("id")).agg(deg_agg.alias(out_col))
     out = out.localCheckpoint(eager=True)
     if und_is_persisted:
         und.unpersist()

@@ -314,6 +314,40 @@ def test_k_truss(spark):
     assert fixed == got4
 
 
+def test_weighted_k_core(spark):
+    """Weighted (s-core) peel vs a python model: survive while rounded
+    Σ incident max-direction weights ≥ k; matches exactly."""
+    from llama_spark.graph import with_synthetic_weights
+    from llama_spark.operators.kcore import k_core
+
+    pairs = sorted(set(rmat_edges(scale=6, avg_degree=4)))
+    pairs = [(s_, d) for s_, d in pairs if s_ != d]
+    df = with_synthetic_weights(edges_df(spark, pairs))
+    K = 9.0
+    got = {r["id"]: r["wdegree"] for r in k_core(df, k=K, weight_col="weight").collect()}
+
+    wdir = {(s_, d): 1.0 + ((s_ * 31 + d) % 100) / 100.0 for s_, d in pairs}
+    und = {}
+    for (s_, d), w in wdir.items():
+        key = (min(s_, d), max(s_, d))
+        und[key] = max(und.get(key, 0.0), w)
+    alive = {u for e in und for u in e}
+    while True:
+        wdeg = {u: 0.0 for u in alive}
+        for (a, b), w in und.items():
+            if a in alive and b in alive:
+                wdeg[a] += w
+                wdeg[b] += w
+        drop = {u for u in alive if round(wdeg[u], 6) < K}
+        if not drop:
+            break
+        alive -= drop
+    want = {u: round(wdeg[u], 6) for u in alive}
+    assert set(got) == set(want)
+    for u in want:
+        assert math.isclose(got[u], want[u], abs_tol=1e-6), u
+
+
 def test_coreness(spark):
     """h-index fixpoint (convergence mode) equals sequential min-degree
     peeling (the textbook coreness algorithm) on K3, a chain, and RMAT."""

@@ -87,7 +87,19 @@ class GraphSession:
 
         return pagerank(self._e(), **kw)
 
-    def connected_components(self, **kw) -> DataFrame:
+    def personalized_pagerank(self, sources: list[int], **kw) -> DataFrame:
+        from .operators.pagerank import personalized_pagerank
+
+        return personalized_pagerank(self._e(), sources, **kw)
+
+    def connected_components(self, algorithm: str = "hashmin", **kw) -> DataFrame:
+        """``algorithm="hashmin"`` (O(diameter) rounds, delta-iterated,
+        warm-startable via initial_components) or ``"alternating"``
+        (large-star/small-star, O(log² n) rounds — huge-diameter graphs)."""
+        if algorithm == "alternating":
+            from .operators.components import connected_components_alternating
+
+            return connected_components_alternating(self._e(), **kw)
         from .operators.components import connected_components
 
         return connected_components(self._e(), **kw)
@@ -122,10 +134,37 @@ class GraphSession:
 
         return betweenness_centrality(self._e(), roots=roots, k=k, **kw)
 
-    def k_core(self, k: int, **kw) -> DataFrame:
+    def k_core(self, k: float, **kw) -> DataFrame:
+        """Degree peel; pass ``weight_col=`` for weighted (s-core) peeling."""
         from .operators.kcore import k_core
 
         return k_core(self._e(), k=k, **kw)
+
+    def coreness(self, **kw) -> DataFrame:
+        from .operators.kcore import coreness
+
+        return coreness(self._e(), **kw)
+
+    def k_truss(self, k: int, **kw) -> DataFrame:
+        from .operators.truss import k_truss
+
+        return k_truss(self._e(), k=k, **kw)
+
+    def closeness(self, roots: list[int], **kw) -> DataFrame:
+        from .operators.traversal import closeness_centrality
+
+        return closeness_centrality(self._e(), roots, **kw)
+
+    def harmonic(self, roots: list[int], **kw) -> DataFrame:
+        from .operators.traversal import harmonic_centrality
+
+        return harmonic_centrality(self._e(), roots, **kw)
+
+    def random_walks(self, walk_length: int = 4, **kw) -> DataFrame:
+        """Deterministic DeepWalk-style sampling (operators/walks.py)."""
+        from .operators.walks import random_walks
+
+        return random_walks(self._e(), walk_length=walk_length, **kw)
 
     def degrees(self) -> DataFrame:
         from .graph import degrees

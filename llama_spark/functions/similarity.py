@@ -51,9 +51,15 @@ def cosine_topk(
 
     Queries default to the first ``n_queries`` ids (deterministic); pass
     None to use every row as a query (full k-NN graph)."""
-    base = embeddings.select(
-        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("nrm", _norm(F.col("v")))
+    from pyspark.storagelevel import StorageLevel
+
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     q = base.select(
         F.col("nid").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -68,11 +74,27 @@ def cosine_topk(
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .localCheckpoint(eager=True)
     )
+    base.unpersist()
+    return out
+
+
+def plane_weights(dim: int, planes: int, plane_offset: int = 0) -> list[list[float]]:
+    """The closed-form plane-weight matrix (planes × dim) as Python floats —
+    shared by the Spark bucket expression and any SQL mirror."""
+    return [
+        [
+            ((1103515245 * ((plane_offset + p) * dim + d) + 12345) % 65536) / 65536.0
+            - 0.5
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
 
 
 def hyperplane_bucket(vec_col, dim: int, planes: int = 8, plane_offset: int = 0):
@@ -80,17 +102,22 @@ def hyperplane_bucket(vec_col, dim: int, planes: int = 8, plane_offset: int = 0)
     closed-form plane weights, portable to SQL. ``plane_offset`` shifts
     into a later stretch of the plane-weight stream (table t of a
     multi-table LSH index uses ``plane_offset = t * planes``; offset 0 is
-    bit-identical to the original single-table formula)."""
-    bucket = F.lit(0)
-    for p in range(planes):
-        dot = F.lit(0.0)
-        for d in range(dim):
-            wconst = (
-                (1103515245 * ((plane_offset + p) * dim + d) + 12345) % 65536
-            ) / 65536.0 - 0.5
-            dot = dot + F.element_at(vec_col, d + 1) * F.lit(wconst)
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    bit-identical to the original single-table formula).
+
+    The weight matrix ships as ONE array<array<double>> literal and each
+    plane dot runs as aggregate(zip_with(...)) — the same left-fold
+    accumulation order as the original unrolled planes·dim expression
+    tree (bit-identical buckets), at a fraction of the analysis/codegen
+    cost (the unrolled form was the dominant constant in the lsh_ann
+    gate at planes·dim·tables nodes)."""
+    w = F.lit(plane_weights(dim, planes, plane_offset))
+    dots = F.transform(w, lambda pw: _dot(vec_col, pw))
+    bits = F.zip_with(
+        dots,
+        F.lit([1 << p for p in range(planes)]),
+        lambda d, pw: F.when(d > 0, pw).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda a, x: a + x)
 
 
 def lsh_ann(
@@ -112,6 +139,8 @@ def lsh_ann(
     is L bucket columns computed in the same single pass over the data and
     L candidate joins. ``tables=1`` is bit-identical to the original
     single-table formula (plane offset 0)."""
+    from pyspark.storagelevel import StorageLevel
+
     dim = len(embeddings.select(vec_col).first()[0])
     base = embeddings.select(
         F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
@@ -120,6 +149,10 @@ def lsh_ann(
         base = base.withColumn(
             f"b{t}", hyperplane_bucket(F.col("v"), dim, planes, plane_offset=t * planes)
         )
+    # the bucketed/normed table feeds the query pick, L candidate joins and
+    # the rescoring join — persist it once instead of re-reading the source
+    # and re-hashing the planes per consumer
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     q = base.select(
         F.col("nid").alias("qid"),
         F.col("v").alias("qv"),
@@ -151,11 +184,14 @@ def lsh_ann(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .localCheckpoint(eager=True)
     )
+    base.unpersist()
+    return out
 
 
 def near_duplicate_pairs(
@@ -176,6 +212,8 @@ def near_duplicate_pairs(
     min id — which keeps the duplicate-cluster closure (the star spans the
     bucket) at O(M) pairs; ``None`` disables the bound. The sf0.01 gate's
     buckets are far below the default cap, so its output is exact."""
+    from pyspark.storagelevel import StorageLevel
+
     dim = len(embeddings.select(vec_col).first()[0])
     base = (
         embeddings.select(
@@ -183,6 +221,8 @@ def near_duplicate_pairs(
         )
         .withColumn("nrm", _norm(F.col("v")))
         .withColumn("bucket", hyperplane_bucket(F.col("v"), dim, planes))
+        # consumed by the bucket-stats join and both sides of the self-join
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     def _flat(joined):
         return joined.select(
@@ -227,10 +267,16 @@ def near_duplicate_pairs(
                 & (F.col("a.id") < F.col("b.id")),
             )
         )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.round(
-            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
-        ).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= threshold)
+    out = (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    return out

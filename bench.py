@@ -10,14 +10,23 @@ bench measures the neighbors, not the engine):
 - the run start is GATED on loadavg < $SPARK_GRAFT_BENCH_GATE (default 4.0),
   waiting up to $SPARK_GRAFT_BENCH_WAIT seconds (default 1200; 0 disables)
   and recording how long it waited and at what load it started;
-- every query runs $SPARK_GRAFT_BENCH_REPEATS times (default 2) and
-  reports the MINIMUM; a run exceeding $SPARK_GRAFT_BENCH_REPEAT_CAP
-  seconds (default 90) stops further repeats of that query (bounds total
-  wall time; the cap sits far above every clean headline time, so only a
-  genuinely pathological run skips its repeat) — the JSON carries every
-  raw run;
-- /proc/loadavg is recorded before and after every run per query, so a
-  contended artifact is *visibly* contended instead of silently wrong.
+- repeats are spread across WHOLE-LIST PASSES, not run back-to-back: the
+  full query list runs end-to-end $SPARK_GRAFT_BENCH_REPEATS times
+  (default 2) and each query reports its MINIMUM across passes. A
+  sub-minute tenant burst (invisible to the 1-min loadavg) lands on
+  *different* queries in different passes instead of owning both samples
+  of one 3-second query — the failure mode that produced the contended
+  r4 artifact. After the passes, queries whose minimum is still below
+  $SPARK_GRAFT_BENCH_CHEAP seconds (default 15) get ONE more sample
+  (cheap by construction, ~a minute total) so every floor-dominated
+  kernel has ≥3 spread-out chances at a quiet window;
+- a run exceeding $SPARK_GRAFT_BENCH_REPEAT_CAP seconds (default 90)
+  stops further repeats of that query (bounds total wall time) — the
+  JSON carries every raw run;
+- /proc/loadavg is recorded before and after every run per query, and the
+  JVM is nudged to GC between queries (frees dead localCheckpoint blocks
+  that otherwise pile into executor memory pressure), so a contended
+  artifact is *visibly* contended instead of silently wrong.
 
 The primary BASELINE.json metric (PageRank edges/sec per iteration) is
 reported alongside; scripts/scaling.py produces the N-vs-4N-cores scaling
@@ -52,6 +61,7 @@ def main() -> None:
     # repeats of runs so burst-poisoned that repeating them would blow the
     # wall-time budget without improving the recorded minimum
     repeat_cap = float(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_CAP", "90"))
+    cheap_cutoff = float(os.environ.get("SPARK_GRAFT_BENCH_CHEAP", "15"))
     gate = float(os.environ.get("SPARK_GRAFT_BENCH_GATE", "4.0"))
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "1200"))
     try:
@@ -79,20 +89,27 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     loads: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
+    plan: list[tuple[str, object]] = []
 
     def timed(name: str, fn) -> None:
-        runs[name] = []
-        loads[name] = []
-        for i in range(max(1, repeats)):
-            loads[name].append(loadavg())
-            t0 = time.time()
-            fn()
-            dt = time.time() - t0
-            loads[name].append(loadavg())
-            runs[name].append(round(dt, 3))
-            if dt > repeat_cap:
-                break  # bound total wall time; raw runs show n=1
-        times[name] = min(runs[name])
+        # register only — execution happens in whole-list passes below so
+        # one sub-minute burst can't own every sample of the same query
+        plan.append((name, fn))
+
+    def run_once(name: str, fn) -> float:
+        loads.setdefault(name, []).append(loadavg())
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        loads[name].append(loadavg())
+        runs.setdefault(name, []).append(round(dt, 3))
+        # free dead localCheckpoint/cache blocks before the next query's
+        # timing window (ContextCleaner only acts after a JVM GC)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        return dt
 
     from llama_spark.operators.components import connected_components, label_propagation
     from llama_spark.operators.csr import pagerank_csr
@@ -169,6 +186,20 @@ def main() -> None:
         g.pagerank(max_iter=3).count()
 
     timed("pages_extract_pagerank", pages_pipeline)
+
+    # ---- execution: whole-list passes, then a retry pass for cheap rows ----
+    capped: set[str] = set()
+    for _pass in range(max(1, repeats)):
+        for name, fn in plan:
+            if name in capped:
+                continue
+            if run_once(name, fn) > repeat_cap:
+                capped.add(name)  # bound wall time; raw runs show fewer samples
+    for name, fn in plan:
+        if name not in capped and min(runs[name]) < cheap_cutoff:
+            run_once(name, fn)
+    for name, _fn in plan:
+        times[name] = min(runs[name])
 
     extras["n_edges"] = n_edges
     extras["pagerank_edges_per_sec_per_iter"] = round(

@@ -266,6 +266,37 @@ def q_weighted_pagerank(spark, sf_dir):
     )
 
 
+PR_INC_SPLIT = 6   # pagerank_incremental: resume point (6 cold + 6 warm)
+PR_INC_TOTAL = 12  # oracle = one uninterrupted 12-iteration unroll
+
+
+def q_pagerank_incremental(spark, sf_dir):
+    """Incremental/resumable PageRank gate: run PR_INC_SPLIT cold
+    iterations, hand the resulting rank vector to a SECOND pagerank_result
+    call via ``initial_ranks`` for the rest. The oracle is an
+    *uninterrupted* PR_INC_TOTAL-iteration cold unroll — init-blind, so
+    any warm-start plumbing bug
+    (dropped nodes, wrong 1/N default, renormalization, an off-by-one in
+    the iteration count) breaks bit-parity. This is the north rule's
+    resume-from-checkpoint property as an exact hash gate; the companion
+    property — a *perturbed* warm start converging to the same fixpoint —
+    needs ~140 iterations to reach 6-dp agreement and is pytest-covered
+    instead (test_pagerank_warm_start_converges_same)."""
+    from .operators.pagerank import pagerank_result
+
+    edges = load_edges(spark, sf_dir)
+    first = pagerank_result(edges, damping=DAMPING, max_iter=PR_INC_SPLIT)
+    res = pagerank_result(
+        edges,
+        damping=DAMPING,
+        max_iter=PR_INC_TOTAL - PR_INC_SPLIT,
+        initial_ranks=first.state,
+    )
+    return res.state.select(
+        "id", F.round(F.col("rank") * F.lit(float(res.n_nodes)), 6).alias("rank_scaled")
+    )
+
+
 CC_DELTA_MOD = 5  # cc_incremental: edges with src % 5 == 0 arrive "later"
 
 
@@ -300,7 +331,25 @@ def q_random_walks(spark, sf_dir):
     return w.select("walk_id", F.col("step").cast("long").alias("step"), "node")
 
 
+def q_random_walks_weighted(spark, sf_dir):
+    """Weight-biased deterministic walks: neighbor i picked with
+    probability ŵ_i/Σŵ (ŵ = floor(w·128)+1 exact integer quantization);
+    the oracle replays the identical draw u = H mod Σŵ against the same
+    cumulative-weight ranges."""
+    from .graph import with_synthetic_weights
+    from .operators.walks import random_walks
+
+    w = random_walks(
+        with_synthetic_weights(load_edges(spark, sf_dir)),
+        walk_length=WALK_LEN, walks_per_node=1, seed=WALK_SEED,
+        weight_col="weight",
+    )
+    return w.select("walk_id", F.col("step").cast("long").alias("step"), "node")
+
+
 def _walks_sql() -> str:
+    from .operators.walks import ADJ_SALTS
+
     h = (
         "CAST(('0x' || substr(md5(concat_ws(':', f.walk_id, {t}, "
         f"{WALK_SEED})), 1, 15)) AS BIGINT)"
@@ -308,8 +357,10 @@ def _walks_sql() -> str:
     ctes = [
         f"edges AS MATERIALIZED ({EDGES_SQL})",
         f"nodes AS MATERIALIZED ({NODES_SQL})",
-        "adj AS MATERIALIZED (SELECT src, dst, "
-        "ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS idx FROM edges)",
+        # canonical neighbor order is (dst % salts, dst) — the hub-safe
+        # two-phase Spark rank composes to exactly this single-window rank
+        "adj AS MATERIALIZED (SELECT src, dst, ROW_NUMBER() OVER "
+        f"(PARTITION BY src ORDER BY dst % {ADJ_SALTS}, dst) AS idx FROM edges)",
         "deg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)",
         "s0 AS (SELECT id AS walk_id, 0 AS step, id AS node FROM nodes)",
     ]
@@ -319,6 +370,49 @@ def _walks_sql() -> str:
   SELECT f.walk_id, {t+1} AS step, a.dst AS node
   FROM s{t} f JOIN deg d ON d.src = f.node
   JOIN adj a ON a.src = f.node AND a.idx = ({h.format(t=t)} % d.od) + 1
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, step, node FROM s{t}" for t in range(WALK_LEN + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT walk_id, CAST(step AS BIGINT) AS step, node FROM ({union})"
+    )
+
+
+WALK_W_RES = 128  # power of two → w·res is an exact double scaling
+
+
+def _weighted_walks_sql() -> str:
+    from .operators.walks import ADJ_SALTS
+
+    h = (
+        "CAST(('0x' || substr(md5(concat_ws(':', f.walk_id, {t}, "
+        f"{WALK_SEED})), 1, 15)) AS BIGINT)"
+    )
+    iw = f"CAST(floor(w * {float(WALK_W_RES)!r}) AS BIGINT) + 1"
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "base AS (SELECT src, dst, 1e0 + ((src*31 + dst) % 100)/100e0 AS w "
+        "FROM edges)",
+        f"""rng AS MATERIALIZED (
+  SELECT src, dst, hi - iw AS lo, hi FROM (
+    SELECT src, dst, iw,
+           CAST(SUM(iw) OVER (PARTITION BY src ORDER BY dst % {ADJ_SALTS}, dst
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+    FROM (SELECT src, dst, {iw} AS iw FROM base)))""",
+        "deg AS MATERIALIZED (SELECT src, MAX(hi) AS tot FROM rng GROUP BY src)",
+        "s0 AS (SELECT id AS walk_id, 0 AS step, id AS node FROM nodes)",
+    ]
+    for t in range(WALK_LEN):
+        u = f"({h.format(t=t)} % d.tot)"
+        ctes.append(
+            f"""s{t+1} AS MATERIALIZED (
+  SELECT f.walk_id, {t+1} AS step, r.dst AS node
+  FROM s{t} f JOIN deg d ON d.src = f.node
+  JOIN rng r ON r.src = f.node AND {u} >= r.lo AND {u} < r.hi
 )"""
         )
     union = " UNION ALL ".join(
@@ -448,7 +542,7 @@ def q_edge_weight_stats(spark, sf_dir):
 # ------------------------------------------------------------- oracle SQL
 
 
-def _pagerank_sql() -> str:
+def _pagerank_sql(iters: int = PR_ITERS) -> str:
     ctes = [
         f"edges AS MATERIALIZED ({EDGES_SQL})",
         f"nodes AS MATERIALIZED ({NODES_SQL})",
@@ -459,7 +553,7 @@ def _pagerank_sql() -> str:
     # exact IEEE-double parity with the Spark driver's Python arithmetic:
     # emit the repr of the already-computed double constants
     base_factor = repr(1.0 - DAMPING)
-    for i in range(1, PR_ITERS + 1):
+    for i in range(1, iters + 1):
         ctes.append(
             f"""r{i} AS MATERIALIZED (
   SELECT nodes.id,
@@ -474,7 +568,7 @@ def _pagerank_sql() -> str:
         )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT id, ROUND(rank * (SELECT n FROM nn), 6) AS rank_scaled FROM r{PR_ITERS}"
+        + f"\nSELECT id, ROUND(rank * (SELECT n FROM nn), 6) AS rank_scaled FROM r{iters}"
     )
 
 
@@ -859,12 +953,15 @@ SELECT CAST(FLOOR(LOG2(od)) AS BIGINT) AS bucket,
 FROM deg GROUP BY 1 ORDER BY 1""",
     "pagerank": _pagerank_sql(),
     "pagerank_top10": _pagerank_top10_sql(),
+    # resume-identity: warm-started 6+6 must equal one uninterrupted 12
+    "pagerank_incremental": _pagerank_sql(PR_INC_TOTAL),
     "weighted_pagerank": _weighted_pagerank_sql(),
     # incremental warm-start must land on the SAME fixpoint as cold CC —
     # the oracle is deliberately initialization-blind (full-graph unroll)
     "cc_incremental": _cc_sql(),
     "cc_alternating": _cc_sql(),
     "random_walks": _walks_sql(),
+    "random_walks_weighted": _weighted_walks_sql(),
     "weighted_k_core": _weighted_k_core_sql(),
     "personalized_pagerank": _ppr_sql(),
     "pagerank_redistribute": _pagerank_redistribute_sql(),
@@ -949,10 +1046,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_distribution": q_degree_distribution,
     "pagerank": q_pagerank,
     "pagerank_top10": q_pagerank_top10,
+    "pagerank_incremental": q_pagerank_incremental,
     "weighted_pagerank": q_weighted_pagerank,
     "cc_incremental": q_cc_incremental,
     "cc_alternating": q_cc_alternating,
     "random_walks": q_random_walks,
+    "random_walks_weighted": q_random_walks_weighted,
     "weighted_k_core": q_weighted_k_core,
     "personalized_pagerank": q_personalized_pagerank,
     "pagerank_redistribute": q_pagerank_redistribute,

@@ -173,11 +173,15 @@ SIMHASH_MAX_HAMMING = 3  # < bands(4) → pigeonhole-exact recall
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """max_bucket_size=None mirrors the oracle SQL, which has no giant-
+    bucket star-linking — the gate stays hash-exact even if some band
+    bucket ever exceeds the library default cap of 256 docs."""
     from .functions.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(
         spark.read.parquet(f"{sf_dir}/documents.parquet"),
         max_hamming=SIMHASH_MAX_HAMMING,
+        max_bucket_size=None,
     )
 
 

@@ -248,9 +248,13 @@ def simhash_near_dup_pairs(
        ``bands`` equal bit-bands; candidates = pairs agreeing exactly on at
        least one band (a groupBy on (band, band_value) — subquadratic).
        By pigeonhole, ``max_hamming < bands`` differing bits cannot touch
-       every band, so recall is EXACT for the default (3 < 4); at larger
+       every band, so recall is EXACT for the default (3 < 4) **provided no
+       band bucket exceeds** ``max_bucket_size`` (star-linking a giant
+       bucket keeps duplicate clusters spanned but drops its non-hub
+       pairs — pass ``max_bucket_size=None`` for the unconditional
+       pigeonhole guarantee, as the oracle-gated query does); at larger
        ``max_hamming`` blocking is approximate (standard Manku et al.
-       trade-off) but deterministic, and the oracle mirrors it.
+       trade-off) but deterministic.
     2. **verify**: ``bit_count(a XOR b) <= max_hamming`` on candidates only.
 
     **Giant-bucket bound**: same canonical-star treatment as

@@ -196,6 +196,16 @@ def connected_components_alternating(
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        # exiting by round budget means the (count, xor) signature never
+        # stabilized: the edge set is NOT a star forest and the groupBy-min
+        # below would silently return under-merged labels — fail loudly
+        # like the scc coloring loop does on a non-fixpoint
+        raise RuntimeError(
+            f"connected_components_alternating did not converge within "
+            f"{max_rounds} rounds (theory bound is O(log^2 n) — raise "
+            f"max_rounds or check the input for pathological size)"
+        )
 
     # at the fixpoint e is a star forest: src → its component's min id
     centers = e.groupBy(SRC).agg(F.min(DST).alias("component"))

@@ -247,6 +247,10 @@ def personalized_pagerank_result(
     per-iteration metrics + the node count the kernel already paid for)."""
     if not sources:
         raise ValueError("personalized_pagerank needs at least one source")
+    # dedupe like multi_source_bfs_depths: isin() assigns each DISTINCT id
+    # its 1/|S| share once, so duplicate ids would silently shrink the
+    # teleport vector's total mass below 1
+    sources = sorted(set(sources))
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     nodes = nodes_of(edges).repartition(p, "id").persist(StorageLevel.MEMORY_AND_DISK)

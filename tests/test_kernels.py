@@ -237,7 +237,7 @@ def test_random_walks(spark):
     pick at every step); sinks end walks early."""
     import hashlib
 
-    from llama_spark.operators.walks import random_walks
+    from llama_spark.operators.walks import ADJ_SALTS, random_walks
 
     pairs = sorted(set(rmat_edges(scale=5, avg_degree=3)))
     pairs = [(s_, d) for s_, d in pairs if s_ != d]
@@ -251,7 +251,8 @@ def test_random_walks(spark):
     for s_, d in pairs:
         adj.setdefault(s_, []).append(d)
     for k in adj:
-        adj[k] = sorted(adj[k])
+        # canonical neighbor order is (dst % salts, dst) — the hub-safe rank
+        adj[k] = sorted(adj[k], key=lambda d: (d % ADJ_SALTS, d))
     nodes = sorted({u for e in pairs for u in e})
 
     def h(sval):
@@ -269,6 +270,92 @@ def test_random_walks(spark):
                     break
                 cur = nb[h(f"{wid}:{t}:7") % len(nb)]
                 want[(wid, t + 1)] = cur
+    assert got == want
+
+
+def test_adjacency_index_hub_safe(spark):
+    """A 100k-out-degree hub: the two-phase rank must (a) produce an exact
+    1..out_deg permutation in (dst % salts, dst) order and (b) never plan a
+    window that sorts the whole out-list in one partition — every window
+    ordering by dst must also partition by the salt."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from llama_spark.operators.walks import ADJ_SALTS, adjacency_index
+
+    hub_deg = 100_000
+    e = spark.range(1, hub_deg + 1).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    adj = adjacency_index(e)
+
+    plan = adj._jdf.queryExecution().optimizedPlan().toString()
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        head = frag.split("specifiedwindowframe")[0]
+        if re.search(r"\bdst#", head):
+            assert "salt#" in head, f"hub out-list sorted in one window: {head}"
+
+    rows = adj.collect()
+    assert len(rows) == hub_deg
+    assert sorted(r["idx"] for r in rows) == list(range(1, hub_deg + 1))
+    want = {
+        d: i + 1
+        for i, d in enumerate(
+            sorted(range(1, hub_deg + 1), key=lambda d: (d % ADJ_SALTS, d))
+        )
+    }
+    got = {r["dst"]: r["idx"] for r in rows}
+    assert got == want
+
+
+def test_random_walks_weighted_replay(spark):
+    """Weight-biased walks match a python replay exactly: neighbor i owns
+    [lo_i, hi_i) of [0, Σŵ) with ŵ = floor(w·128)+1 in (dst % salts, dst)
+    order, and step t of walk w draws u = H(walk_id:t:seed) mod Σŵ."""
+    import hashlib
+
+    from llama_spark.operators.walks import ADJ_SALTS, random_walks
+
+    pairs = sorted(set(rmat_edges(scale=5, avg_degree=3)))
+    pairs = [(s_, d) for s_, d in pairs if s_ != d]
+    weighted = [(s_, d, 1.0 + ((s_ * 31 + d) % 100) / 100.0) for s_, d in pairs]
+    df = spark.createDataFrame(weighted, "src long, dst long, weight double")
+    got = {
+        (r["walk_id"], r["step"]): r["node"]
+        for r in random_walks(
+            df, walk_length=4, walks_per_node=1, seed=7, weight_col="weight"
+        ).collect()
+    }
+
+    res = 128
+    ranges = {}  # src -> list of (lo, hi, dst), plus total
+    adj = {}
+    for s_, d, w in weighted:
+        adj.setdefault(s_, []).append((d, w))
+    for s_, nbrs in adj.items():
+        nbrs.sort(key=lambda p: (p[0] % ADJ_SALTS, p[0]))
+        cum, out = 0, []
+        for d, w in nbrs:
+            iw = int(w * res // 1) + 1
+            out.append((cum, cum + iw, d))
+            cum += iw
+        ranges[s_] = (out, cum)
+
+    def h(sval):
+        return int(hashlib.md5(sval.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for node in sorted({u for e in pairs for u in e}):
+        wid, cur = node, node
+        want[(wid, 0)] = cur
+        for t in range(4):
+            if cur not in ranges:
+                break
+            out, tot = ranges[cur]
+            u = h(f"{wid}:{t}:7") % tot
+            cur = next(d for lo, hi, d in out if lo <= u < hi)
+            want[(wid, t + 1)] = cur
     assert got == want
 
 

@@ -160,6 +160,12 @@ class GraphSession:
 
         return harmonic_centrality(self._e(), roots, **kw)
 
+    def node2vec_walks(self, walk_length: int = 4, **kw) -> DataFrame:
+        """Deterministic node2vec-biased walks (p/q return/explore bias)."""
+        from .operators.walks import node2vec_walks
+
+        return node2vec_walks(self._e(), walk_length=walk_length, **kw)
+
     def random_walks(self, walk_length: int = 4, **kw) -> DataFrame:
         """Deterministic DeepWalk-style sampling (operators/walks.py)."""
         from .operators.walks import random_walks

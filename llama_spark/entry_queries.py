@@ -381,6 +381,102 @@ def _walks_sql() -> str:
     )
 
 
+N2V_P, N2V_Q = 2.0, 0.5  # return penalty / exploration boost
+N2V_RETRIES = 4
+
+
+def q_node2vec_walks(spark, sf_dir):
+    """Deterministic node2vec walks: rejection-sampled p/q bias (return
+    1/p, one-hop 1, explore 1/q), `retries` uniform candidate draws per
+    step, first accepted wins with last-candidate fallback — the oracle
+    unrolls the identical draws and accept tests."""
+    from .operators.walks import node2vec_walks
+
+    w = node2vec_walks(
+        load_edges(spark, sf_dir), walk_length=WALK_LEN, walks_per_node=1,
+        p=N2V_P, q=N2V_Q, retries=N2V_RETRIES, seed=WALK_SEED,
+    )
+    return w.select("walk_id", F.col("step").cast("long").alias("step"), "node")
+
+
+def _node2vec_sql() -> str:
+    from .operators.walks import ADJ_SALTS
+
+    m = 1 << 16
+    a_ret, a_mid, a_far = 1.0 / N2V_P, 1.0, 1.0 / N2V_Q
+    a_max = max(a_ret, a_mid, a_far)
+    thr_ret = int(round(m * a_ret / a_max))
+    thr_mid = int(round(m * a_mid / a_max))
+    thr_far = int(round(m * a_far / a_max))
+
+    def h(t, alias="c", acc=False):
+        tag = ", 'acc'" if acc else ""
+        return (
+            f"CAST(('0x' || substr(md5(concat_ws(':', {alias}.walk_id, {t}, "
+            f"{alias}.r{tag}, {WALK_SEED})), 1, 15)) AS BIGINT)"
+        )
+
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "adj AS MATERIALIZED (SELECT src, dst, ROW_NUMBER() OVER "
+        f"(PARTITION BY src ORDER BY dst % {ADJ_SALTS}, dst) AS idx FROM edges)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)",
+        "f0 AS (SELECT id AS walk_id, id AS node, CAST(NULL AS BIGINT) AS prev "
+        "FROM nodes)",
+    ]
+    for t in range(WALK_LEN):
+        n_r = 1 if t == 0 else N2V_RETRIES
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT f.walk_id, f.node, f.prev, r.r, d.od
+  FROM f{t} f JOIN deg d ON d.src = f.node
+  CROSS JOIN (SELECT CAST(range AS INTEGER) AS r FROM range({n_r})) r
+)"""
+        )
+        ctes.append(
+            f"""x{t} AS MATERIALIZED (
+  SELECT c.walk_id, c.prev, c.r, a.dst AS x
+  FROM c{t} c JOIN adj a
+    ON a.src = c.node AND a.idx = ({h(t)} % c.od) + 1
+)"""
+        )
+        if t == 0:
+            ctes.append(
+                f"f{t+1} AS MATERIALIZED (SELECT x.walk_id, x.x AS node, "
+                f"f.node AS prev FROM x{t} x JOIN f{t} f ON f.walk_id = x.walk_id)"
+            )
+        else:
+            ctes.append(
+                f"""p{t} AS MATERIALIZED (
+  SELECT walk_id, x, prev FROM (
+    SELECT c.walk_id, c.x, c.prev, c.r, c.acc,
+           ROW_NUMBER() OVER (PARTITION BY c.walk_id ORDER BY c.acc DESC,
+             CASE WHEN c.acc THEN c.r ELSE -c.r END ASC) AS rn
+    FROM (
+      SELECT y.walk_id, y.x, y.prev, y.r,
+             ({h(t, alias='y', acc=True)} % {m}) <
+             (CASE WHEN y.x = y.prev THEN {thr_ret}
+                   WHEN ep.src IS NOT NULL THEN {thr_mid}
+                   ELSE {thr_far} END) AS acc
+      FROM x{t} y LEFT JOIN edges ep ON ep.src = y.prev AND ep.dst = y.x
+    ) c
+  ) WHERE rn = 1
+)"""
+            )
+            ctes.append(
+                f"f{t+1} AS MATERIALIZED (SELECT p.walk_id, p.x AS node, "
+                f"f.node AS prev FROM p{t} p JOIN f{t} f ON f.walk_id = p.walk_id)"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, node FROM f{t}" for t in range(WALK_LEN + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT walk_id, CAST(step AS BIGINT) AS step, node FROM ({union})"
+    )
+
+
 WALK_W_RES = 128  # power of two → w·res is an exact double scaling
 
 
@@ -962,6 +1058,7 @@ FROM deg GROUP BY 1 ORDER BY 1""",
     "cc_alternating": _cc_sql(),
     "random_walks": _walks_sql(),
     "random_walks_weighted": _weighted_walks_sql(),
+    "node2vec_walks": _node2vec_sql(),
     "weighted_k_core": _weighted_k_core_sql(),
     "personalized_pagerank": _ppr_sql(),
     "pagerank_redistribute": _pagerank_redistribute_sql(),
@@ -1052,6 +1149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_alternating": q_cc_alternating,
     "random_walks": q_random_walks,
     "random_walks_weighted": q_random_walks_weighted,
+    "node2vec_walks": q_node2vec_walks,
     "weighted_k_core": q_weighted_k_core,
     "personalized_pagerank": q_personalized_pagerank,
     "pagerank_redistribute": q_pagerank_redistribute,

@@ -543,6 +543,24 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
+def q_corpus_curation_simhash(spark, sf_dir):
+    """The same composed curation with the OTHER near-dup family: stage 4
+    rejects the larger doc of every simhash pair at Hamming ≤ 3 (uncapped
+    band buckets to mirror the oracle, like q_simhash_pairs)."""
+    from .functions.dedup import curate_corpus
+
+    return curate_corpus(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        min_tokens=CURATE_MIN_TOKENS,
+        langs=("en",),
+        near_dup="simhash",
+        max_hamming=SIMHASH_MAX_HAMMING,
+        max_bucket_size=None,
+    )
+
+
+DOCS_QUERIES["corpus_curation_simhash"] = q_corpus_curation_simhash
+
 DOCS_ORACLE["corpus_curation"] = f"""
 WITH tc AS MATERIALIZED (SELECT doc_id, n_tokens FROM ({DOCS_ORACLE['token_counts']})),
 li AS MATERIALIZED (SELECT doc_id, lang_pred FROM ({DOCS_ORACLE['language_id']})),
@@ -561,3 +579,21 @@ r AS (
   LEFT JOIN nd ON nd.doc_id = d.doc_id)
 SELECT doc_id, reject_reason IS NULL AS keep, reject_reason FROM r"""
 DOCS_QUERIES["corpus_curation"] = q_corpus_curation
+
+DOCS_ORACLE["corpus_curation_simhash"] = f"""
+WITH tc AS MATERIALIZED (SELECT doc_id, n_tokens FROM ({DOCS_ORACLE['token_counts']})),
+li AS MATERIALIZED (SELECT doc_id, lang_pred FROM ({DOCS_ORACLE['language_id']})),
+ed AS MATERIALIZED (SELECT doc_id, canonical_id FROM ({DOCS_ORACLE['exact_duplicates']})),
+nd AS MATERIALIZED (SELECT DISTINCT doc_b AS doc_id FROM ({DOCS_ORACLE['simhash_pairs']})),
+r AS (
+  SELECT d.doc_id,
+         CASE WHEN tc.n_tokens < {CURATE_MIN_TOKENS} THEN 'too_short'
+              WHEN li.lang_pred <> 'en' THEN 'lang'
+              WHEN ed.canonical_id <> d.doc_id THEN 'exact_dup'
+              WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END AS reject_reason
+  FROM documents d
+  JOIN tc ON tc.doc_id = d.doc_id
+  JOIN li ON li.doc_id = d.doc_id
+  JOIN ed ON ed.doc_id = d.doc_id
+  LEFT JOIN nd ON nd.doc_id = d.doc_id)
+SELECT doc_id, reject_reason IS NULL AS keep, reject_reason FROM r"""

@@ -360,14 +360,25 @@ def curate_corpus(
     min_tokens: int = 20,
     langs: tuple[str, ...] = ("en",),
     jaccard_t: float = 0.5,
+    near_dup: str = "minhash",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """DataFrame[doc_id, keep, reject_reason] — the composed training-data
     curation pipeline a 100-TB corpus actually runs, as ONE declarative
     plan: token-count floor → language filter → exact dedup (keep the min
     doc_id of each byte-identical cluster) → two-stage near-dup removal
-    (LSH + exact-Jaccard verify; the larger doc_id of each verified pair
-    loses). ``reject_reason`` is the FIRST failing stage in that fixed
-    order (deterministic, cross-engine-stable); keep = no stage failed.
+    (the larger doc_id of each near-dup pair loses). ``reject_reason`` is
+    the FIRST failing stage in that fixed order (deterministic,
+    cross-engine-stable); keep = no stage failed.
+
+    ``near_dup`` selects the near-dup family for stage 4:
+    - ``"minhash"`` — MinHash-LSH candidates → exact-Jaccard ≥ jaccard_t
+      verify (the shingle-set view of similarity);
+    - ``"simhash"`` — band-blocked simhash pairs with Hamming distance ≤
+      ``max_hamming`` (the weighted-token-profile view; cheaper — no
+      shingle inverted index — and the usual choice when the corpus is
+      dominated by boilerplate-perturbed pages).
 
     Every stage is a reused, individually-oracle-gated operator — this
     gate checks their composition."""
@@ -376,8 +387,18 @@ def curate_corpus(
     tc = token_counts(documents).select("doc_id", "n_tokens")
     li = language_id(documents)
     ed = exact_duplicates(documents).select("doc_id", "canonical_id")
+    if near_dup == "minhash":
+        nd_pairs = verified_near_duplicates(
+            documents, threshold=jaccard_t, max_bucket_size=max_bucket_size
+        )
+    elif near_dup == "simhash":
+        nd_pairs = simhash_near_dup_pairs(
+            documents, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+        )
+    else:
+        raise ValueError(f"near_dup must be 'minhash' or 'simhash', got {near_dup!r}")
     losers = (
-        verified_near_duplicates(documents, threshold=jaccard_t)
+        nd_pairs
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("_nd", F.lit(True))

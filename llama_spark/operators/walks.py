@@ -285,3 +285,181 @@ def random_walks(
     adj.unpersist()
     deg.unpersist()
     return out
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    p: float = 2.0,
+    q: float = 0.5,
+    retries: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """DataFrame[walk_id, step, node] — deterministic node2vec-biased
+    walks (Grover & Leskovec 2016): from prev u at cur v, neighbor x is
+    drawn with unnormalized weight 1/p if x = u (return), 1 if the
+    directed edge u→x exists (stay near u), 1/q otherwise (explore).
+
+    Exact node2vec needs the full out-list of v classified against u per
+    step — O(deg) per walker, the hub scan this module exists to avoid.
+    Instead each step runs **deterministic rejection sampling** (the
+    standard scalable formulation, cf. KnightKing): draw ``retries``
+    uniform candidates x_r = adj[v][H(walk:t:r) mod od] in ONE adjacency
+    join, accept x_r iff H'(walk:t:r) mod 2^16 < 2^16·α(x_r)/α_max, and
+    take the first accepted candidate (falling back to the last candidate
+    if all reject — a documented, deterministic tail bias that shrinks
+    geometrically in ``retries``). Per step that is: one deg join, one
+    (src, idx) composite-key adjacency join on retries·|walkers| rows,
+    one (u, x) edge-existence join for the d=1 class, and one per-walker
+    window over ``retries`` rows — every join an equi-join, no neighbor
+    scans, replayable in SQL (the oracle unrolls the same draws).
+
+    Step 0 has no prev node and uses the r=0 uniform draw directly."""
+    spark = edges.sparkSession
+    pp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if retries < 1:
+        raise ValueError("retries must be >= 1")
+    M = 1 << 16
+    a_ret, a_mid, a_far = 1.0 / p, 1.0, 1.0 / q
+    a_max = max(a_ret, a_mid, a_far)
+    thr_ret = int(round(M * a_ret / a_max))
+    thr_mid = int(round(M * a_mid / a_max))
+    thr_far = int(round(M * a_far / a_max))
+
+    e = edges.select(SRC, DST).distinct()
+    adj = (
+        adjacency_index(e)
+        .repartition(pp, SRC, "idx")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    adj.count()
+    deg = (
+        e.groupBy(SRC).agg(F.count("*").alias("od"))
+        .repartition(pp, SRC)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_deg = deg.count()
+    # d=1 membership probe table, keyed (u, x) for the composite equi-join
+    e_probe = (
+        e.select(F.col(SRC).alias("_pu"), F.col(DST).alias("_px"))
+        .withColumn("_d1", F.lit(True))
+        .repartition(pp, "_pu", "_px")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e_probe.count()
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_deg <= 100_000 else df.hint("shuffle_hash")
+
+    nodes = nodes_of(edges)
+    starts = nodes.select(
+        F.explode(F.array(*[F.lit(w) for w in range(walks_per_node)])).alias("w"),
+        F.col("id").alias("node"),
+    ).select(
+        (F.col("node") * walks_per_node + F.col("w")).alias("walk_id"),
+        F.col("node"),
+        F.lit(None).cast("long").alias("prev"),
+    )
+    frontier = starts.localCheckpoint(eager=True)
+    # checkpoint the projection too: a select that DROPS an attribute of a
+    # checkpointed frame trips pyspark 4.1's stats/constraint rewrite when
+    # the final union is checkpointed ("key not found: walk_id#...")
+    out_parts = [
+        frontier.select("walk_id", F.lit(0).alias("step"), F.col("node"))
+        .localCheckpoint(eager=True)
+    ]
+    for t in range(walk_length):
+        pick_h = token_hash(
+            F.concat_ws(":", F.col("walk_id"), F.lit(t), F.col("r"), F.lit(seed))
+        )
+        acc_h = token_hash(
+            F.concat_ws(
+                ":", F.col("walk_id"), F.lit(t), F.col("r"), F.lit("acc"),
+                F.lit(seed),
+            )
+        )
+        n_r = 1 if t == 0 else retries
+        cands = (
+            _hint(frontier)
+            .join(deg, frontier["node"] == deg[SRC])
+            .select(
+                "walk_id",
+                "node",
+                "prev",
+                "od",
+                F.explode(F.array(*[F.lit(r) for r in range(n_r)])).alias("r"),
+            )
+            .withColumn("pick", F.pmod(pick_h, F.col("od")) + 1)
+        )
+        cands = (
+            _hint(cands)
+            .join(
+                adj,
+                (cands["node"] == adj[SRC]) & (cands["pick"] == adj["idx"]),
+            )
+            .select("walk_id", F.col("node").alias("cur"), "prev", "r",
+                    F.col(DST).alias("x"))
+        )
+        if t == 0:
+            picked = cands.select("walk_id", "cur", "x")
+        else:
+            # left outer: build side must be the probe table (right) — hint
+            # it shuffle_hash so the persisted (u, x)-partitioned table is
+            # hash-built, never sort-merged; the walker side streams
+            flagged = (
+                cands
+                .join(
+                    e_probe.hint("shuffle_hash"),
+                    (cands["prev"] == e_probe["_pu"])
+                    & (cands["x"] == e_probe["_px"]),
+                    "left",
+                )
+                .select(
+                    "walk_id",
+                    "cur",
+                    "r",
+                    "x",
+                    F.when(F.col("x") == F.col("prev"), F.lit(thr_ret))
+                    .when(F.col("_d1"), F.lit(thr_mid))
+                    .otherwise(F.lit(thr_far))
+                    .alias("thr"),
+                )
+                .withColumn("acc", F.pmod(acc_h, F.lit(M)) < F.col("thr"))
+            )
+            w = Window.partitionBy("walk_id").orderBy(
+                F.desc("acc"),
+                F.when(F.col("acc"), F.col("r")).otherwise(-F.col("r")).asc(),
+            )
+            picked = (
+                flagged.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("walk_id", "cur", "x")
+            )
+        # ONE checkpointed frame per step; the output rows and the next
+        # frontier (with prev = cur) are both cheap projections of it —
+        # no join back to the old frontier
+        picked = picked.localCheckpoint(eager=True)
+        if picked.isEmpty():
+            break
+        out_parts.append(
+            picked.select(
+                "walk_id", F.lit(t + 1).alias("step"), F.col("x").alias("node")
+            )
+        )
+        frontier = picked.select(
+            "walk_id", F.col("x").alias("node"), F.col("cur").alias("prev")
+        )
+
+    out = out_parts[0]
+    for part in out_parts[1:]:
+        out = out.unionByName(part)
+    # every part is already an eager localCheckpoint (one per step), so the
+    # union's lineage is a flat list of RDD scans — no final checkpoint
+    # needed, and checkpointing THIS union trips a pyspark 4.1 constraint
+    # rewrite ("key not found: walk_id#...") because the window-filtered
+    # step frames carry constraints on attributes the union drops
+    adj.unpersist()
+    deg.unpersist()
+    e_probe.unpersist()
+    return out

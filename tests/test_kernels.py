@@ -359,6 +359,73 @@ def test_random_walks_weighted_replay(spark):
     assert got == want
 
 
+def test_node2vec_walks_replay(spark):
+    """node2vec rejection-sampled walks match a python replay exactly:
+    step 0 is the r=0 uniform draw; later steps draw `retries` candidates,
+    classify each against prev (return/one-hop/explore thresholds), accept
+    by hash test, and take the first accepted (last candidate fallback)."""
+    import hashlib
+
+    from llama_spark.operators.walks import ADJ_SALTS, node2vec_walks
+
+    pairs = sorted(set(rmat_edges(scale=5, avg_degree=3)))
+    pairs = [(s_, d) for s_, d in pairs if s_ != d]
+    df = edges_df(spark, pairs)
+    p_, q_, retries, seed = 2.0, 0.5, 4, 11
+    got = {
+        (r["walk_id"], r["step"]): r["node"]
+        for r in node2vec_walks(
+            df, walk_length=4, walks_per_node=1, p=p_, q=q_, retries=retries,
+            seed=seed,
+        ).collect()
+    }
+
+    adj = {}
+    for s_, d in pairs:
+        adj.setdefault(s_, []).append(d)
+    for k in adj:
+        adj[k] = sorted(adj[k], key=lambda d: (d % ADJ_SALTS, d))
+    eset = set(pairs)
+    m = 1 << 16
+    a_ret, a_mid, a_far = 1.0 / p_, 1.0, 1.0 / q_
+    a_max = max(a_ret, a_mid, a_far)
+    thr = {
+        "ret": int(round(m * a_ret / a_max)),
+        "mid": int(round(m * a_mid / a_max)),
+        "far": int(round(m * a_far / a_max)),
+    }
+
+    def h(sval):
+        return int(hashlib.md5(sval.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for node in sorted({u for e in pairs for u in e}):
+        wid, cur, prev = node, node, None
+        want[(wid, 0)] = cur
+        for t in range(4):
+            nb = adj.get(cur)
+            if not nb:
+                break
+            if t == 0:
+                nxt = nb[h(f"{wid}:0:0:{seed}") % len(nb)]
+            else:
+                nxt = None
+                for r in range(retries):
+                    x = nb[h(f"{wid}:{t}:{r}:{seed}") % len(nb)]
+                    t_x = (
+                        thr["ret"]
+                        if x == prev
+                        else thr["mid"] if (prev, x) in eset else thr["far"]
+                    )
+                    if h(f"{wid}:{t}:{r}:acc:{seed}") % m < t_x:
+                        nxt = x
+                        break
+                    nxt = x  # last-candidate fallback
+            prev, cur = cur, nxt
+            want[(wid, t + 1)] = cur
+    assert got == want
+
+
 def test_k_core(spark):
     """Run-to-convergence k-core vs sequential peeling oracle, several
     shapes and k values; fixed-round mode equals convergence mode once

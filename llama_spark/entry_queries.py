@@ -1554,3 +1554,265 @@ ORACLE["component_sizes"] = (
     )
 )
 QUERIES["component_sizes"] = q_component_sizes
+
+
+# ---- local clustering coefficient + link prediction (operators/linkpred) ----
+
+LINKPRED_TOP_K = 50
+
+
+def q_local_clustering(spark, sf_dir):
+    from .operators.linkpred import local_clustering
+
+    return local_clustering(load_edges(spark, sf_dir), orient="degree")
+
+
+ORACLE["local_clustering"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED ({UND_SQL}),
+ordered AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+tris AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM ordered e1 JOIN ordered e2 ON e1.dst = e2.src
+  JOIN ordered e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT a AS id FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+),
+tpn AS (SELECT id, COUNT(*) AS t FROM corners GROUP BY id)
+SELECT d.id,
+       CAST(COALESCE(t.t, 0) AS BIGINT) AS triangles,
+       CAST(d.deg AS BIGINT) AS degree,
+       ROUND(CASE WHEN d.deg >= 2
+                  THEN 2e0 * COALESCE(t.t, 0) / (d.deg * (d.deg - 1))
+                  ELSE 0e0 END, 6) AS coefficient
+FROM deg d LEFT JOIN tpn t ON d.id = t.id"""
+
+QUERIES["local_clustering"] = q_local_clustering
+
+
+def q_link_prediction(spark, sf_dir):
+    from .operators.linkpred import link_prediction_scores
+
+    return link_prediction_scores(load_edges(spark, sf_dir), top_k=LINKPRED_TOP_K)
+
+
+ORACLE["link_prediction"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED ({UND_SQL}),
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+wedges AS (
+  SELECT l.dst AS a, r.dst AS b, d.deg AS zdeg
+  FROM und l JOIN und r ON l.src = r.src AND l.dst < r.dst
+  JOIN deg d ON d.id = l.src
+),
+scored AS (
+  SELECT a, b, COUNT(*) AS common, SUM(1e0/LN(zdeg)) AS aa_raw
+  FROM wedges GROUP BY a, b
+),
+non_edges AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.src = s.a AND u.dst = s.b)
+)
+SELECT n.a, n.b, CAST(n.common AS BIGINT) AS common,
+       ROUND(n.common / CAST(da.deg + db.deg - n.common AS DOUBLE), 6) AS jaccard,
+       ROUND(n.aa_raw, 6) AS adamic_adar,
+       CAST(da.deg * db.deg AS BIGINT) AS pref_attach
+FROM non_edges n JOIN deg da ON da.id = n.a JOIN deg db ON db.id = n.b
+ORDER BY adamic_adar DESC, n.a, n.b LIMIT {LINKPRED_TOP_K}"""
+
+QUERIES["link_prediction"] = q_link_prediction
+
+
+# ---- domain-contracted PageRank (operators/contract) ----
+
+DOMAIN_MOD = 64
+
+
+def _domain_pagerank_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"""cedges AS MATERIALIZED (
+  SELECT src % {DOMAIN_MOD} AS src, dst % {DOMAIN_MOD} AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM edges WHERE src % {DOMAIN_MOD} <> dst % {DOMAIN_MOD}
+  GROUP BY 1, 2
+)""",
+        """cnodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM cedges UNION ALL SELECT dst AS id FROM cedges))""",
+        "nn AS (SELECT COUNT(*) AS n FROM cnodes)",
+        "ow AS MATERIALIZED (SELECT src AS id, SUM(weight) AS ow FROM cedges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, 1e0/(SELECT n FROM nn) AS rank FROM cnodes)",
+    ]
+    base_factor = repr(1.0 - DAMPING)
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT cnodes.id,
+         CAST({base_factor} AS DOUBLE)/(SELECT n FROM nn)
+         + CAST({DAMPING!r} AS DOUBLE) * COALESCE(c.contrib, 0e0) AS rank
+  FROM cnodes LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank * (e.weight / d.ow)) AS contrib
+    FROM r{i-1} r JOIN cedges e ON e.src = r.id JOIN ow d ON d.id = r.id
+    GROUP BY e.dst
+  ) c ON cnodes.id = c.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank * (SELECT n FROM nn), 6) AS rank_scaled FROM r{PR_ITERS}"
+    )
+
+
+def q_domain_pagerank(spark, sf_dir):
+    """Host-graph PageRank: contract the page graph to domains (synthetic
+    domain = id % 64 — the modulo analog of url_domain on packed ids),
+    then weighted power iteration over the contracted multigraph."""
+    from .graph import nodes_of
+    from .operators.contract import contract_graph
+    from .operators.pagerank import pagerank_result
+
+    edges = load_edges(spark, sf_dir)
+    mapping = nodes_of(edges).select("id", (F.col("id") % DOMAIN_MOD).alias("gid"))
+    ce = contract_graph(edges, mapping)
+    res = pagerank_result(ce, damping=DAMPING, max_iter=PR_ITERS, weight_col="weight")
+    return res.state.select(
+        "id", F.round(F.col("rank") * F.lit(float(res.n_nodes)), 6).alias("rank_scaled")
+    )
+
+
+ORACLE["domain_pagerank"] = _domain_pagerank_sql()
+QUERIES["domain_pagerank"] = q_domain_pagerank
+
+
+# ---- maximal independent set (operators/mis, Luby rounds) ----
+
+MIS_UNROLL = 24
+
+
+def _mis_sql() -> str:
+    def key(col: str, r: int) -> str:
+        # packed (prio, id-low-32) BIGINT — mirrors operators/mis._key
+        prio = (
+            f"(({col} % 1000003) * 2654435761 + {r * 1315423911}"
+            f" + ({col} % 2147483647)) % 2147483647"
+        )
+        return f"(({prio}) * 4294967296 + ({col} % 4294967296))"
+
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        """a0 AS MATERIALIZED (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM und UNION ALL SELECT dst FROM und))""",
+    ]
+    for r in range(1, MIS_UNROLL + 1):
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT v.id FROM a{r-1} v LEFT JOIN (
+    SELECT e.src AS id, MIN({key('n.id', r)}) AS b
+    FROM und e JOIN a{r-1} n ON n.id = e.dst
+    GROUP BY e.src
+  ) bn ON bn.id = v.id
+  WHERE bn.b IS NULL OR {key('v.id', r)} < bn.b
+)"""
+        )
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT id FROM a{r-1}
+  WHERE id NOT IN (SELECT id FROM s{r})
+    AND id NOT IN (SELECT e.dst FROM und e JOIN s{r} s ON s.id = e.src)
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT id FROM s{r}" for r in range(1, MIS_UNROLL + 1))
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id FROM ({union})"
+
+
+def q_mis(spark, sf_dir):
+    from .operators.mis import maximal_independent_set
+
+    return maximal_independent_set(load_edges(spark, sf_dir))
+
+
+ORACLE["mis"] = _mis_sql()
+QUERIES["mis"] = q_mis
+
+
+# ---- minimum spanning forest (operators/mst, Borůvka rounds) ----
+
+MST_UNROLL = 13   # ≥ ⌈log2 |V|⌉ + 1 detect round at every gate SF
+MST_JUMPS = 13    # pointer doublings: resolves chosen chains up to 2^13
+
+
+def _mst_sql() -> str:
+    w = "1e0 + ((src*31 + dst) % 100)/100e0"
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"""cund AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MIN({w}) AS w
+  FROM edges GROUP BY 1, 2
+)""",
+        """c0 AS MATERIALIZED (
+  SELECT id, id AS comp FROM (
+    SELECT DISTINCT a AS id FROM cund UNION SELECT DISTINCT b FROM cund))""",
+    ]
+    for r in range(1, MST_UNROLL + 1):
+        # every CTE referenced more than once MUST be MATERIALIZED: DuckDB
+        # inlines plain CTEs per reference, and the self-joining pointer
+        # chain q_k would otherwise expand 2^MST_JUMPS-fold at plan time
+        ctes.append(
+            f"""lab{r} AS MATERIALIZED (
+  SELECT ca.comp AS comp_a, cb.comp AS comp_b, e.w, e.a, e.b
+  FROM cund e JOIN c{r-1} ca ON ca.id = e.a JOIN c{r-1} cb ON cb.id = e.b
+  WHERE ca.comp <> cb.comp
+)"""
+        )
+        ctes.append(
+            f"""ch{r} AS MATERIALIZED (
+  SELECT comp, w, a, b, other FROM (
+    SELECT comp, w, a, b, other,
+           ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, a, b) AS rn
+    FROM (
+      SELECT comp_a AS comp, w, a, b, comp_b AS other FROM lab{r}
+      UNION ALL
+      SELECT comp_b, w, a, b, comp_a FROM lab{r}
+    )) t WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""q{r}_0 AS MATERIALIZED (
+  SELECT x.comp,
+         CASE WHEN y.other = x.comp AND x.comp < x.other
+              THEN x.comp ELSE x.other END AS p
+  FROM ch{r} x JOIN ch{r} y ON x.other = y.comp
+)"""
+        )
+        for k in range(1, MST_JUMPS + 1):
+            ctes.append(
+                f"""q{r}_{k} AS MATERIALIZED (
+  SELECT x.comp, y.p FROM q{r}_{k-1} x JOIN q{r}_{k-1} y ON x.p = y.comp
+)"""
+            )
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT c.id, COALESCE(q.p, c.comp) AS comp
+  FROM c{r-1} c LEFT JOIN q{r}_{MST_JUMPS} q ON q.comp = c.comp
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT a, b, w FROM ch{r}" for r in range(1, MST_UNROLL + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""\nSELECT DISTINCT a AS src, b AS dst, ROUND(w, 6) AS weight
+FROM ({union})"""
+    )
+
+
+def q_mst(spark, sf_dir):
+    from .graph import with_synthetic_weights
+    from .operators.mst import minimum_spanning_forest
+
+    return minimum_spanning_forest(with_synthetic_weights(load_edges(spark, sf_dir)))
+
+
+ORACLE["mst"] = _mst_sql()
+QUERIES["mst"] = q_mst

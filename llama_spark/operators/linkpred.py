@@ -1,0 +1,147 @@
+"""Local clustering coefficient + neighborhood-overlap link prediction.
+
+Reference context: LLAMA's triangle kernels (benchmark/benchmarks/
+triangle_counting.h:155-336) compute the global count; the per-node
+clustering coefficient is the standard composition of the same
+per-corner triangle credit with the undirected degree
+(C(v) = 2·T(v) / d(v)·(d(v)-1)), and neighborhood-overlap scores
+(common neighbors / Jaccard / Adamic-Adar / preferential attachment)
+are the canonical wedge self-join over the same sorted adjacency the
+intersection kernels walk (triangle_counting.h:481-567).
+
+Spark plans — all JVM-side, no UDFs:
+
+* ``local_clustering``: reuses ``triangles_per_node`` (degree-oriented
+  wedge join — hubs never enumerate their own D² wedges) + one und
+  degree aggregate, left-joined over the node set.
+* ``link_prediction_scores``: wedges a–z–b (a<b, a≠b) built from the
+  undirected adjacency grouped per *center* z, scored per (a, b) with
+  one aggregation, adjacency anti-joined away. A hub center z emits
+  O(d(z)²) wedge rows — the documented skew control is ``hub_cap``
+  (drop centers with d(z) > cap, exactly the df-cap strategy of the
+  n-gram joiner in functions/dedup.py); the oracle gate runs uncapped
+  so Spark and DuckDB see identical pair sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..graph import DST, SRC, drop_self_loops, undirected_double
+from .triangles import triangles_per_node
+
+
+def _und_degrees(edges: DataFrame) -> DataFrame:
+    """DataFrame[id, deg] — distinct-neighbor (undirected) degree."""
+    und = drop_self_loops(undirected_double(edges)).distinct()
+    return und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("deg"))
+
+
+def local_clustering(edges: DataFrame, orient: str = "degree") -> DataFrame:
+    """DataFrame[id, triangles, degree, coefficient] for every node.
+
+    coefficient = 2·T(v) / (d(v)·(d(v)-1)), 0.0 where d(v) < 2; rounded
+    to 6 dp (cross-engine float-noise policy, see entry_queries module
+    docstring).
+    """
+    deg = _und_degrees(edges)
+    tri = triangles_per_node(edges, orient=orient)
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.col("deg").cast("long").alias("degree"),
+            F.round(
+                F.when(
+                    F.col("deg") >= 2,
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - F.lit(1))),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("coefficient"),
+        )
+    )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    top_k: int | None = None,
+    hub_cap: int | None = None,
+) -> DataFrame:
+    """Score non-adjacent node pairs by neighborhood overlap.
+
+    Returns DataFrame[a, b, common, jaccard, adamic_adar, pref_attach]
+    with a < b, (a, b) NOT an edge, common ≥ 1; floats rounded to 6 dp.
+
+    * common        — |Γ(a) ∩ Γ(b)|
+    * jaccard       — |Γ(a) ∩ Γ(b)| / |Γ(a) ∪ Γ(b)|
+    * adamic_adar   — Σ_{z ∈ Γ(a)∩Γ(b)} 1 / ln d(z)
+    * pref_attach   — d(a)·d(b)
+
+    ``top_k`` keeps the k best pairs by (adamic_adar desc, a, b) — a
+    deterministic total order. ``hub_cap`` drops wedge *centers* with
+    d(z) > cap before the self-join: on a power-law graph the hub
+    centers contribute near-zero Adamic-Adar weight (1/ln d) but O(d²)
+    wedge rows, so capping trades negligible score mass for the removal
+    of the quadratic term — same recall argument as the hot-shingle
+    df-cap in ngram_jaccard_pairs. The oracle gate runs uncapped.
+    """
+    und = (
+        drop_self_loops(undirected_double(edges))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("deg"))
+
+    # adjacency annotated with the center's degree (the wedge weight)
+    adj = und.join(
+        deg.withColumnRenamed("id", SRC).withColumnRenamed("deg", "zdeg"), SRC
+    )
+    if hub_cap is not None:
+        adj = adj.filter(F.col("zdeg") <= hub_cap)
+
+    l, r = adj.alias("l"), adj.alias("r")
+    wedges = (
+        l.join(r, F.col("l.src") == F.col("r.src"))
+        .filter(F.col("l.dst") < F.col("r.dst"))
+        .select(
+            F.col("l.dst").alias("a"),
+            F.col("r.dst").alias("b"),
+            F.col("l.zdeg").alias("zdeg"),
+        )
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("common"),
+        F.sum(1.0 / F.log(F.col("zdeg").cast("double"))).alias("aa_raw"),
+    )
+    # drop pairs that are already edges (link prediction scores candidates)
+    non_edges = scored.join(
+        und,
+        (scored["a"] == und[SRC]) & (scored["b"] == und[DST]),
+        "left_anti",
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    out = (
+        non_edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common") / (F.col("da") + F.col("db") - F.col("common")), 6
+            ).alias("jaccard"),
+            F.round(F.col("aa_raw"), 6).alias("adamic_adar"),
+            (F.col("da") * F.col("db")).cast("long").alias("pref_attach"),
+        )
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.desc("adamic_adar"), F.asc("a"), F.asc("b")
+        ).limit(top_k)
+    return out

@@ -1,0 +1,158 @@
+"""Minimum spanning forest — distributed Borůvka rounds.
+
+Borůvka is the MST algorithm with a native vertex-centric/BSP form
+(every other classical MST algorithm is inherently sequential): each
+round every component picks its minimum-weight outgoing edge, all picked
+edges join the forest, and the components they connect merge. Components
+at least halve per round → ≤ ⌈log₂ V⌉ rounds.
+
+Determinism: edges are totally ordered by (weight, src, dst) after
+canonicalization to src < dst with the per-pair minimum weight, so the
+"minimum edge" of a component is unique — the forest is a pure function
+of the weighted edge set, which is what lets a DuckDB unroll replay it
+exactly (entry_queries._mst_sql).
+
+Component merging inside a round: every component has exactly one
+chosen edge, so the chosen graph on component ids is a functional
+pseudoforest — in-trees hanging off two-cycles, where each two-cycle is
+a cluster's global-minimum edge chosen from both sides. Breaking each
+two-cycle toward the smaller id turns it into in-trees; log-step
+**pointer doubling** (p ← p∘p) then resolves every component to its
+root without the diameter-bound label-propagation a hash-min pass would
+need (a chosen chain of length L converges in log₂ L doublings, not L
+rounds). The comp→root table is |components| rows — shrinking
+geometrically — while the full edge table is touched exactly once per
+round for relabeling, which is the irreducible Borůvka cost.
+
+Skew: the per-component min is a single map-side-combinable
+min(struct) aggregate — a hub component with millions of incident edges
+partially aggregates on every partition; nothing ever materializes a
+component's full incident-edge list in one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..graph import DST, SRC
+
+
+def _canonical_und(edges: DataFrame, weight_col: str) -> DataFrame:
+    """Each unordered pair once as (a<b, min weight over both directions)."""
+    return (
+        edges.filter(F.col(SRC) != F.col(DST))
+        .select(
+            F.least(SRC, DST).alias("a"),
+            F.greatest(SRC, DST).alias("b"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+
+
+def minimum_spanning_forest(
+    edges: DataFrame, weight_col: str = "weight", max_rounds: int = 50
+) -> DataFrame:
+    """DataFrame[src, dst, weight] — the minimum spanning forest, one row
+    per forest edge with src < dst. Exact, deterministic (unique total
+    edge order (weight, src, dst)).
+    """
+    spark = edges.sparkSession
+    e = _canonical_und(edges, weight_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # comp: node id -> component label (values only group; any consistent
+    # labeling yields the same partition, hence the same chosen edges)
+    comp = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    forest_parts: list[DataFrame] = []
+
+    for _round in range(max_rounds):
+        ca = comp.select(F.col("id").alias("a"), F.col("comp").alias("comp_a"))
+        cb = comp.select(F.col("id").alias("b"), F.col("comp").alias("comp_b"))
+        labeled = (
+            e.join(ca, "a")
+            .join(cb, "b")
+            .filter(F.col("comp_a") != F.col("comp_b"))
+        )
+        # min outgoing edge per component: each inter-component edge is a
+        # candidate for both endpoints' components
+        cand = labeled.select(
+            F.col("comp_a").alias("comp"),
+            F.struct("w", "a", "b", F.col("comp_b").alias("other")).alias("e"),
+        ).unionByName(
+            labeled.select(
+                F.col("comp_b").alias("comp"),
+                F.struct("w", "a", "b", F.col("comp_a").alias("other")).alias("e"),
+            )
+        )
+        obs = Observation(f"mst_{_round}")
+        chosen = (
+            cand.groupBy("comp")
+            .agg(F.min("e").alias("e"))
+            .select("comp", F.col("e.w").alias("w"), F.col("e.a").alias("a"),
+                    F.col("e.b").alias("b"), F.col("e.other").alias("other"))
+            .observe(obs, F.count("*").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        if int(obs.get["n"] or 0) == 0:
+            break  # no inter-component edge anywhere: forest complete
+        forest_parts.append(chosen.select("a", "b", "w").distinct())
+
+        # merge: pointer p(comp) = other endpoint's component; break the
+        # mutual two-cycles toward the smaller id, then pointer-double.
+        p = chosen.select("comp", F.col("other").alias("p"))
+        pp = p.alias("x").join(
+            p.alias("y"), F.col("x.p") == F.col("y.comp")
+        ).select(
+            F.col("x.comp").alias("comp"),
+            F.when(
+                (F.col("y.p") == F.col("x.comp")) & (F.col("x.comp") < F.col("x.p")),
+                F.col("x.comp"),
+            ).otherwise(F.col("x.p")).alias("p"),
+        ).localCheckpoint(eager=True)
+        while True:
+            obs2 = Observation()
+            nxt = (
+                pp.alias("x")
+                .join(pp.alias("y"), F.col("x.p") == F.col("y.comp"))
+                .select(
+                    F.col("x.comp").alias("comp"),
+                    F.col("x.p").alias("p_old"),
+                    F.col("y.p").alias("p"),
+                )
+                .observe(
+                    obs2,
+                    F.sum(
+                        F.when(F.col("p_old") != F.col("p"), F.lit(1)).otherwise(F.lit(0))
+                    ).alias("moved"),
+                )
+                .select("comp", "p")
+                .localCheckpoint(eager=True)
+            )
+            pp = nxt
+            if int(obs2.get["moved"] or 0) == 0:
+                break
+        comp = (
+            comp.join(pp.withColumnRenamed("comp", "c_old"), comp["comp"] == F.col("c_old"), "left")
+            .select("id", F.coalesce("p", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"Borůvka did not converge in max_rounds={max_rounds}")
+
+    e.unpersist()
+    if not forest_parts:
+        return spark.createDataFrame([], "src long, dst long, weight double")
+    out = forest_parts[0]
+    for part in forest_parts[1:]:
+        out = out.unionByName(part)
+    return out.select(
+        F.col("a").alias(SRC), F.col("b").alias(DST), F.round(F.col("w"), 6).alias("weight")
+    ).distinct()

@@ -75,3 +75,12 @@ def extract_text(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame({"url": pdf["url"], "text": texts})
 
     return pages.select("url", "html").mapInPandas(batches, schema=TEXT_SCHEMA)
+
+
+def url_domain(url):  # Column -> Column
+    """Registrable-host of a url as a Catalyst expression (no UDF):
+    strips scheme, userinfo, port, path. The gid_of expression for
+    ``contract_graph_expr`` on url-keyed link tables."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_extract(url, r"^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1)

@@ -98,10 +98,19 @@ def main() -> None:
     # so single sequential runs are noise-dominated. Interleave repeats and
     # take the best (steady-state) per-iteration time per parallelism level.
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
+    # hi_first: the 16-thread leg is the burst-sensitive one (4x the
+    # cross-section to external tenants) — when firing inside a detected
+    # quiet window, measure it FIRST before the window closes; the 4-thread
+    # leg is demonstrably noise-tolerant (per-leg records, BENCH/BASELINE.md)
+    hi_first = os.environ.get("SCALING_ORDER", "lo_first") == "hi_first"
     lo_runs, hi_runs = [], []
     for _ in range(repeats):
-        lo_runs.append(run(lo_cores, scale, iters))
-        hi_runs.append(run(hi_cores, scale, iters))
+        if hi_first:
+            hi_runs.append(run(hi_cores, scale, iters))
+            lo_runs.append(run(lo_cores, scale, iters))
+        else:
+            lo_runs.append(run(lo_cores, scale, iters))
+            hi_runs.append(run(hi_cores, scale, iters))
     lo = min(lo_runs, key=lambda r: r["min_iter_sec"])
     hi = min(hi_runs, key=lambda r: r["min_iter_sec"])
     legs = {

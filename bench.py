@@ -167,6 +167,16 @@ def main() -> None:
 
     timed("random_walks_l4", lambda: random_walks(edges, walk_length=4).count())
 
+    from llama_spark.graph import with_synthetic_weights
+    from llama_spark.operators.mis import maximal_independent_set
+    from llama_spark.operators.mst import minimum_spanning_forest
+
+    timed("mis", lambda: maximal_independent_set(edges).count())
+    timed(
+        "mst",
+        lambda: minimum_spanning_forest(with_synthetic_weights(edges)).count(),
+    )
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("minhash_lsh_dedup", lambda: lsh_candidate_pairs(docs).count())

@@ -597,3 +597,67 @@ r AS (
   JOIN ed ON ed.doc_id = d.doc_id
   LEFT JOIN nd ON nd.doc_id = d.doc_id)
 SELECT doc_id, reject_reason IS NULL AS keep, reject_reason FROM r"""
+
+
+# ---- tf-idf top terms + BM25 retrieval (functions/text) --------------------
+
+TFIDF_TOP_K = 3
+BM25_TERMS = ["spark", "join", "stream"]
+BM25_TOP_K = 20
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    from .functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), top_k=TFIDF_TOP_K
+    )
+
+
+DOCS_ORACLE["tfidf_top_terms"] = f"""WITH toks AS MATERIALIZED ({TOKS_SQL}),
+tf AS MATERIALIZED (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+dfx AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf,
+         t.tf * LN(CAST((SELECT n FROM nd) AS DOUBLE) / d.df) AS s
+  FROM tf t JOIN dfx d ON d.tok = t.tok)
+SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, ROUND(s, 6) AS score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, tok) AS rn
+  FROM scored) t WHERE rn <= {TFIDF_TOP_K}"""
+
+DOCS_QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
+
+
+def q_bm25(spark, sf_dir):
+    from .functions.text import bm25_scores
+
+    return bm25_scores(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        query_terms=BM25_TERMS,
+        top_k=BM25_TOP_K,
+    )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+DOCS_ORACLE["bm25"] = f"""WITH toks AS MATERIALIZED ({TOKS_SQL}),
+lens AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM lens),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+qtf AS MATERIALIZED (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({_BM25_IN}) GROUP BY doc_id, tok),
+qdf AS (SELECT tok, COUNT(*) AS df FROM qtf GROUP BY tok),
+idf AS (SELECT tok,
+               LN(1e0 + (CAST((SELECT n FROM nd) AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
+        FROM qdf),
+contrib AS (
+  SELECT q.doc_id,
+         i.idf * q.tf * 2.2e0
+         / (q.tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * l.dl / (SELECT a FROM avgdl))) AS c
+  FROM qtf q JOIN idf i ON i.tok = q.tok JOIN lens l ON l.doc_id = q.doc_id)
+SELECT doc_id, ROUND(SUM(c), 6) AS score FROM contrib
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}"""
+
+DOCS_QUERIES["bm25"] = q_bm25

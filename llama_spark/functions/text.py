@@ -129,3 +129,96 @@ def fingerprints(documents: DataFrame, window: int = 4) -> DataFrame:
         gram = gram + term
     grams = toks.select("doc_id", (gram % P31).alias("gram_hash"))
     return grams.groupBy("doc_id").agg(F.min("gram_hash").alias("fingerprint"))
+
+
+def tfidf_top_terms(documents: DataFrame, top_k: int = 3) -> DataFrame:
+    """DataFrame[doc_id, tok, tf, score] — each doc's ``top_k`` terms by
+    tf·idf, idf = ln(N / df) (plain ratio — N and df both ≥ 1, so the
+    log is total; ties broken by token text for a deterministic top-k).
+
+    Plan: one tokenize → (doc, tok) count (map-side combinable), a
+    vocab-level df aggregate off the same frame, and a hash join tf⨝df —
+    vocab scales with corpus size, so no broadcast. The per-doc top-k
+    window partitions by doc_id: bounded by the doc's distinct-token
+    count, never by vocab or corpus size.
+    """
+    tf = (
+        tokenize(documents)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = documents.count()
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = tf.join(df_tbl, "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("s"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("doc_id", "tok", "tf", F.round("s", 6).alias("score"))
+    )
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """DataFrame[doc_id, score] — BM25 relevance of each doc for a bag of
+    query terms, top_k docs by (score desc, doc_id).
+
+        idf(t)    = ln(1 + (N - df + 0.5)/(df + 0.5))     (Robertson)
+        score(d)  = Σ_t idf·tf·(k1+1) / (tf + k1·(1-b+b·|d|/avg|d|))
+
+    The tf table is filtered to the query terms FIRST (an isin over a
+    few literals — pushed into the scan), so the join and window touch
+    |query|·N rows, not the full posting list.
+    """
+    toks = tokenize(documents)
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # exact-integer sum / count, not avg(): both engines divide the same
+    # exact BIGINT sum, so the literal is bit-identical to the oracle's
+    avgdl = float(
+        lens.agg((F.sum("dl").cast("double") / F.count("*")).alias("a"))
+        .collect()[0]["a"]
+        or 0.0
+    )
+    n_docs = documents.count()
+    qtf = (
+        toks.filter(F.col("tok").isin(query_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    qdf = qtf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = qdf.select(
+        "tok",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    contrib = (
+        qtf.join(F.broadcast(idf), "tok")
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_k)
+    )

@@ -130,3 +130,40 @@ def with_synthetic_weights(edges: DataFrame) -> DataFrame:
             / F.lit(100.0)
         ),
     )
+
+
+def materialize(df: DataFrame, observed: bool = False) -> DataFrame:
+    """Truncate plan lineage AND reset size statistics — the round-state
+    materializer for kernels that SELF-JOIN their evolving state.
+
+    ``localCheckpoint`` alone truncates the logical plan to a leaf but
+    carries the child plan's estimated ``sizeInBytes`` into it. A join's
+    size estimate is the *product* of its inputs, so a kernel that joins
+    round state with itself (pointer doubling, Luby neighbor-min, triangle
+    support) squares that BigInt every round — its bit-length doubles, and
+    from ~15 self-referential rounds the driver burns seconds-to-minutes
+    per round in BigInteger multiplications inside join planning
+    (measured: round cost 0.3s -> 21s between rounds 15 and 23 on a
+    100-row table). Caching the checkpointed leaf and materializing it
+    replaces the estimate with the real cached size (InMemoryRelation
+    stats), so every round restarts from ~10 bits. One job total: the
+    ``count`` materializes checkpoint blocks and cache together.
+
+    Kernels that only join evolving state against a FIXED table (pagerank,
+    CC, BFS) add bits instead of doubling them — harmless for any
+    realistic round count; they keep plain ``localCheckpoint``.
+
+    The caller should ``.unpersist()`` the previous round's frame once the
+    next one is materialized (the blocks are per-round state, not shared).
+
+    ``observed=True`` is REQUIRED when ``observe()`` metrics ride on
+    ``df``: observation metrics are published when the checkpoint's
+    internal action completes, and a lazy checkpoint publishes them
+    immediately with ZERO rows seen — every observation-driven
+    convergence loop would exit on round one. Eager + count is two jobs
+    (the count only reads checkpoint blocks); the unobserved path folds
+    checkpoint and cache materialization into the single count job.
+    """
+    out = df.localCheckpoint(eager=observed).persist()
+    out.count()
+    return out

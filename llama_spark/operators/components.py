@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..graph import DST, SRC, drop_self_loops, nodes_of, symmetrize
+from ..graph import DST, SRC, drop_self_loops, materialize, nodes_of, symmetrize
 from ..plans.fixpoint import FixpointResult, iterate
 
 
@@ -145,14 +145,17 @@ def connected_components_alternating(
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
     nodes.count()
-    e = (
+    # pointer-edge state goes through ``materialize`` (NOT bare
+    # localCheckpoint): every star phase joins e with an aggregate OF e,
+    # so carried size estimates square twice per round — see
+    # graph.materialize for the failure mode
+    e = materialize(
         drop_self_loops(edges.select(SRC, DST))
         .select(
             F.greatest(SRC, DST).alias(SRC), F.least(SRC, DST).alias(DST)
         )
         .distinct()
         .repartition(p, SRC)
-        .localCheckpoint(eager=True)
     )
 
     sig = None
@@ -164,17 +167,19 @@ def connected_components_alternating(
             .agg(F.min(DST).alias("mn"))
             .select(SRC, F.least("mn", SRC).alias("m"))
         )
-        e = (
+        prev = e
+        e = materialize(
             nbrs.filter(F.col(DST) > F.col(SRC))
             .join(mins, SRC)
             .select(F.col(DST).alias(SRC), F.col("m").alias(DST))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        prev.unpersist()
         # small-star over the (src > dst)-oriented pointer edges
         smins = e.groupBy(SRC).agg(F.min(DST).alias("m"))
         obs = Observation(f"cc_alt_{_round}")
-        e = (
+        prev = e
+        e = materialize(
             e.join(smins, SRC)
             .select(
                 F.when(F.col(DST) == F.col("m"), F.col(SRC))
@@ -189,9 +194,10 @@ def connected_components_alternating(
                 obs,
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(F.expr(f"bit_xor(xxhash64({SRC}, {DST}))"), F.lit(0)).alias("h"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            observed=True,
         )
+        prev.unpersist()
         new_sig = (obs.get["n"], obs.get["h"])
         if new_sig == sig:
             break
@@ -212,6 +218,7 @@ def connected_components_alternating(
     out = nodes.join(centers.withColumnRenamed(SRC, "id"), "id", "left").select(
         "id", F.coalesce("component", "id").alias("component")
     ).localCheckpoint(eager=True)
+    e.unpersist()
     nodes.unpersist()
     return out
 

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..graph import DST, SRC, drop_self_loops, nodes_of, undirected_double
+from ..graph import DST, SRC, drop_self_loops, materialize, nodes_of, undirected_double
 
 # mirrored literally in the DuckDB oracle (entry_queries._mis_sql)
 _P1, _P2, _P3, _MOD = 1_000_003, 2_654_435_761, 1_315_423_911, 2_147_483_647
@@ -64,7 +64,10 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 64) -> DataFrame
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    active = nodes_of(und).localCheckpoint(eager=True)
+    # round state goes through ``materialize`` (localCheckpoint + cached
+    # real stats): active feeds BOTH sides of the live-neighbor join, and
+    # carried size estimates would square per round — see graph.materialize
+    active = materialize(nodes_of(und))
     n_active = active.count()
     selected_parts: list[DataFrame] = []
 
@@ -77,11 +80,10 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 64) -> DataFrame
         best_nbr = live.groupBy(F.col(SRC).alias("id")).agg(
             F.min(_key(F.col(DST), r)).alias("b")
         )
-        sel = (
+        sel = materialize(
             active.join(best_nbr, "id", "left")
             .filter(F.col("b").isNull() | (_key(F.col("id"), r) < F.col("b")))
             .select("id")
-            .localCheckpoint(eager=True)
         )
         selected_parts.append(sel)
         # deactivate the selected and everything adjacent to them
@@ -90,12 +92,14 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 64) -> DataFrame
             .select(F.col(DST).alias("id"))
         )
         obs = Observation(f"mis_{r}")
-        active = (
+        prev_active = active
+        active = materialize(
             active.join(sel, "id", "left_anti")
             .join(nbrs_of_sel, "id", "left_anti")
-            .observe(obs, F.count("*").alias("n"))
-            .localCheckpoint(eager=True)
+            .observe(obs, F.count("*").alias("n")),
+            observed=True,
         )
+        prev_active.unpersist()
         n_active = int(obs.get["n"] or 0)
     else:
         if n_active > 0:

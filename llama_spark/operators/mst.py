@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..graph import DST, SRC
+from ..graph import DST, SRC, materialize
 
 
 def _canonical_und(edges: DataFrame, weight_col: str) -> DataFrame:
@@ -63,13 +63,15 @@ def minimum_spanning_forest(
     spark = edges.sparkSession
     e = _canonical_und(edges, weight_col).persist(StorageLevel.MEMORY_AND_DISK)
     # comp: node id -> component label (values only group; any consistent
-    # labeling yields the same partition, hence the same chosen edges)
-    comp = (
+    # labeling yields the same partition, hence the same chosen edges).
+    # Every round-state frame goes through ``materialize`` (NOT bare
+    # localCheckpoint): comp and pp feed self-referential joins, and
+    # carried size estimates square per round — see graph.materialize.
+    comp = materialize(
         e.select(F.col("a").alias("id"))
         .unionByName(e.select(F.col("b").alias("id")))
         .distinct()
         .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=True)
     )
     forest_parts: list[DataFrame] = []
 
@@ -93,13 +95,13 @@ def minimum_spanning_forest(
             )
         )
         obs = Observation(f"mst_{_round}")
-        chosen = (
+        chosen = materialize(
             cand.groupBy("comp")
             .agg(F.min("e").alias("e"))
             .select("comp", F.col("e.w").alias("w"), F.col("e.a").alias("a"),
                     F.col("e.b").alias("b"), F.col("e.other").alias("other"))
-            .observe(obs, F.count("*").alias("n"))
-            .localCheckpoint(eager=True)
+            .observe(obs, F.count("*").alias("n")),
+            observed=True,
         )
         if int(obs.get["n"] or 0) == 0:
             break  # no inter-component edge anywhere: forest complete
@@ -108,18 +110,20 @@ def minimum_spanning_forest(
         # merge: pointer p(comp) = other endpoint's component; break the
         # mutual two-cycles toward the smaller id, then pointer-double.
         p = chosen.select("comp", F.col("other").alias("p"))
-        pp = p.alias("x").join(
-            p.alias("y"), F.col("x.p") == F.col("y.comp")
-        ).select(
-            F.col("x.comp").alias("comp"),
-            F.when(
-                (F.col("y.p") == F.col("x.comp")) & (F.col("x.comp") < F.col("x.p")),
-                F.col("x.comp"),
-            ).otherwise(F.col("x.p")).alias("p"),
-        ).localCheckpoint(eager=True)
+        pp = materialize(
+            p.alias("x")
+            .join(p.alias("y"), F.col("x.p") == F.col("y.comp"))
+            .select(
+                F.col("x.comp").alias("comp"),
+                F.when(
+                    (F.col("y.p") == F.col("x.comp")) & (F.col("x.comp") < F.col("x.p")),
+                    F.col("x.comp"),
+                ).otherwise(F.col("x.p")).alias("p"),
+            )
+        )
         while True:
             obs2 = Observation()
-            nxt = (
+            nxt = materialize(
                 pp.alias("x")
                 .join(pp.alias("y"), F.col("x.p") == F.col("y.comp"))
                 .select(
@@ -133,21 +137,26 @@ def minimum_spanning_forest(
                         F.when(F.col("p_old") != F.col("p"), F.lit(1)).otherwise(F.lit(0))
                     ).alias("moved"),
                 )
-                .select("comp", "p")
-                .localCheckpoint(eager=True)
+                .select("comp", "p"),
+                observed=True,
             )
+            pp.unpersist()
             pp = nxt
             if int(obs2.get["moved"] or 0) == 0:
                 break
-        comp = (
-            comp.join(pp.withColumnRenamed("comp", "c_old"), comp["comp"] == F.col("c_old"), "left")
-            .select("id", F.coalesce("p", "comp").alias("comp"))
-            .localCheckpoint(eager=True)
+        prev_comp = comp
+        comp = materialize(
+            comp.join(
+                pp.withColumnRenamed("comp", "c_old"), comp["comp"] == F.col("c_old"), "left"
+            ).select("id", F.coalesce("p", "comp").alias("comp"))
         )
+        prev_comp.unpersist()
+        pp.unpersist()
     else:
         raise RuntimeError(f"Borůvka did not converge in max_rounds={max_rounds}")
 
     e.unpersist()
+    comp.unpersist()
     if not forest_parts:
         return spark.createDataFrame([], "src long, dst long, weight double")
     out = forest_parts[0]

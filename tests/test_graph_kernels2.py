@@ -252,3 +252,34 @@ def test_url_domain_expr(spark):
     )
     got = [r["d"] for r in df.select(url_domain(F.col("url")).alias("d")).collect()]
     assert got == ["a.example.com", "b.org", "c.net"]
+
+
+# ------------------------------------------------------- materialize hazard
+
+
+def test_materialize_caps_self_join_stats(spark):
+    """Iterated self-joins through ``materialize`` must keep the carried
+    sizeInBytes estimate bounded. Bare localCheckpoint carries the child
+    plan's estimate, and a self-join SQUARES it per round (bit-length
+    doubles: 20, 39, 77, 153, ... — by round ~20 the driver spends
+    minutes in BigInteger multiplication inside join planning)."""
+    from pyspark.sql import functions as F
+
+    from llama_spark.graph import materialize
+
+    df = materialize(
+        spark.range(64).select("id", (F.col("id") * 3 % 64).alias("p"))
+    )
+    for _ in range(8):
+        prev = df
+        df = materialize(
+            df.alias("x")
+            .join(df.alias("y"), F.col("x.p") == F.col("y.id"))
+            .select(F.col("x.id").alias("id"), F.col("y.p").alias("p"))
+        )
+        prev.unpersist()
+    bits = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    ).bit_length()
+    assert bits < 64, f"carried sizeInBytes grew to {bits} bits"
+    assert df.count() == 64

@@ -177,10 +177,22 @@ def main() -> None:
         lambda: minimum_spanning_forest(with_synthetic_weights(edges)).count(),
     )
 
+    from llama_spark.graph import assortativity
+    from llama_spark.operators.anf import neighborhood_function
+    from llama_spark.operators.hits import hits
+
+    timed("hits8", lambda: hits(edges, max_iter=8).count())
+    timed("anf_t6", lambda: neighborhood_function(edges, max_t=6).count())
+    timed("assortativity", lambda: assortativity(edges).count())
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("minhash_lsh_dedup", lambda: lsh_candidate_pairs(docs).count())
     timed("cosine_topk", lambda: cosine_topk(emb, k=5, n_queries=20).count())
+
+    from llama_spark.functions.similarity import ivf_ann
+
+    timed("ivf_ann", lambda: ivf_ann(emb, k=5, n_queries=20).count())
 
     from llama_spark.functions.dedup import simhash_near_dup_pairs
 

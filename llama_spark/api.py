@@ -172,6 +172,30 @@ class GraphSession:
 
         return random_walks(self._e(), walk_length=walk_length, **kw)
 
+    def hits(self, max_iter: int = 8, **kw) -> DataFrame:
+        """Kleinberg hubs & authorities → DataFrame[id, auth, hub]."""
+        from .operators.hits import hits
+
+        return hits(self._e(), max_iter=max_iter, **kw)
+
+    def neighborhood_function(self, max_t: int = 6, **kw) -> DataFrame:
+        """ANF: estimated avg #nodes within t hops, t = 0..max_t."""
+        from .operators.anf import neighborhood_function
+
+        return neighborhood_function(self._e(), max_t=max_t, **kw)
+
+    def assortativity(self) -> DataFrame:
+        """One row [assortativity, reciprocity] (graph.assortativity)."""
+        from .graph import assortativity
+
+        return assortativity(self._e())
+
+    def modularity(self, communities: DataFrame, label_col: str = "label") -> DataFrame:
+        """Newman Q of a community assignment (components.modularity)."""
+        from .operators.components import modularity
+
+        return modularity(self._e(), communities, label_col=label_col)
+
     def degrees(self) -> DataFrame:
         from .graph import degrees
 

@@ -1816,3 +1816,186 @@ def q_mst(spark, sf_dir):
 
 ORACLE["mst"] = _mst_sql()
 QUERIES["mst"] = q_mst
+
+
+# ------------------------------------------------- HITS (hubs & authorities)
+
+HITS_ITERS = 8
+
+
+def q_hits(spark, sf_dir):
+    from .operators.hits import hits_result
+
+    res = hits_result(load_edges(spark, sf_dir), max_iter=HITS_ITERS)
+    n = float(res.n_nodes)
+    return res.state.select(
+        "id",
+        F.round(F.col("auth") * F.lit(n), 6).alias("auth_scaled"),
+        F.round(F.col("hub") * F.lit(n), 6).alias("hub_scaled"),
+    )
+
+
+def _hits_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "s0 AS MATERIALIZED (SELECT id, 1e0/(SELECT n FROM nn) AS auth, "
+        "1e0/(SELECT n FROM nn) AS hub FROM nodes)",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        ctes.append(
+            f"""ar{i} AS (SELECT e.dst AS id, SUM(s.hub) AS ar
+  FROM s{i-1} s JOIN edges e ON e.src = s.id GROUP BY e.dst),
+at{i} AS (SELECT SUM(ar) AS t FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT n.id, COALESCE(r.ar, 0e0) / (SELECT t FROM at{i}) AS auth
+  FROM nodes n LEFT JOIN ar{i} r ON r.id = n.id),
+hr{i} AS (SELECT e.src AS id, SUM(a.auth) AS hr
+  FROM a{i} a JOIN edges e ON e.dst = a.id GROUP BY e.src),
+ht{i} AS (SELECT SUM(hr) AS t FROM hr{i}),
+s{i} AS MATERIALIZED (
+  SELECT a.id, a.auth, COALESCE(h.hr, 0e0) / (SELECT t FROM ht{i}) AS hub
+  FROM a{i} a LEFT JOIN hr{i} h ON h.id = a.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""\nSELECT id,
+       ROUND(auth * (SELECT n FROM nn), 6) AS auth_scaled,
+       ROUND(hub * (SELECT n FROM nn), 6) AS hub_scaled
+FROM s{HITS_ITERS}"""
+    )
+
+
+ORACLE["hits"] = _hits_sql()
+QUERIES["hits"] = q_hits
+
+
+# ---------------------------------------- ANF / neighborhood function
+
+ANF_T = 6
+ANF_R = 8
+_ANF_FORCE = 1 << 59
+
+
+def q_neighborhood_function(spark, sf_dir):
+    from .operators.anf import neighborhood_function
+
+    return neighborhood_function(
+        load_edges(spark, sf_dir), max_t=ANF_T, registers=ANF_R
+    )
+
+
+def _anf_sql() -> str:
+    def h(r: int) -> str:
+        return (
+            "CAST(('0x' || substr(md5(concat(CAST(id AS VARCHAR), "
+            f"':anf{r}')), 1, 15)) AS BIGINT)"
+        )
+
+    init_cols = ", ".join(
+        f"(({h(r)} | {_ANF_FORCE}) & -({h(r)} | {_ANF_FORCE})) AS m{r}"
+        for r in range(ANF_R)
+    )
+    bsum = " + ".join(
+        f"bit_count(((~m{r}) & -(~m{r})) - 1)" for r in range(ANF_R)
+    )
+    est = (
+        f"ROUND(SUM(POWER(2.0, CAST(({bsum}) AS DOUBLE) / {float(ANF_R)!r})) "
+        f"/ {0.77351!r} / CAST((SELECT n FROM nn) AS DOUBLE), 6)"
+    )
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"s0 AS MATERIALIZED (SELECT id, {init_cols} FROM nodes)",
+    ]
+    for t in range(1, ANF_T + 1):
+        ors = ", ".join(f"bit_or(q.m{r}) AS o{r}" for r in range(ANF_R))
+        merged = ", ".join(
+            f"p.m{r} | COALESCE(o.o{r}, 0) AS m{r}" for r in range(ANF_R)
+        )
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT p.id, {merged}
+  FROM s{t-1} p LEFT JOIN (
+    SELECT e.src AS id, {ors}
+    FROM s{t-1} q JOIN edges e ON e.dst = q.id GROUP BY e.src
+  ) o ON o.id = p.id)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {t} AS t, {est} AS avg_reach FROM s{t}"
+        for t in range(ANF_T + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+ORACLE["neighborhood_function"] = _anf_sql()
+QUERIES["neighborhood_function"] = q_neighborhood_function
+
+
+# ------------------------------------------- assortativity / reciprocity
+
+
+def q_assortativity(spark, sf_dir):
+    from .graph import assortativity
+
+    return assortativity(load_edges(spark, sf_dir))
+
+
+ORACLE["assortativity"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED ({UND_SQL}),
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+s AS (SELECT COUNT(*) AS m, SUM(dj.d) AS sj,
+             SUM(dj.d * dk.d) AS sjk, SUM(dj.d * dj.d) AS sjj
+      FROM und e JOIN deg dj ON dj.id = e.src JOIN deg dk ON dk.id = e.dst),
+r AS (SELECT COUNT(*) AS rm FROM edges a
+      WHERE EXISTS (SELECT 1 FROM edges b
+                    WHERE b.src = a.dst AND b.dst = a.src)),
+t AS (SELECT COUNT(*) AS te FROM edges)
+SELECT ROUND(CAST(s.m * s.sjk - s.sj * s.sj AS DOUBLE)
+             / (s.m * s.sjj - s.sj * s.sj), 6) AS assortativity,
+       ROUND(CAST(r.rm AS DOUBLE) / t.te, 6) AS reciprocity
+FROM s, r, t"""
+QUERIES["assortativity"] = q_assortativity
+
+
+# -------------------------------------------------- modularity (LP quality)
+
+
+def q_modularity(spark, sf_dir):
+    from .operators.components import label_propagation, modularity
+
+    edges = load_edges(spark, sf_dir)
+    return modularity(edges, label_propagation(edges, max_iter=LP_ITERS))
+
+
+def _modularity_sql() -> str:
+    lp = _lp_sql()
+    # reuse the LP unroll as a subquery; recompute und/deg on top
+    return f"""WITH lp AS MATERIALIZED ({lp}),
+edges2 AS MATERIALIZED ({EDGES_SQL}),
+und2 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges2
+    UNION ALL SELECT dst AS src, src AS dst FROM edges2
+  ) WHERE src <> dst),
+m2 AS (SELECT COUNT(*) AS m FROM und2),
+deg2 AS (SELECT src AS id, COUNT(*) AS d FROM und2 GROUP BY src),
+intra AS (
+  SELECT la.label AS c, COUNT(*) AS i
+  FROM und2 u JOIN lp la ON la.id = u.src JOIN lp lb ON lb.id = u.dst
+  WHERE la.label = lb.label GROUP BY la.label),
+dsum AS (
+  SELECT l.label AS c, SUM(d.d) AS dc
+  FROM lp l JOIN deg2 d ON d.id = l.id GROUP BY l.label)
+SELECT ROUND(SUM(
+  CAST(COALESCE(i.i, 0) AS DOUBLE) / (SELECT m FROM m2)
+  - (CAST(s.dc AS DOUBLE) / (SELECT m FROM m2))
+    * (CAST(s.dc AS DOUBLE) / (SELECT m FROM m2))
+), 6) AS modularity
+FROM dsum s LEFT JOIN intra i ON i.c = s.c"""
+
+
+ORACLE["modularity"] = _modularity_sql()
+QUERIES["modularity"] = q_modularity

@@ -661,3 +661,124 @@ SELECT doc_id, ROUND(SUM(c), 6) AS score FROM contrib
 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}"""
 
 DOCS_QUERIES["bm25"] = q_bm25
+
+
+# ---- k-means + IVF ANN (functions/cluster, functions/similarity) -----------
+
+KMEANS_SQL_K = 10
+KMEANS_SQL_ITERS = 4
+IVF_NPROBE = 2
+
+
+def _kmeans_ctes(k: int = KMEANS_SQL_K, iters: int = KMEANS_SQL_ITERS) -> list[str]:
+    """Unrolled Lloyd: c0 = vectors of the k smallest vec_ids; then
+    a{i} = argmin_cl ROUND(sqdist, 6) (ties on cl) against c{i-1},
+    c{i} = per-(cl, dim) AVG — exactly functions/cluster.kmeans_fit.
+    The FINAL assignment a{iters} is computed against c{iters-1}."""
+    ctes = [
+        """dvecs AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT r.cl, d.dim, d.val
+  FROM (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl
+        FROM embeddings ORDER BY vec_id LIMIT {k}) r
+  JOIN dvecs d ON d.vec_id = r.vec_id)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT v.vec_id, c.cl,
+         ROUND(SUM((v.val - c.val) * (v.val - c.val)), 6) AS dist
+  FROM dvecs v JOIN c{i-1} c ON c.dim = v.dim
+  GROUP BY v.vec_id, c.cl),
+a{i} AS MATERIALIZED (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM d{i}) t WHERE rn = 1)"""
+        )
+        if i < iters:
+            ctes.append(
+                f"""c{i} AS MATERIALIZED (
+  SELECT a.cl, v.dim, AVG(v.val) AS val
+  FROM a{i} a JOIN dvecs v ON v.vec_id = a.vec_id
+  GROUP BY a.cl, v.dim)"""
+            )
+    return ctes
+
+
+def q_kmeans(spark, sf_dir):
+    from .functions.cluster import kmeans_assign
+
+    return kmeans_assign(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        k=KMEANS_SQL_K,
+        iters=KMEANS_SQL_ITERS,
+    )
+
+
+DOCS_ORACLE["kmeans"] = (
+    "WITH "
+    + ",\n".join(_kmeans_ctes())
+    + f"\nSELECT vec_id, cl AS cluster FROM a{KMEANS_SQL_ITERS}"
+)
+DOCS_QUERIES["kmeans"] = q_kmeans
+
+
+def q_ivf_ann(spark, sf_dir):
+    from .functions.similarity import ivf_ann
+
+    df = ivf_ann(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        k=TOPK_K,
+        n_clusters=KMEANS_SQL_K,
+        kmeans_iters=KMEANS_SQL_ITERS,
+        nprobe=IVF_NPROBE,
+        n_queries=TOPK_QUERIES,
+    )
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _ivf_sql() -> str:
+    I = KMEANS_SQL_ITERS
+    ctes = _kmeans_ctes() + [
+        f"vecs AS ({VECS_SQL})",
+        f"normed AS MATERIALIZED ({NORMED_SQL})",
+        f"""inv AS MATERIALIZED (
+  SELECT a.vec_id AS nid, a.cl AS cluster, n.v, n.nrm
+  FROM a{I} a JOIN normed n ON n.vec_id = a.vec_id)""",
+        f"""q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn
+  FROM normed ORDER BY vec_id LIMIT {TOPK_QUERIES})""",
+        f"""qdist AS (
+  SELECT v.vec_id AS qid, c.cl,
+         ROUND(SUM((v.val - c.val) * (v.val - c.val)), 6) AS d
+  FROM dvecs v JOIN c{I-1} c ON c.dim = v.dim
+  WHERE v.vec_id IN (SELECT qid FROM q)
+  GROUP BY v.vec_id, c.cl)""",
+        f"""probes AS (
+  SELECT qid, cl FROM (
+    SELECT qid, cl, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cl) AS rn
+    FROM qdist) t WHERE rn <= {IVF_NPROBE})""",
+        """scored AS (
+  SELECT p.qid AS query_id, i.nid AS neighbor_id,
+         ROUND(list_sum(list_transform(list_zip(q.qv, i.v), z -> z[1]*z[2]))
+               / (q.qn * i.nrm), 4) AS cos_sim
+  FROM probes p JOIN q ON q.qid = p.qid JOIN inv i ON i.cluster = p.cl
+  WHERE i.nid <> p.qid)""",
+        """ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""\nSELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOPK_K}"""
+    )
+
+
+DOCS_ORACLE["ivf_ann"] = _ivf_sql()
+DOCS_QUERIES["ivf_ann"] = q_ivf_ann

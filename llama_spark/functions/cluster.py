@@ -1,0 +1,111 @@
+"""K-means over the embedding column — Lloyd's algorithm, deterministic.
+
+The LLM-data-pipeline consumer is twofold: (a) cluster-balanced corpus
+sampling / diversity filtering, and (b) the coarse quantizer of an IVF
+approximate-nearest-neighbor index (functions/similarity.py::ivf_ann) —
+the production scale path for embedding search, complementing the
+LSH-bucketed variant.
+
+Determinism (no RNG state, exactly SQL-replicable):
+- init: centroid j = the vector of the (j+1)-th smallest ``vec_id``;
+- assignment: squared-L2 distance ROUNDED TO 6 DP before the argmin
+  (ties then break on cluster index), so the ~1e-15 accumulation-order
+  difference between Spark's sequential ``aggregate`` fold and a SQL
+  engine's hash-ordered SUM can never flip an assignment;
+- update: per-cluster per-dimension AVG (both engines divide the same
+  double sum by the same count). A cluster that loses all members drops
+  out in both engines.
+
+Scale design (Lloyd IS the broadcast-iteration algorithm):
+- centroids are O(k·d) — driver-sized by definition; each iteration is
+  ONE map-side pass over the N vectors (k·d flops per row against the
+  broadcast centroid table, no shuffle of the vectors) plus one
+  map-side-combinable groupBy producing k·d partial sums. Nothing E- or
+  N-sized ever moves; at 100 TB the cost is the scan, as it should be.
+- the k·d centroid collect per iteration is the algorithm's sync point,
+  not a driver-side loop over data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+KMEANS_K = 10
+KMEANS_ITERS = 4
+
+
+def _sqdist(v, c):
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Run ``iters`` Lloyd steps → (assignments DataFrame[vec_id, cluster],
+    centroids DataFrame[cluster, c: array<double>], the latter the ones the
+    final assignment was computed against — probe with THESE for IVF)."""
+    spark = embeddings.sparkSession
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    first = vecs.orderBy("vec_id").limit(k).collect()
+    if not first:
+        vecs.unpersist()
+        empty_a = spark.createDataFrame([], "vec_id long, cluster int")
+        empty_c = spark.createDataFrame([], "cluster int, c array<double>")
+        return empty_a, empty_c
+    dim = len(first[0]["v"])
+    cents = [(j, list(r["v"])) for j, r in enumerate(first)]
+
+    def cent_df(cs):
+        return spark.createDataFrame(cs, "cluster int, c array<double>")
+
+    assign = None
+    for i in range(iters):
+        cur = cent_df(cents)
+        assign = (
+            vecs.crossJoin(F.broadcast(cur))
+            .select(
+                "vec_id",
+                "cluster",
+                F.round(_sqdist(F.col("v"), F.col("c")), 6).alias("dist"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster")).alias("s"))
+            .select("vec_id", F.col("s.cluster").alias("cluster"))
+        )
+        if i == iters - 1:
+            break  # final assignment is against cents as-is
+        rows = (
+            assign.join(vecs, "vec_id")
+            .groupBy("cluster")
+            .agg(*[F.avg(F.col("v")[d]).alias(f"c{d}") for d in range(dim)])
+            .collect()
+        )
+        cents = sorted(
+            (r["cluster"], [r[f"c{d}"] for d in range(dim)]) for r in rows
+        )
+    return assign, cent_df(cents)
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame[vec_id, cluster] — the gate-facing entry point."""
+    assign, _ = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    return assign

@@ -280,3 +280,94 @@ def near_duplicate_pairs(
     )
     base.unpersist()
     return out
+
+
+def ivf_ann(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_clusters: int = 10,
+    kmeans_iters: int = 4,
+    nprobe: int = 2,
+    n_queries: int | None = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the OTHER production scale path, next to
+    ``lsh_ann``: a deterministic k-means coarse quantizer
+    (functions/cluster.py) partitions the base vectors into inverted
+    lists; each query probes only its ``nprobe`` nearest centroids and
+    brute-forces those lists. Expected work per query is
+    O(N·nprobe/n_clusters) instead of O(N); recall < 1 by design, rising
+    with nprobe (the IVF recall knob, as ``tables`` is for LSH).
+
+    DataFrame[query_id, neighbor_id, cos_sim, rank] — same shape as
+    ``cosine_topk``/``lsh_ann``. cos_sim rounded to 4 dp BEFORE ranking
+    (the cosine_topk convention: rank order is decided on the rounded
+    value, so cross-engine float noise can't flip it).
+
+    At 100 TB: the lists live partitioned by cluster id; a query batch
+    joins its probe set against exactly those partitions — the classic
+    FAISS IVF-Flat layout expressed as a cluster-keyed equi-join.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from .cluster import _sqdist, kmeans_fit
+
+    assign, cents = kmeans_fit(
+        embeddings, k=n_clusters, iters=kmeans_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .join(assign.withColumnRenamed("vec_id", "nid"), "nid")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    q = base.select(
+        F.col("nid").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    if n_queries is not None:
+        q = q.orderBy("qid").limit(n_queries)
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "qid", "qv", "qn", "cluster",
+            F.round(_sqdist(F.col("qv"), F.col("c")), 6).alias("d"),
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("cluster"))
+            ),
+        )
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "qv", "qn", "cluster")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(base, "cluster")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    out = (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos_sim"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    return out

@@ -112,6 +112,63 @@ def edge_prop_stats(edges: DataFrame, prop: str = "weight") -> DataFrame:
     )
 
 
+def assortativity(edges: DataFrame) -> DataFrame:
+    """One row [assortativity: double, reciprocity: double] — the two
+    classic link-graph mixing statistics (Newman 2002; web graphs are
+    famously DISassortative, r < 0, and low-reciprocity).
+
+    - degree assortativity: Pearson correlation of the undirected degrees
+      at the two ends of every undirected edge. Over the symmetrized
+      double view the two end-distributions are identical, so Newman's
+      formula collapses to ``r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²)`` —
+      every sum an exact BIGINT (one aggregate over E rows), a single
+      float division at the end, bit-identical in any engine.
+    - reciprocity: |{(u,v) : v→u also exists}| / |E| over the directed
+      deduped view — one self-semi-join on the swapped key.
+
+    Both are single-pass aggregates; at 100 TB each is one E-row shuffle
+    (the degree groupBy / the swapped join), no iteration.
+    """
+    und = symmetrize(edges)
+    deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("d"))
+    ends = (
+        und.join(deg.withColumnRenamed("id", SRC), SRC)
+        .withColumnRenamed("d", "j")
+        .join(
+            deg.select(F.col("id").alias(DST), F.col("d").alias("k")), DST
+        )
+    )
+    s = ends.agg(
+        F.count("*").alias("m"),
+        F.sum("j").alias("sj"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum(F.col("j") * F.col("j")).alias("sjj"),
+    )
+    d = drop_self_loops(deduplicate(edges.select(SRC, DST)))
+    rec = d.join(
+        d.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)),
+        [SRC, DST],
+        "left_semi",
+    ).agg(F.count("*").alias("rm"))
+    tot = d.agg(F.count("*").alias("te"))
+    return (
+        s.crossJoin(rec)
+        .crossJoin(tot)
+        .select(
+            F.round(
+                (F.col("m") * F.col("sjk") - F.col("sj") * F.col("sj")).cast(
+                    "double"
+                )
+                / (F.col("m") * F.col("sjj") - F.col("sj") * F.col("sj")),
+                6,
+            ).alias("assortativity"),
+            F.round(F.col("rm").cast("double") / F.col("te"), 6).alias(
+                "reciprocity"
+            ),
+        )
+    )
+
+
 def find_edge(edges: DataFrame, u: int, v: int) -> DataFrame:
     """Point lookup find(u,v) (ll_mlcsr_sp.h:2334-2370)."""
     return edges.filter((F.col(SRC) == u) & (F.col(DST) == v))

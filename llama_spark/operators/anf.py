@@ -1,0 +1,134 @@
+"""Approximate neighborhood function — Flajolet–Martin bitmask ANF
+(Palmer, Gibbons & Faloutsos, KDD'02), the standard way to estimate
+N(t) = avg #nodes reachable within t hops (and from it the effective
+diameter) on web-scale graphs where exact all-pairs BFS is hopeless.
+
+Each node carries R Flajolet–Martin bitmasks; mask r starts with the
+single bit 2^ρ(h_r(v)) (ρ = index of the lowest set bit of a deterministic
+60-bit md5-derived hash — branch-free: ``(h|2^59) & -(h|2^59)`` IS that
+power of two, with bit 59 forced so h=0 cannot yield an empty mask).
+One synchronous round ORs every node's masks into its in-neighbors:
+
+    mask_t(v) = mask_{t-1}(v)  |  BIT_OR_{v→w} mask_{t-1}(w)
+
+so after t rounds mask_t(v) summarizes {u reachable from v in ≤ t hops}.
+The per-node cardinality estimate is the FM formula 2^(mean_r b_r)/0.77351
+where b_r = position of the lowest UNSET bit of mask r — extracted with
+pure integer ops (``lz = ~m & -~m`` is 2^b, then ``bit_count(lz-1) = b``),
+so the whole fixpoint is exact-integer and replays bit-identically in any
+SQL engine; floats appear only in the final one-row-per-t estimate.
+
+Spark plan per round: one join of the (id → R mask columns) state with the
+dst-partitioned cached edge table + one groupBy(src) BIT_OR — V-row state
+shuffles, the edge table streams in place (pagerank.py policy). State is
+V rows × R longs regardless of graph size; at 100 TB this is the ONLY
+per-node sketch whose round cost matches plain BFS while answering "how
+big is the t-ball" for every node at once.
+
+The reference's closest primitives are the BFS template + approx
+diameter double-sweep (ll_bfs_template.h); ANF generalizes both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..functions.text import token_hash
+from ..graph import DST, SRC, nodes_of
+
+FM_PHI = 0.77351  # Flajolet–Martin bias correction
+
+
+def _fm_bit(id_col, r: int):
+    """2^ρ(h_r(id)) as a BIGINT — the initial FM mask for register r."""
+    h = token_hash(F.concat(id_col.cast("string"), F.lit(f":anf{r}")))
+    forced = h.bitwiseOR(F.lit(1 << 59))
+    return forced.bitwiseAND(-forced)
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    max_t: int = 6,
+    registers: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame[t, avg_reach] for t = 0..max_t: the estimated average
+    number of nodes within t hops (directed, out-edges), t=0 ≈ 1.
+
+    Lazy result: each row is a 1-row aggregate over that round's persisted
+    state, unioned — collecting runs max_t+1 tiny jobs, nothing else.
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    nodes = nodes_of(edges)
+    e = (
+        edges.select(SRC, DST)
+        .distinct()
+        .repartition(p, DST)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return spark.createDataFrame([], "t int, avg_reach double")
+
+    masks = [f"m{r}" for r in range(registers)]
+    state = nodes.select(
+        "id", *[_fm_bit(F.col("id"), r).alias(m) for r, m in enumerate(masks)]
+    ).repartition(p, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    state.count()
+
+    def estimate(st: DataFrame, t: int) -> DataFrame:
+        # b_r = bit_count(((~m) & -(~m)) - 1); est = 2^(Σb/R)/φ, averaged
+        bsum = None
+        for m in masks:
+            b = F.bit_count(
+                F.expr(f"((~{m}) & -(~{m})) - 1").cast("long")
+            ).cast("long")
+            bsum = b if bsum is None else bsum + b
+        est = F.pow(F.lit(2.0), bsum.cast("double") / F.lit(float(registers)))
+        return st.agg(
+            F.round(
+                F.sum(est) / F.lit(FM_PHI) / F.lit(float(n_nodes)), 6
+            ).alias("avg_reach")
+        ).select(F.lit(t).alias("t"), "avg_reach")
+
+    tiny = n_nodes <= 100_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if tiny else df.hint("shuffle_hash")
+
+    out = estimate(state, 0)
+    for t in range(1, max_t + 1):
+        nbr = (
+            e.join(
+                _hint(
+                    state.select(F.col("id").alias(DST), *masks)
+                ),
+                DST,
+            )
+            .groupBy(F.col(SRC).alias("id"))
+            .agg(*[F.expr(f"bit_or({m})").alias(f"o{m}") for m in masks])
+        )
+        prev = state
+        state = (
+            prev.join(nbr, "id", "left")
+            .select(
+                "id",
+                *[
+                    F.col(m)
+                    .bitwiseOR(F.coalesce(F.col(f"o{m}"), F.lit(0)))
+                    .alias(m)
+                    for m in masks
+                ],
+            )
+            .localCheckpoint(eager=False)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        state.count()
+        prev.unpersist()
+        out = out.unionByName(estimate(state, t))
+    e.unpersist()
+    return out

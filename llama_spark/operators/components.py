@@ -279,3 +279,53 @@ def label_propagation(
     und.unpersist()
     nodes.unpersist()
     return result.state
+
+
+def modularity(
+    edges: DataFrame, communities: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Newman modularity Q of a community assignment over the undirected
+    view — ONE row [modularity: double]. The quality score for any
+    community operator in this module (label propagation, CC, star-CC):
+
+        Q = Σ_c [ intra_c / 2m  −  (d_c / 2m)² ]
+
+    computed on the symmetrized double representation, where ``2m`` is its
+    row count, ``intra_c`` counts both directions of every intra-community
+    edge, and ``d_c`` sums member degrees — ALL exact BIGINTs; floats
+    enter only in the final per-community terms (summed, rounded to 6 dp),
+    so the value replays bit-stably in any SQL engine.
+
+    Scale: two V-row dictionary joins to tag edge ends + one E-row filter
+    + two groupBys — a single pass, no iteration; the communities side is
+    a V-row table that co-partitions with the edge ends.
+    """
+    und = symmetrize(edges)
+    lab = communities.select("id", F.col(label_col).alias("_c"))
+    deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("_d"))
+    m2 = und.agg(F.count("*").alias("_m2"))
+    tagged = und.join(
+        lab.withColumnRenamed("id", SRC).withColumnRenamed("_c", "_ca"), SRC
+    ).join(lab.withColumnRenamed("id", DST).withColumnRenamed("_c", "_cb"), DST)
+    intra = (
+        tagged.filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("_c"))
+        .agg(F.count("*").alias("_intra"))
+    )
+    dsum = (
+        lab.join(deg, "id")
+        .groupBy("_c")
+        .agg(F.sum("_d").alias("_dc"))
+    )
+    return (
+        dsum.join(intra, "_c", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            (
+                F.coalesce("_intra", F.lit(0)).cast("double") / F.col("_m2")
+                - (F.col("_dc").cast("double") / F.col("_m2"))
+                * (F.col("_dc").cast("double") / F.col("_m2"))
+            ).alias("_t")
+        )
+        .agg(F.round(F.sum("_t"), 6).alias("modularity"))
+    )

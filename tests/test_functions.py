@@ -401,3 +401,81 @@ def test_multimodal_real_decode_branch(spark):
     row = mm.extract_features(media, decoder="real").collect()[0]
     assert (row["width"], row["height"]) == (3, 2)
     assert abs(row["mean_intensity"] - (255 / 3) / 255.0) < 1e-6
+
+
+def _lloyd_model(rows, k, iters):
+    """Exact python replay of functions/cluster.kmeans_fit: init = k lowest
+    ids, argmin over ROUND(sqdist, 6) with cluster-id tie-break, AVG update,
+    empty clusters drop."""
+    rows = sorted(rows, key=lambda r: r[0])
+    ids = [r[0] for r in rows]
+    vecs = {r[0]: np.array(r[1], dtype=np.float64) for r in rows}
+    cents = {j: vecs[ids[j]].copy() for j in range(min(k, len(ids)))}
+    assign = {}
+    for i in range(iters):
+        for vid in ids:
+            best = min(
+                (round(float(np.sum((vecs[vid] - c) ** 2)), 6), cl)
+                for cl, c in cents.items()
+            )
+            assign[vid] = best[1]
+        if i == iters - 1:
+            break
+        nxt = {}
+        for cl in sorted(set(assign.values())):
+            members = [vecs[v] for v in ids if assign[v] == cl]
+            nxt[cl] = np.mean(np.stack(members), axis=0)
+        cents = nxt
+    return assign
+
+
+def test_kmeans_matches_lloyd_model(vectors):
+    from llama_spark.functions.cluster import kmeans_assign
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(vectors, k=4, iters=3).collect()
+    }
+    rows = [(r["vec_id"], r["embedding"]) for r in vectors.collect()]
+    want = _lloyd_model(rows, 4, 3)
+    assert got == want
+    # the planted near-duplicate pair lands in the same cluster
+    assert got[40] == got[0]
+
+
+def test_kmeans_empty(spark):
+    from llama_spark.functions.cluster import kmeans_assign
+
+    e = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert kmeans_assign(e).count() == 0
+
+
+def test_ivf_ann_full_probe_equals_brute_force(vectors):
+    """Probing EVERY list makes IVF candidates = all vectors, so the result
+    must equal the exact brute force row-for-row."""
+    from llama_spark.functions.similarity import cosine_topk, ivf_ann
+
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(vectors, k=3, n_queries=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_ann(
+            vectors, k=3, n_clusters=4, kmeans_iters=3, nprobe=4, n_queries=5
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_ann_single_probe_finds_planted_pair(vectors):
+    # v40 = 1.0001 * v0: same k-means cell, so even nprobe=1 must return it
+    # as query 0's rank-1 neighbor
+    from llama_spark.functions.similarity import ivf_ann
+
+    got = ivf_ann(
+        vectors, k=3, n_clusters=4, kmeans_iters=3, nprobe=1, n_queries=1
+    ).collect()
+    r1 = [r for r in got if r["query_id"] == 0 and r["rank"] == 1]
+    assert r1 and r1[0]["neighbor_id"] == 40
+    assert r1[0]["cos_sim"] == 1.0

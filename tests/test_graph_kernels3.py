@@ -1,0 +1,218 @@
+"""HITS, ANF neighborhood function, assortativity/reciprocity."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from tests.conftest import edges_df
+
+# a small directed graph with hubs, authorities, a reciprocal pair and
+# one sink: 0,1 point at 2,3; 2 points back at 0 (reciprocity with 0->2);
+# 4 is a pure authority, 5 a pure hub
+PAIRS = [
+    (0, 2),
+    (0, 3),
+    (1, 2),
+    (1, 3),
+    (2, 0),
+    (1, 4),
+    (5, 2),
+    (5, 4),
+    (3, 4),
+]
+
+
+# ------------------------------------------------------------------- HITS
+
+
+def _hits_model(pairs, iters):
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    n = len(nodes)
+    auth = {v: 1.0 / n for v in nodes}
+    hub = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        ar = {v: 0.0 for v in nodes}
+        for u, v in pairs:
+            ar[v] += hub[u]
+        tot = sum(ar.values())
+        auth = {v: ar[v] / tot for v in nodes}
+        hr = {v: 0.0 for v in nodes}
+        for u, v in pairs:
+            hr[u] += auth[v]
+        tot = sum(hr.values())
+        hub = {v: hr[v] / tot for v in nodes}
+    return auth, hub
+
+
+def test_hits_matches_model(spark):
+    from llama_spark.operators.hits import hits_result
+
+    res = hits_result(edges_df(spark, PAIRS), max_iter=8)
+    auth, hub = _hits_model(PAIRS, 8)
+    got = {r["id"]: (r["auth"], r["hub"]) for r in res.state.collect()}
+    assert set(got) == set(auth)
+    for v in auth:
+        assert got[v][0] == pytest.approx(auth[v], abs=1e-9)
+        assert got[v][1] == pytest.approx(hub[v], abs=1e-9)
+    # L1-normalized
+    assert sum(a for a, _ in got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(h for _, h in got.values()) == pytest.approx(1.0, abs=1e-9)
+    # 2 is the top authority (3 in-links from hubs), 1 the top hub
+    top_auth = max(got, key=lambda v: got[v][0])
+    top_hub = max(got, key=lambda v: got[v][1])
+    assert top_auth == 2
+    assert top_hub == 1
+
+
+def test_hits_empty(spark):
+    from llama_spark.operators.hits import hits_result
+
+    e = edges_df(spark, PAIRS).filter("src < 0")
+    assert hits_result(e).state.count() == 0
+
+
+# -------------------------------------------------------------------- ANF
+
+
+def _anf_hash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _anf_model(pairs, max_t, registers):
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    out = {v: [] for v in nodes}
+    for u, v in pairs:
+        out[u].append(v)
+    masks = {}
+    for v in nodes:
+        ms = []
+        for r in range(registers):
+            h = _anf_hash(f"{v}:anf{r}") | (1 << 59)
+            ms.append(h & -h)
+        masks[v] = ms
+    rows = []
+
+    def estimate(t):
+        tot = 0.0
+        for v in nodes:
+            bsum = 0
+            for m in masks[v]:
+                lz = (~m) & -(~m)
+                bsum += bin(lz - 1).count("1")
+            tot += 2.0 ** (bsum / float(registers))
+        rows.append((t, round(tot / 0.77351 / float(len(nodes)), 6)))
+
+    estimate(0)
+    for t in range(1, max_t + 1):
+        nxt = {}
+        for v in nodes:
+            ms = list(masks[v])
+            for w in out[v]:
+                for r in range(registers):
+                    ms[r] |= masks[w][r]
+            nxt[v] = ms
+        masks = nxt
+        estimate(t)
+    return rows
+
+
+def test_anf_matches_model_exactly(spark):
+    from llama_spark.operators.anf import neighborhood_function
+
+    got = {
+        r["t"]: r["avg_reach"]
+        for r in neighborhood_function(
+            edges_df(spark, PAIRS), max_t=4, registers=8
+        ).collect()
+    }
+    want = dict(_anf_model(PAIRS, 4, 8))
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t] == pytest.approx(want[t], abs=1e-6), t
+
+
+def test_anf_monotone_and_saturates_on_chain(spark):
+    # 0->1->2->3: every node's t-ball grows until its reach saturates
+    from llama_spark.operators.anf import neighborhood_function
+
+    chain = [(i, i + 1) for i in range(3)]
+    rows = sorted(
+        (r["t"], r["avg_reach"])
+        for r in neighborhood_function(
+            edges_df(spark, chain), max_t=5, registers=8
+        ).collect()
+    )
+    vals = [v for _, v in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
+    # chain diameter is 3: rounds 3,4,5 identical (fixpoint reached)
+    assert vals[3] == vals[4] == vals[5]
+
+
+# ------------------------------------------- assortativity / reciprocity
+
+
+def _assort_model(pairs):
+    d = set()
+    for u, v in pairs:
+        if u != v:
+            d.add((u, v))
+    und = {(u, v) for u, v in d} | {(v, u) for u, v in d}
+    deg = {}
+    for u, _ in und:
+        deg[u] = deg.get(u, 0) + 1
+    m = len(und)
+    sj = sum(deg[u] for u, _ in und)
+    sjk = sum(deg[u] * deg[v] for u, v in und)
+    sjj = sum(deg[u] * deg[u] for u, _ in und)
+    assort = float(m * sjk - sj * sj) / (m * sjj - sj * sj)
+    rm = sum(1 for u, v in d if (v, u) in d)
+    return round(assort, 6), round(rm / float(len(d)), 6)
+
+
+def test_assortativity_matches_model(spark):
+    from llama_spark.graph import assortativity
+
+    row = assortativity(edges_df(spark, PAIRS)).collect()[0]
+    want_a, want_r = _assort_model(PAIRS)
+    assert row["assortativity"] == pytest.approx(want_a, abs=1e-6)
+    assert row["reciprocity"] == pytest.approx(want_r, abs=1e-6)
+    # exactly one reciprocal pair (0<->2) out of 9 directed edges
+    assert row["reciprocity"] == pytest.approx(round(2 / 9, 6), abs=1e-9)
+
+
+def test_assortativity_star_is_negative(spark):
+    # a star is maximally disassortative: hub(deg n) only touches leaves(deg 1)
+    from llama_spark.graph import assortativity
+
+    star = [(0, i) for i in range(1, 8)]
+    row = assortativity(edges_df(spark, star)).collect()[0]
+    assert row["assortativity"] == pytest.approx(-1.0, abs=1e-6)
+    assert row["reciprocity"] == 0.0
+
+
+# ---------------------------------------------------------------- modularity
+
+
+def test_modularity_two_triangles(spark):
+    # two disjoint triangles, each its own community: Q = 2·(1/2 - 1/4) = 0.5
+    from llama_spark.operators.components import connected_components, modularity
+
+    tri2 = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    e = edges_df(spark, tri2)
+    comms = connected_components(e).withColumnRenamed("component", "label")
+    row = modularity(e, comms).collect()[0]
+    assert row["modularity"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_modularity_single_community_is_zero(spark):
+    from pyspark.sql import functions as F
+
+    from llama_spark.graph import nodes_of
+    from llama_spark.operators.components import modularity
+
+    e = edges_df(spark, PAIRS)
+    one = nodes_of(e).select("id", F.lit(0).alias("label"))
+    row = modularity(e, one).collect()[0]
+    assert row["modularity"] == pytest.approx(0.0, abs=1e-9)

@@ -782,3 +782,32 @@ FROM ranked WHERE rank <= {TOPK_K}"""
 
 DOCS_ORACLE["ivf_ann"] = _ivf_sql()
 DOCS_QUERIES["ivf_ann"] = q_ivf_ann
+
+
+# ---- cluster-balanced diversity sampling ------------------------------------
+
+SAMPLE_PER_CLUSTER = 10
+
+
+def q_balanced_sample(spark, sf_dir):
+    from .functions.cluster import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        per_cluster=SAMPLE_PER_CLUSTER,
+        k=KMEANS_SQL_K,
+        iters=KMEANS_SQL_ITERS,
+    )
+
+
+DOCS_ORACLE["balanced_sample"] = (
+    "WITH "
+    + ",\n".join(_kmeans_ctes())
+    + f""",
+ranked AS (
+  SELECT vec_id, cl AS cluster,
+         ROW_NUMBER() OVER (PARTITION BY cl ORDER BY vec_id) AS rn
+  FROM a{KMEANS_SQL_ITERS})
+SELECT vec_id, cluster FROM ranked WHERE rn <= {SAMPLE_PER_CLUSTER}"""
+)
+DOCS_QUERIES["balanced_sample"] = q_balanced_sample

@@ -109,3 +109,33 @@ def kmeans_assign(
     """DataFrame[vec_id, cluster] — the gate-facing entry point."""
     assign, _ = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     return assign
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    per_cluster: int = 10,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame[vec_id, cluster] — up to ``per_cluster`` vectors from each
+    k-means cell (lowest ids win: deterministic). The diversity-sampling
+    stage of a training-data pipeline: uniform sampling over-represents
+    the dense clusters; sampling a quota per cell flattens the mixture.
+
+    The per-cluster top-k window is bounded by cell population, and cells
+    are the partition key — at 100 TB this is one window over data already
+    hash-distributed by the groupBy that built the assignment.
+    """
+    from pyspark.sql import Window
+
+    assign, _ = kmeans_fit(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    w = Window.partitionBy("cluster").orderBy(F.asc("vec_id"))
+    return (
+        assign.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_cluster)
+        .select("vec_id", "cluster")
+    )

@@ -479,3 +479,19 @@ def test_ivf_ann_single_probe_finds_planted_pair(vectors):
     r1 = [r for r in got if r["query_id"] == 0 and r["rank"] == 1]
     assert r1 and r1[0]["neighbor_id"] == 40
     assert r1[0]["cos_sim"] == 1.0
+
+
+def test_cluster_balanced_sample(vectors):
+    from llama_spark.functions.cluster import cluster_balanced_sample, kmeans_assign
+
+    got = cluster_balanced_sample(vectors, per_cluster=3, k=4, iters=3).collect()
+    full = {r["vec_id"]: r["cluster"] for r in kmeans_assign(vectors, k=4, iters=3).collect()}
+    # quota respected, assignments consistent, picks = lowest ids per cell
+    by_cl = {}
+    for r in got:
+        assert full[r["vec_id"]] == r["cluster"]
+        by_cl.setdefault(r["cluster"], []).append(r["vec_id"])
+    for cl, ids in by_cl.items():
+        assert len(ids) <= 3
+        members = sorted(v for v, c in full.items() if c == cl)
+        assert sorted(ids) == members[: len(ids)]

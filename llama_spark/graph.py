@@ -131,11 +131,16 @@ def assortativity(edges: DataFrame) -> DataFrame:
     """
     und = symmetrize(edges)
     deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("d"))
+    # V-row degree table hinted shuffle-hash: the E-row und side streams
+    # through both end-tagging joins instead of being sorted (plan audit)
     ends = (
-        und.join(deg.withColumnRenamed("id", SRC), SRC)
+        und.join(deg.withColumnRenamed("id", SRC).hint("shuffle_hash"), SRC)
         .withColumnRenamed("d", "j")
         .join(
-            deg.select(F.col("id").alias(DST), F.col("d").alias("k")), DST
+            deg.select(F.col("id").alias(DST), F.col("d").alias("k")).hint(
+                "shuffle_hash"
+            ),
+            DST,
         )
     )
     s = ends.agg(

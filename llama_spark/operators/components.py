@@ -302,11 +302,15 @@ def modularity(
     """
     und = symmetrize(edges)
     lab = communities.select("id", F.col(label_col).alias("_c"))
+    # V-row dictionary side hinted shuffle-hash so the E-row und side is
+    # STREAMED, never sorted (unhinted these compile to SortMergeJoin —
+    # caught by the round-5 plan audit)
+    lab_h = lab.hint("shuffle_hash")
     deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("_d"))
     m2 = und.agg(F.count("*").alias("_m2"))
     tagged = und.join(
-        lab.withColumnRenamed("id", SRC).withColumnRenamed("_c", "_ca"), SRC
-    ).join(lab.withColumnRenamed("id", DST).withColumnRenamed("_c", "_cb"), DST)
+        lab_h.withColumnRenamed("id", SRC).withColumnRenamed("_c", "_ca"), SRC
+    ).join(lab_h.withColumnRenamed("id", DST).withColumnRenamed("_c", "_cb"), DST)
     intra = (
         tagged.filter(F.col("_ca") == F.col("_cb"))
         .groupBy(F.col("_ca").alias("_c"))

@@ -181,7 +181,10 @@ def main() -> None:
     from llama_spark.operators.anf import neighborhood_function
     from llama_spark.operators.hits import hits
 
+    from llama_spark.operators.centrality import katz_centrality
+
     timed("hits8", lambda: hits(edges, max_iter=8).count())
+    timed("katz8", lambda: katz_centrality(edges, max_iter=8).count())
     timed("anf_t6", lambda: neighborhood_function(edges, max_t=6).count())
     timed("assortativity", lambda: assortativity(edges).count())
 

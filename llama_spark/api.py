@@ -172,6 +172,18 @@ class GraphSession:
 
         return random_walks(self._e(), walk_length=walk_length, **kw)
 
+    def katz(self, alpha: float = 0.05, beta: float = 1.0, max_iter: int = 8) -> DataFrame:
+        """Katz centrality → DataFrame[id, katz]."""
+        from .operators.centrality import katz_centrality
+
+        return katz_centrality(self._e(), alpha=alpha, beta=beta, max_iter=max_iter)
+
+    def eigenvector(self, max_iter: int = 8) -> DataFrame:
+        """Eigenvector centrality (L1 power method) → DataFrame[id, score]."""
+        from .operators.centrality import eigenvector_centrality
+
+        return eigenvector_centrality(self._e(), max_iter=max_iter).state
+
     def hits(self, max_iter: int = 8, **kw) -> DataFrame:
         """Kleinberg hubs & authorities → DataFrame[id, auth, hub]."""
         from .operators.hits import hits

@@ -1999,3 +1999,89 @@ FROM dsum s LEFT JOIN intra i ON i.c = s.c"""
 
 ORACLE["modularity"] = _modularity_sql()
 QUERIES["modularity"] = q_modularity
+
+
+# ------------------------------------------ Katz / eigenvector centrality
+
+KATZ_ALPHA = 0.05
+KATZ_BETA = 1.0
+KATZ_ITERS = 8
+EIG_ITERS = 8
+
+
+def q_katz(spark, sf_dir):
+    from .operators.centrality import katz_centrality
+
+    return katz_centrality(
+        load_edges(spark, sf_dir),
+        alpha=KATZ_ALPHA,
+        beta=KATZ_BETA,
+        max_iter=KATZ_ITERS,
+    ).select("id", F.round("katz", 6).alias("katz"))
+
+
+def _katz_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        f"k0 AS MATERIALIZED (SELECT id, CAST({KATZ_BETA!r} AS DOUBLE) AS x FROM nodes)",
+    ]
+    for i in range(1, KATZ_ITERS + 1):
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (
+  SELECT nodes.id,
+         CAST({KATZ_BETA!r} AS DOUBLE)
+         + CAST({KATZ_ALPHA!r} AS DOUBLE) * COALESCE(c.s, 0e0) AS x
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, SUM(k.x) AS s
+    FROM k{i-1} k JOIN edges e ON e.src = k.id GROUP BY e.dst
+  ) c ON nodes.id = c.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(x, 6) AS katz FROM k{KATZ_ITERS}"
+    )
+
+
+ORACLE["katz"] = _katz_sql()
+QUERIES["katz"] = q_katz
+
+
+def q_eigenvector(spark, sf_dir):
+    from .operators.centrality import eigenvector_centrality
+
+    res = eigenvector_centrality(load_edges(spark, sf_dir), max_iter=EIG_ITERS)
+    n = float(res.n_nodes)
+    return res.state.select(
+        "id", F.round(F.col("score") * F.lit(n), 6).alias("score_scaled")
+    )
+
+
+def _eigenvector_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT id, 1e0/(SELECT n FROM nn) AS score FROM nodes)",
+    ]
+    for i in range(1, EIG_ITERS + 1):
+        ctes.append(
+            f"""raw{i} AS (SELECT e.dst AS id, SUM(r.score) AS s
+  FROM r{i-1} r JOIN edges e ON e.src = r.id GROUP BY e.dst),
+t{i} AS (SELECT SUM(s) AS t FROM raw{i}),
+r{i} AS MATERIALIZED (
+  SELECT nodes.id,
+         CASE WHEN (SELECT t FROM t{i}) > 0e0
+              THEN COALESCE(w.s, 0e0) / (SELECT t FROM t{i})
+              ELSE 0e0 END AS score
+  FROM nodes LEFT JOIN raw{i} w ON nodes.id = w.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""\nSELECT id, ROUND(score * (SELECT n FROM nn), 6) AS score_scaled
+FROM r{EIG_ITERS}"""
+    )
+
+
+ORACLE["eigenvector"] = _eigenvector_sql()
+QUERIES["eigenvector"] = q_eigenvector

@@ -1,0 +1,155 @@
+"""Katz and eigenvector centrality — the remaining two classic
+link-analysis scores next to PageRank (operators/pagerank.py) and HITS
+(operators/hits.py); same gather shape, different recurrences:
+
+    katz:        x'(v) = beta + alpha * Σ_{u→v} x(u)        (no normalize)
+    eigenvector: x'(v) = Σ_{u→v} x(u) / L1-total             (power method)
+
+Spark plan per iteration (pagerank.py policy): the edge table is cached
+hash-partitioned by ``src`` and STREAMED; only the V-row score vector
+shuffles. Katz's state is referenced ONCE per step, so it rides the
+shared fixpoint driver; eigenvector's raw gather is referenced twice
+(values + L1 total), so it is persisted per iteration — the round-5 HITS
+lesson (an un-persisted frame referenced ≥2× in an iterative plan makes
+plan cost exponential in depth).
+
+Eigenvector on a DAG decays to zero (sources get no in-mass and the
+power method has no teleport); when an iteration's total mass is 0 the
+whole vector collapses to exact 0.0 rather than dividing by zero — the
+same CASE guards the SQL oracle, keeping NaN out of both engines.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..graph import DST, SRC, materialize, nodes_of
+from ..plans.fixpoint import FixpointResult, IterationMetrics, iterate
+
+
+def _cached_edges(edges: DataFrame, p: int) -> DataFrame:
+    e = (
+        edges.select(SRC, DST)
+        .distinct()
+        .repartition(p, SRC)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e.count()
+    return e
+
+
+def katz_centrality(
+    edges: DataFrame,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+    max_iter: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame[id, katz] after ``max_iter`` fixed iterations from
+    x0 = beta (converges for alpha < 1/λ_max; the conservative default
+    0.05 covers any graph with max in-degree < 20/α)."""
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nodes = nodes_of(edges).repartition(p, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("katz"))
+    e = _cached_edges(edges, p)
+    tiny = n <= 100_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if tiny else df.hint("shuffle_hash")
+
+    init = nodes.select("id", F.lit(beta).alias("x"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        contrib = (
+            e.join(_hint(state.select(F.col("id").alias(SRC), "x")), SRC)
+            .groupBy(F.col(DST).alias("id"))
+            .agg(F.sum("x").alias("s"))
+        )
+        return nodes.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit(beta) + F.lit(alpha) * F.coalesce("s", F.lit(0.0))
+            ).alias("x"),
+        )
+
+    res = iterate(init, step, max_iter=max_iter, name="katz")
+    out = res.state.select("id", F.col("x").alias("katz"))
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    max_iter: int = 8,
+    num_partitions: int | None = None,
+) -> FixpointResult:
+    """Power iteration with L1 normalization → FixpointResult whose state
+    is DataFrame[id, score] (Σ score = 1 on any graph with a recurrent
+    in-component; exact 0s on a DAG once the mass drains)."""
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nodes = nodes_of(edges).repartition(p, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.count()
+    if n == 0:
+        empty = nodes.select("id", F.lit(0.0).alias("score"))
+        return FixpointResult(
+            state=empty, iterations=0, converged=True, metrics=[], n_nodes=0
+        )
+    e = _cached_edges(edges, p)
+    tiny = n <= 100_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if tiny else df.hint("shuffle_hash")
+
+    state = materialize(nodes.select("id", F.lit(1.0 / n).alias("score")))
+    metrics: list[IterationMetrics] = []
+    scratch: list[DataFrame] = []
+    for i in range(max_iter):
+        t0 = time.time()
+        raw = (
+            e.join(_hint(state.select(F.col("id").alias(SRC), "score")), SRC)
+            .groupBy(F.col(DST).alias("id"))
+            .agg(F.sum("score").alias("s"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        tot = raw.agg(F.sum("s").alias("t"))
+        prev = state
+        state = materialize(
+            nodes.join(raw, "id", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "id",
+                F.when(
+                    F.col("t") > 0.0,
+                    F.coalesce("s", F.lit(0.0)) / F.col("t"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("score"),
+            )
+        )
+        prev.unpersist()
+        for df in scratch:
+            df.unpersist()
+        scratch = [raw]
+        metrics.append(
+            IterationMetrics(iteration=i, seconds=time.time() - t0, rows=n)
+        )
+    for df in scratch:
+        df.unpersist()
+    e.unpersist()
+    nodes.unpersist()
+    return FixpointResult(
+        state=state,
+        iterations=max_iter,
+        converged=True,
+        metrics=metrics,
+        n_nodes=n,
+    )

@@ -216,3 +216,52 @@ def test_modularity_single_community_is_zero(spark):
     one = nodes_of(e).select("id", F.lit(0).alias("label"))
     row = modularity(e, one).collect()[0]
     assert row["modularity"] == pytest.approx(0.0, abs=1e-9)
+
+
+# ------------------------------------------------ Katz / eigenvector
+
+
+def test_katz_matches_model(spark):
+    from llama_spark.operators.centrality import katz_centrality
+
+    got = {
+        r["id"]: r["katz"]
+        for r in katz_centrality(
+            edges_df(spark, PAIRS), alpha=0.05, beta=1.0, max_iter=8
+        ).collect()
+    }
+    nodes = sorted({u for u, _ in PAIRS} | {v for _, v in PAIRS})
+    x = {v: 1.0 for v in nodes}
+    for _ in range(8):
+        s = {v: 0.0 for v in nodes}
+        for u, v in PAIRS:
+            s[v] += x[u]
+        x = {v: 1.0 + 0.05 * s[v] for v in nodes}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == pytest.approx(x[v], abs=1e-9), v
+
+
+def test_eigenvector_matches_model_and_dag_decays(spark):
+    from llama_spark.operators.centrality import eigenvector_centrality
+
+    res = eigenvector_centrality(edges_df(spark, PAIRS), max_iter=8)
+    got = {r["id"]: r["score"] for r in res.state.collect()}
+    nodes = sorted({u for u, _ in PAIRS} | {v for _, v in PAIRS})
+    x = {v: 1.0 / len(nodes) for v in nodes}
+    for _ in range(8):
+        s = {v: 0.0 for v in nodes}
+        for u, v in PAIRS:
+            s[v] += x[u]
+        t = sum(s.values())
+        x = {v: (s[v] / t if t > 0 else 0.0) for v in nodes}
+    for v in nodes:
+        assert got[v] == pytest.approx(x[v], abs=1e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    # pure DAG: mass drains out of the chain and the guard zeroes the
+    # vector instead of dividing by zero
+    chain = [(0, 1), (1, 2)]
+    res2 = eigenvector_centrality(edges_df(spark, chain), max_iter=5)
+    vals = {r["id"]: r["score"] for r in res2.state.collect()}
+    assert all(v == 0.0 for v in vals.values())

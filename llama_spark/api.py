@@ -196,6 +196,12 @@ class GraphSession:
 
         return neighborhood_function(self._e(), max_t=max_t, **kw)
 
+    def effective_diameter(self, max_t: int = 6, quantile: float = 0.9) -> DataFrame:
+        """ANF effective diameter: smallest t reaching quantile·N(max_t)."""
+        from .operators.anf import effective_diameter
+
+        return effective_diameter(self._e(), max_t=max_t, quantile=quantile)
+
     def assortativity(self) -> DataFrame:
         """One row [assortativity, reciprocity] (graph.assortativity)."""
         from .graph import assortativity

@@ -2085,3 +2085,22 @@ FROM r{EIG_ITERS}"""
 
 ORACLE["eigenvector"] = _eigenvector_sql()
 QUERIES["eigenvector"] = q_eigenvector
+
+
+# --------------------------------------------------- effective diameter
+
+EFF_DIAM_Q = 0.9
+
+
+def q_effective_diameter(spark, sf_dir):
+    from .operators.anf import effective_diameter
+
+    return effective_diameter(
+        load_edges(spark, sf_dir), max_t=ANF_T, registers=ANF_R, quantile=EFF_DIAM_Q
+    )
+
+
+ORACLE["effective_diameter"] = f"""SELECT MIN(t) AS effective_diameter
+FROM ({_anf_sql()}) anf
+WHERE avg_reach >= {EFF_DIAM_Q!r} * (SELECT MAX(avg_reach) FROM ({_anf_sql()}))"""
+QUERIES["effective_diameter"] = q_effective_diameter

@@ -132,3 +132,27 @@ def neighborhood_function(
         out = out.unionByName(estimate(state, t))
     e.unpersist()
     return out
+
+
+def effective_diameter(
+    edges: DataFrame,
+    max_t: int = 6,
+    registers: int = 8,
+    quantile: float = 0.9,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One row [effective_diameter: int] — the smallest t whose estimated
+    t-ball reaches ``quantile`` of the max_t-ball (the classic ANF
+    consumer: "90% of reachable pairs are within t hops"). Pure compose
+    over ``neighborhood_function``; both engines compare the same
+    6-dp-rounded estimates, so the argmin is stable.
+    """
+    nf = neighborhood_function(
+        edges, max_t=max_t, registers=registers, num_partitions=num_partitions
+    )
+    mx = nf.agg(F.max("avg_reach").alias("mx"))
+    return (
+        nf.crossJoin(F.broadcast(mx))
+        .filter(F.col("avg_reach") >= F.lit(quantile) * F.col("mx"))
+        .agg(F.min("t").alias("effective_diameter"))
+    )

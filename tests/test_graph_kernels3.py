@@ -265,3 +265,15 @@ def test_eigenvector_matches_model_and_dag_decays(spark):
     res2 = eigenvector_centrality(edges_df(spark, chain), max_iter=5)
     vals = {r["id"]: r["score"] for r in res2.state.collect()}
     assert all(v == 0.0 for v in vals.values())
+
+
+def test_effective_diameter_chain(spark):
+    from llama_spark.operators.anf import effective_diameter, neighborhood_function
+
+    chain = [(i, i + 1) for i in range(3)]
+    nf = {r["t"]: r["avg_reach"] for r in neighborhood_function(
+        edges_df(spark, chain), max_t=5, registers=8).collect()}
+    mx = max(nf.values())
+    want = min(t for t, v in nf.items() if v >= 0.9 * mx)
+    got = effective_diameter(edges_df(spark, chain), max_t=5, registers=8).collect()[0]
+    assert got["effective_diameter"] == want

@@ -811,3 +811,35 @@ ranked AS (
 SELECT vec_id, cluster FROM ranked WHERE rn <= {SAMPLE_PER_CLUSTER}"""
 )
 DOCS_QUERIES["balanced_sample"] = q_balanced_sample
+
+
+# ---- eval-set decontamination ----------------------------------------------
+
+DECON_MOD = 41  # synthetic eval set: doc_id % 41 == 0
+DECON_MIN_HITS = 5
+
+
+def q_decontaminate(spark, sf_dir):
+    from .functions.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % DECON_MOD != 0),
+        docs.filter(F.col("doc_id") % DECON_MOD == 0),
+        n=3,
+        min_hits=DECON_MIN_HITS,
+    )
+
+
+DOCS_ORACLE["decontaminate"] = f"""WITH toks AS MATERIALIZED ({TOKS_SQL}),
+sh AS MATERIALIZED ({SHINGLES_SQL}),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_MOD} = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % {DECON_MOD} <> 0),
+hits AS (SELECT t.doc_id, COUNT(*) AS n_hits
+         FROM tr t JOIN ev ON ev.shingle = t.shingle GROUP BY t.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) >= {DECON_MIN_HITS} AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {DECON_MOD} <> 0"""
+DOCS_QUERIES["decontaminate"] = q_decontaminate

@@ -421,3 +421,39 @@ def curate_corpus(
             reason.alias("reject_reason"),
         )
     )
+
+
+def decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    min_hits: int = 5,
+) -> DataFrame:
+    """Eval-set decontamination — DataFrame[doc_id, n_hits, contaminated]
+    over every TRAIN doc: ``n_hits`` counts its distinct n-gram shingles
+    that also occur anywhere in the eval set, ``contaminated`` flags
+    ``n_hits >= min_hits`` (the GPT-3 / Pile n-gram-overlap rule: a
+    training document that reproduces enough eval n-grams leaks the
+    benchmark and must be dropped before training).
+
+    Scale shape: the eval shingle set is DISTINCT-reduced first — eval
+    suites are thousands of documents, so it broadcasts; the train-side
+    shingle stream then inner-joins it with no shuffle of the corpus. One
+    groupBy(doc_id) count and a left join back onto the doc list.
+    """
+    ev = shingles(eval_docs, n).select("shingle").distinct()
+    hits = (
+        shingles(train_docs, n)
+        .join(ev, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train_docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

@@ -147,9 +147,12 @@ def effective_diameter(
     over ``neighborhood_function``; both engines compare the same
     6-dp-rounded estimates, so the argmin is stable.
     """
+    # the nf frame is max_t+1 rows but each row is an aggregate job over a
+    # persisted round state, and it is referenced twice below (max + argmin)
+    # — checkpoint the tiny result so the aggregates run once
     nf = neighborhood_function(
         edges, max_t=max_t, registers=registers, num_partitions=num_partitions
-    )
+    ).localCheckpoint(eager=True)
     mx = nf.agg(F.max("avg_reach").alias("mx"))
     return (
         nf.crossJoin(F.broadcast(mx))

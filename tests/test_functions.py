@@ -495,3 +495,26 @@ def test_cluster_balanced_sample(vectors):
         assert len(ids) <= 3
         members = sorted(v for v, c in full.items() if c == cl)
         assert sorted(ids) == members[: len(ids)]
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from llama_spark.functions.dedup import decontaminate
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),  # eval
+        (1, "the quick brown fox jumps over the lazy dog tonight"),  # exact leak
+        (2, "a b c the quick brown fox jumps over something"),       # partial
+        (3, "completely unrelated text with no overlap at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(
+            docs.filter("doc_id > 0"), docs.filter("doc_id = 0"),
+            n=3, min_hits=5,
+        ).collect()
+    }
+    # doc1 shares all 8 eval 3-gram shingles; doc2 shares 4 (sub-threshold)
+    assert out[1] == (8, True)
+    assert out[2][0] >= 1 and not out[2][1]
+    assert out[3] == (0, False)

@@ -208,6 +208,12 @@ class GraphSession:
 
         return assortativity(self._e())
 
+    def greedy_coloring(self, max_rounds: int = 512) -> DataFrame:
+        """Jones–Plassmann greedy coloring → DataFrame[id, color]."""
+        from .operators.coloring import greedy_coloring
+
+        return greedy_coloring(self._e(), max_rounds=max_rounds)
+
     def modularity(self, communities: DataFrame, label_col: str = "label") -> DataFrame:
         """Newman Q of a community assignment (components.modularity)."""
         from .operators.components import modularity

@@ -2104,3 +2104,80 @@ ORACLE["effective_diameter"] = f"""SELECT MIN(t) AS effective_diameter
 FROM ({_anf_sql()}) anf
 WHERE avg_reach >= {EFF_DIAM_Q!r} * (SELECT MAX(avg_reach) FROM ({_anf_sql()}))"""
 QUERIES["effective_diameter"] = q_effective_diameter
+
+
+# ------------------------------------------------ greedy coloring (JP)
+
+# Gate subgraph: nodes ≡ 0 (mod 8). Jones–Plassmann's round count is the
+# priority-DAG depth, which on this skewed graph is 82 rounds at sf0.01
+# (506 at sf0.1) — hub tails linger (measured; the Luby per-round-rehash
+# variant is no better: 58/381). The mod-16 subgraph colors in 6 rounds
+# at sf0.01 (186 nodes, 4 colors), so the gate proves the kernel
+# end-to-end at a depth both engines unroll cheaply; the subset-gate
+# precedent is pagerank_redistribute.
+COLOR_MOD = 16
+COLOR_UNROLL = 12  # ≥ measured 6 rounds at sf0.01 (5 at sf0.001) + margin;
+                   # rounds past the fixpoint are no-ops (empty ready set)
+
+
+def q_coloring(spark, sf_dir):
+    from .operators.coloring import greedy_coloring
+
+    e = load_edges(spark, sf_dir).filter(
+        (F.col("src") % COLOR_MOD == 0) & (F.col("dst") % COLOR_MOD == 0)
+    )
+    return greedy_coloring(e)
+
+
+def _coloring_sql() -> str:
+    def key(col: str) -> str:
+        prio = (
+            f"(({col} % 1000003) * 2654435761"
+            f" + ({col} % 2147483647)) % 2147483647"
+        )
+        return f"(({prio}) * 4294967296 + ({col} % 4294967296))"
+
+    ctes = [
+        f"""edges AS MATERIALIZED (SELECT * FROM ({EDGES_SQL})
+  WHERE src % {COLOR_MOD} = 0 AND dst % {COLOR_MOD} = 0)""",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        """a0 AS MATERIALIZED (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM und UNION ALL SELECT dst FROM und))""",
+        "c0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id, "
+        "CAST(NULL AS BIGINT) AS color WHERE 1=0)",
+    ]
+    for r in range(1, COLOR_UNROLL + 1):
+        ctes.append(
+            f"""rdy{r} AS MATERIALIZED (
+  SELECT v.id FROM a{r-1} v LEFT JOIN (
+    SELECT e.src AS id, MIN({key('e.dst')}) AS b
+    FROM und e JOIN a{r-1} n ON n.id = e.dst
+    WHERE e.src IN (SELECT id FROM a{r-1})
+    GROUP BY e.src
+  ) nm ON nm.id = v.id
+  WHERE nm.b IS NULL OR {key('v.id')} < nm.b),
+used{r} AS (
+  SELECT DISTINCT e.src AS id, c.color
+  FROM und e JOIN rdy{r} s ON s.id = e.src JOIN c{r-1} c ON c.id = e.dst),
+uc{r} AS (SELECT id, COUNT(*) AS n FROM used{r} GROUP BY id),
+mex{r} AS (
+  SELECT s.id, MIN(g.c) AS color
+  FROM rdy{r} s LEFT JOIN uc{r} u ON u.id = s.id,
+       LATERAL (SELECT unnest(generate_series(0, COALESCE(u.n, 0))) AS c) g
+  WHERE NOT EXISTS (SELECT 1 FROM used{r} w
+                    WHERE w.id = s.id AND w.color = g.c)
+  GROUP BY s.id),
+c{r} AS MATERIALIZED (
+  SELECT id, color FROM c{r-1}
+  UNION ALL SELECT id, CAST(color AS BIGINT) FROM mex{r}),
+a{r} AS MATERIALIZED (
+  SELECT id FROM a{r-1} WHERE id NOT IN (SELECT id FROM rdy{r}))"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, color FROM c{COLOR_UNROLL}"
+    )
+
+
+ORACLE["coloring"] = _coloring_sql()
+QUERIES["coloring"] = q_coloring

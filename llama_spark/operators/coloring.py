@@ -1,0 +1,139 @@
+"""Greedy distributed graph coloring — Jones–Plassmann (1993), the classic
+companion kernel to Luby MIS (operators/mis.py): give every node a fixed
+pseudo-random priority; in each synchronous round, a node whose priority
+beats every UNCOLORED neighbor takes the smallest color unused by its
+already-colored neighbors (the greedy mex). Expected O(log n / log log n)
+rounds; colors ≤ Δ+1 like sequential greedy. Standard consumers:
+scheduling conflicting updates, register-allocation-style batching,
+symmetry breaking beyond a single MIS layer.
+
+Determinism: the priority is the SAME packed (prio, id) BIGINT key as MIS
+(round-independent here — JP fixes priorities once), so the full coloring
+is a pure function of the edge set and replays exactly in the SQL oracle.
+The mex candidate range per node is bounded by its count of used neighbor
+colors (mex ≤ #used), so the explode is O(colored-degree), never a global
+color-range scan.
+
+Scale shape per round (all the usual policies): live edges = the cached
+undirected table semi-filtered by the shrinking active set; one
+neighbor-min aggregate; ready nodes' used-color join; a bounded
+sequence-explode + anti-join for the mex. Active and colored state go
+through ``graph.materialize`` — active feeds both sides of the
+neighbor-min (the size-estimate-squaring hazard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..graph import DST, SRC, drop_self_loops, materialize, nodes_of, undirected_double
+from .mis import _key
+
+
+def greedy_coloring(edges: DataFrame, max_rounds: int = 512) -> DataFrame:
+    """DataFrame[id: long, color: long] — a valid greedy coloring (no edge
+    joins two equal colors; every node colored). Raises if the active set
+    survives ``max_rounds``.
+
+    Depth caveat (measured, round 5): JP's round count is the
+    priority-DAG depth — O(log n/log log n) on bounded-degree graphs, but
+    on skewed web graphs the hub tail stretches it (82 rounds on the 4096-
+    node/60k-edge gate graph, 506 at 10× the edges; per-round priority
+    re-hashing does not help: 58/381). The kernel is round-for-round
+    correct at any depth; budget rounds accordingly or color a
+    hub-decontracted graph.
+    """
+    spark = edges.sparkSession
+    und = (
+        drop_self_loops(undirected_double(edges.select(SRC, DST)))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    und.count()
+    # undirected degree, computed once: the mex candidate bound (mex ≤
+    # #used-colors ≤ degree, so sequence(0, deg) always contains the
+    # answer — any bound ≥ mex yields the identical minimum, which is why
+    # the SQL oracle may use the tighter used-count bound instead)
+    deg = (
+        und.groupBy(F.col(SRC).alias("id"))
+        .agg(F.count("*").alias("_deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg.count()
+    active = materialize(nodes_of(und))
+    # colored state = list of per-round materialized mex frames (the MIS
+    # selected_parts pattern) — the union is never re-materialized
+    # wholesale, each future round's used-color join reads the cached
+    # leaves directly
+    parts: list[DataFrame] = []
+
+    for r in range(max_rounds):
+        live = und.join(
+            active.withColumnRenamed("id", DST), DST, "left_semi"
+        )
+        nbr_min = (
+            live.join(active.withColumnRenamed("id", SRC), SRC, "left_semi")
+            .groupBy(F.col(SRC).alias("id"))
+            .agg(F.min(_key(F.col(DST), 0)).alias("b"))
+        )
+        # ready is referenced three times below (used, mex base, active
+        # anti-join) — persist it or each reference re-walks the live-edge
+        # aggregate
+        ready = (
+            active.join(nbr_min, "id", "left")
+            .filter(F.col("b").isNull() | (_key(F.col("id"), 0) < F.col("b")))
+            .select("id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if parts:
+            colored_view = parts[0]
+            for p in parts[1:]:
+                colored_view = colored_view.unionByName(p)
+            used = (
+                und.join(ready.withColumnRenamed("id", SRC), SRC, "left_semi")
+                .join(
+                    colored_view.select(F.col("id").alias(DST), "color"), DST
+                )
+                .select(F.col(SRC).alias("id"), "color")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        else:
+            used = spark.createDataFrame([], "id long, color long")
+        mex = materialize(
+            ready.join(deg, "id")
+            .select(
+                "id",
+                F.explode(
+                    F.sequence(F.lit(0), F.col("_deg"))
+                ).alias("color"),
+            )
+            .join(used, ["id", "color"], "left_anti")
+            .groupBy("id")
+            .agg(F.min("color").cast("long").alias("color"))
+        )
+        parts.append(mex)
+        prev_active = active
+        active = materialize(active.join(ready, "id", "left_anti"))
+        n_active = active.count()  # cheap: reads the cache just built
+        prev_active.unpersist()
+        ready.unpersist()
+        used.unpersist()  # no-op on the round-0 empty frame
+        if n_active == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"greedy_coloring did not finish in max_rounds={max_rounds}"
+        )
+
+    und.unpersist()
+    deg.unpersist()
+    active.unpersist()
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.localCheckpoint(eager=True)
+    for p in parts:
+        p.unpersist()
+    return out

@@ -277,3 +277,63 @@ def test_effective_diameter_chain(spark):
     want = min(t for t, v in nf.items() if v >= 0.9 * mx)
     got = effective_diameter(edges_df(spark, chain), max_t=5, registers=8).collect()[0]
     assert got["effective_diameter"] == want
+
+
+# --------------------------------------------------------- greedy coloring
+
+
+def _jp_model(pairs):
+    P1, P2, MOD = 1_000_003, 2_654_435_761, 2_147_483_647
+    def key(v):
+        return (((v % P1) * P2 + (v % MOD)) % MOD) * 4294967296 + (v % 4294967296)
+    und = {}
+    for u, v in pairs:
+        if u == v:
+            continue
+        und.setdefault(u, set()).add(v)
+        und.setdefault(v, set()).add(u)
+    active = set(und)
+    colors = {}
+    while active:
+        ready = [
+            v for v in active
+            if all(key(v) < key(w) for w in und[v] if w in active)
+        ]
+        assert ready, "JP stalled"
+        for v in ready:
+            used = {colors[w] for w in und[v] if w in colors}
+            c = 0
+            while c in used:
+                c += 1
+            colors[v] = c
+        active -= set(ready)
+    return colors, und
+
+
+def test_greedy_coloring_matches_jp_model_and_is_proper(spark):
+    from llama_spark.operators.coloring import greedy_coloring
+
+    pairs = PAIRS + [(6, 7), (7, 8), (8, 6), (4, 6)]
+    got = {
+        r["id"]: r["color"]
+        for r in greedy_coloring(edges_df(spark, pairs)).collect()
+    }
+    want, und = _jp_model(pairs)
+    assert got == want
+    # proper: no edge joins equal colors; colors start at 0 and are compact
+    for u, nbrs in und.items():
+        for w in nbrs:
+            assert got[u] != got[w], (u, w)
+    assert min(got.values()) == 0
+
+
+def test_greedy_coloring_star_two_colors(spark):
+    from llama_spark.operators.coloring import greedy_coloring
+
+    star = [(0, i) for i in range(1, 9)]
+    got = {
+        r["id"]: r["color"]
+        for r in greedy_coloring(edges_df(spark, star)).collect()
+    }
+    assert len(set(got.values())) == 2
+    assert all(got[i] != got[0] for i in range(1, 9))

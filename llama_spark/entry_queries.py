@@ -2181,3 +2181,21 @@ a{r} AS MATERIALIZED (
 
 ORACLE["coloring"] = _coloring_sql()
 QUERIES["coloring"] = q_coloring
+
+
+# --------------------------------------- incremental triangle maintenance
+
+
+def q_triangle_incremental(spark, sf_dir):
+    from .operators.triangles import triangle_count_incremental
+
+    edges = load_edges(spark, sf_dir)
+    key = F.col("src") * 31 + F.col("dst")
+    return triangle_count_incremental(
+        edges.filter(key % 5 != 0), edges.filter(key % 5 == 0)
+    )
+
+
+# the oracle is deliberately algorithm-independent: the full-union count
+ORACLE["triangle_incremental"] = _triangles_sql()
+QUERIES["triangle_incremental"] = q_triangle_incremental

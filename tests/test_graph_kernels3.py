@@ -5,6 +5,7 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import edges_df
 
@@ -337,3 +338,34 @@ def test_greedy_coloring_star_two_colors(spark):
     }
     assert len(set(got.values())) == 2
     assert all(got[i] != got[0] for i in range(1, 9))
+
+
+# ------------------------------------------- incremental triangle count
+
+
+def test_triangle_count_incremental_random_splits(spark):
+    import random
+
+    from llama_spark.operators.triangles import (
+        triangle_count_incremental,
+        triangles_df,
+    )
+
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(24), rng.randrange(24)) for _ in range(140)})
+    e = edges_df(spark, pairs)
+    full = triangles_df(e).collect()[0]["triangles"]
+    for mod in (2, 3):
+        old = e.filter((F.col("src") + F.col("dst")) % mod != 0)
+        new = e.filter((F.col("src") + F.col("dst")) % mod == 0)
+        got = triangle_count_incremental(old, new).collect()[0]["triangles"]
+        assert got == full, mod
+    # empty batch and full batch degenerate correctly
+    assert (
+        triangle_count_incremental(e, e.limit(0)).collect()[0]["triangles"]
+        == full
+    )
+    assert (
+        triangle_count_incremental(e.limit(0), e).collect()[0]["triangles"]
+        == full
+    )

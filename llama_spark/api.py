@@ -172,6 +172,23 @@ class GraphSession:
 
         return random_walks(self._e(), walk_length=walk_length, **kw)
 
+    def skipgram_pairs(
+        self, walk_length: int = 4, window: int = 2, **kw
+    ) -> DataFrame:
+        """Skip-gram co-occurrence counts over the deterministic walk
+        corpus — the DeepWalk training-input stage."""
+        from .operators.walks import random_walks, skipgram_pairs
+
+        return skipgram_pairs(
+            random_walks(self._e(), walk_length=walk_length, **kw), window=window
+        )
+
+    def transitivity(self) -> DataFrame:
+        """Global clustering coefficient (3·triangles / wedges)."""
+        from .operators.triangles import transitivity
+
+        return transitivity(self._e())
+
     def katz(self, alpha: float = 0.05, beta: float = 1.0, max_iter: int = 8) -> DataFrame:
         """Katz centrality → DataFrame[id, katz]."""
         from .operators.centrality import katz_centrality

@@ -2199,3 +2199,56 @@ def q_triangle_incremental(spark, sf_dir):
 # the oracle is deliberately algorithm-independent: the full-union count
 ORACLE["triangle_incremental"] = _triangles_sql()
 QUERIES["triangle_incremental"] = q_triangle_incremental
+
+
+def q_transitivity(spark, sf_dir):
+    """Global clustering coefficient 3·triangles/wedges — exact-integer
+    wedge sum composed with the skew-safe oriented triangle plan."""
+    from .operators.triangles import transitivity
+
+    return transitivity(load_edges(spark, sf_dir))
+
+
+ORACLE["transitivity"] = f"""WITH edges AS ({EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM edges WHERE src <> dst
+),
+deg AS (SELECT id, COUNT(*) AS d FROM (
+  SELECT src AS id FROM und UNION ALL SELECT dst AS id FROM und) GROUP BY id),
+wed AS (SELECT CAST(COALESCE(SUM(d * (d - 1)), 0) // 2 AS BIGINT) AS wedges FROM deg),
+tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM und e1 JOIN und e2 ON e1.dst = e2.src
+        JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+SELECT wedges, triangles,
+       CASE WHEN wedges > 0 THEN ROUND(3e0 * triangles / wedges, 6)
+            ELSE 0e0 END AS transitivity
+FROM wed, tri"""
+QUERIES["transitivity"] = q_transitivity
+
+
+SKIPGRAM_WINDOW = 2
+
+
+def q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram co-occurrence counts over the deterministic walk corpus —
+    the DeepWalk training-input stage; the oracle replays the identical
+    walks and self-joins them."""
+    from .operators.walks import random_walks, skipgram_pairs
+
+    w = random_walks(
+        load_edges(spark, sf_dir), walk_length=WALK_LEN, walks_per_node=1,
+        seed=WALK_SEED,
+    )
+    return skipgram_pairs(w, window=SKIPGRAM_WINDOW)
+
+
+ORACLE["skipgram_pairs"] = f"""WITH walks AS MATERIALIZED (
+{_walks_sql()}
+)
+SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND abs(a.step - b.step) <= {SKIPGRAM_WINDOW}
+GROUP BY a.node, b.node"""
+QUERIES["skipgram_pairs"] = q_skipgram_pairs

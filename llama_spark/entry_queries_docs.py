@@ -843,3 +843,85 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE d.doc_id % {DECON_MOD} <> 0"""
 DOCS_QUERIES["decontaminate"] = q_decontaminate
+
+
+# --- dedup clusters: CC closure over verified near-dup pairs (r5) ----------
+
+def q_dedup_clusters(spark, sf_dir):
+    """Pair-level near-duplication is not transitive — the keep/drop
+    decision needs the connected-component closure of the verified-pair
+    graph. cluster = min doc_id of the component (hash-min CC); keep =
+    exactly one survivor per cluster. Composes three gated operators:
+    lsh_candidates → verified jaccard → connected_components."""
+    from .functions.dedup import dedup_clusters
+
+    return dedup_clusters(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.5
+    )
+
+
+DOCS_ORACLE["dedup_clusters"] = f"""WITH RECURSIVE pairs AS MATERIALIZED (
+{DOCS_ORACLE["lsh_verified_dedup"]}
+),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach AS (SELECT a, b FROM und
+          UNION SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a)
+SELECT d.doc_id,
+       COALESCE(c.cluster, d.doc_id) AS cluster,
+       COALESCE(c.cluster, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id"""
+DOCS_QUERIES["dedup_clusters"] = q_dedup_clusters
+
+
+# --- Gopher repetition filters (r5) -----------------------------------------
+
+def q_repetition_ratios(spark, sf_dir):
+    """Duplicate/top n-gram token fractions per doc (Gopher repetition
+    rules) — boilerplate and degenerate-text signal."""
+    from .functions.text import repetition_ratios
+
+    return repetition_ratios(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), ns=(2, 3)
+    )
+
+
+def _rep_sql() -> str:
+    ctes = [f"toks AS MATERIALIZED ({TOKS_SQL})"]
+    joins, cols = [], []
+    for n in (2, 3):
+        parts = ", ".join(
+            ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, n)]
+        )
+        ctes.append(
+            f"""g{n} AS (
+  SELECT doc_id, concat_ws(' ', {parts}) AS gram,
+         lead(tok, {n - 1}) OVER w IS NOT NULL AS f
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))"""
+        )
+        ctes.append(
+            f"c{n} AS (SELECT doc_id, gram, COUNT(*) AS c FROM g{n} "
+            f"WHERE f GROUP BY doc_id, gram)"
+        )
+        ctes.append(
+            f"""a{n} AS (
+  SELECT doc_id,
+         ROUND(1e0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_{n}gram_frac,
+         ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_{n}gram_frac
+  FROM c{n} GROUP BY doc_id)"""
+        )
+        joins.append(f"LEFT JOIN a{n} ON a{n}.doc_id = d.doc_id")
+        cols.append(
+            f"COALESCE(dup_{n}gram_frac, 0e0) AS dup_{n}gram_frac, "
+            f"COALESCE(top_{n}gram_frac, 0e0) AS top_{n}gram_frac"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT d.doc_id, " + ", ".join(cols)
+        + "\nFROM documents d " + " ".join(joins)
+    )
+
+
+DOCS_ORACLE["repetition_ratios"] = _rep_sql()
+DOCS_QUERIES["repetition_ratios"] = q_repetition_ratios

@@ -457,3 +457,43 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """DataFrame[doc_id, cluster, keep] — near-duplicate documents grouped
+    into clusters via connected components over the verified-pair graph,
+    the production web-corpus dedup shape (MinHash LSH → exact verify →
+    CC closure): pairwise near-duplication is NOT transitive, so keep/drop
+    decisions need the component closure, not the pair list (a≈b and b≈c
+    must drop two of {a,b,c} even when a≉c directly).
+
+    cluster = min doc_id of the component (hash-min CC labels ARE min
+    member ids; singletons keep their own id); keep = (doc_id == cluster),
+    exactly one survivor per cluster. The CC input is the verified pair
+    graph — orders of magnitude smaller than the corpus — so the iterative
+    kernel runs on near-dup docs only; the corpus itself is touched once
+    by the left join that fills in singleton clusters."""
+    from ..operators.components import connected_components
+
+    pairs = verified_near_duplicates(
+        documents, threshold=threshold, k=k, bands=bands, n=n,
+        max_bucket_size=max_bucket_size,
+    )
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(e).withColumnRenamed("id", "doc_id")
+    return (
+        documents.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("keep"),
+        )
+    )

@@ -222,3 +222,49 @@ def bm25_scores(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(top_k)
     )
+
+
+def repetition_ratios(documents: DataFrame, ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Per-doc duplicate/top n-gram fractions — the Gopher repetition
+    filters (Rae et al. 2021, §A1.1), the standard signal for boilerplate
+    and degenerate machine-generated text. For each n in ``ns``:
+
+      dup_{n}gram_frac = 1 − distinct_n / total_n  (mass in repeated n-grams)
+      top_{n}gram_frac = max_count_n / total_n     (mass of the single most
+                                                    frequent n-gram)
+
+    where total_n = token_count − n + 1 full n-grams; docs too short for
+    any full n-gram report 0.0. Token-count basis (the character-mass
+    variant weighs by n-gram length; same signal, simpler portability).
+
+    Plan: one tokenize pass, per-n lead-window n-grams (windows partition
+    by doc_id and are bounded by DOC length, never corpus size), then two
+    map-side-combinable aggregates. Floats only in the final per-doc
+    divisions, rounded to 6 dp identically on both engines."""
+    t = tokenize(documents)
+    out = documents.select("doc_id")
+    for n in ns:
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+        grams = t.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("gram"),
+            (F.lead("tok", n - 1).over(w).isNotNull() if n > 1 else F.lit(True)).alias(
+                "_full"
+            ),
+        ).filter(F.col("_full"))
+        per = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+        aggd = per.groupBy("doc_id").agg(
+            F.sum("c").alias("tot"), F.count("*").alias("dis"), F.max("c").alias("mx")
+        ).select(
+            "doc_id",
+            F.round(F.lit(1.0) - F.col("dis") / F.col("tot"), 6).alias(
+                f"dup_{n}gram_frac"
+            ),
+            F.round(F.col("mx") / F.col("tot"), 6).alias(f"top_{n}gram_frac"),
+        )
+        out = out.join(aggd, "doc_id", "left")
+    fracs = [c for c in out.columns if c != "doc_id"]
+    return out.select(
+        "doc_id", *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in fracs]
+    )

@@ -191,3 +191,39 @@ def triangle_count_incremental(
     U.unpersist()
     UD.unpersist()
     return out
+
+
+def transitivity(edges: DataFrame, orient: str = "degree") -> DataFrame:
+    """1-row DataFrame[wedges, triangles, transitivity] — the global
+    clustering coefficient 3·triangles / wedges, with
+    wedges = Σ_v d(v)·(d(v)−1)/2 over the simple undirected graph.
+
+    Composes the skew-safe oriented triangle plan with an exact-integer
+    wedge sum (Σ d·(d−1) is an even BIGINT, halved with integer DIV;
+    floats appear only in the final division, rounded to 6 dp on both
+    engines). The wedge side is one map-side-combinable degree aggregate —
+    nothing pair-shaped materializes outside the triangle join."""
+    und = drop_self_loops(undirected_ordered(edges)).dropDuplicates([SRC, DST])
+    deg = (
+        und.select(F.col(SRC).alias("id"))
+        .unionAll(und.select(F.col(DST).alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    wed = deg.agg(
+        F.coalesce(F.sum(F.col("d") * (F.col("d") - F.lit(1))), F.lit(0)).alias("_s")
+    ).select(F.expr("CAST(_s DIV 2 AS BIGINT)").alias("wedges"))
+    return (
+        wed.crossJoin(triangles_df(edges, orient=orient))
+        .select(
+            "wedges",
+            "triangles",
+            F.when(
+                F.col("wedges") > 0,
+                F.round(F.lit(3.0) * F.col("triangles") / F.col("wedges"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("transitivity"),
+        )
+        .localCheckpoint(eager=True)
+    )

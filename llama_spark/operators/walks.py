@@ -463,3 +463,33 @@ def node2vec_walks(
     deg.unpersist()
     e_probe.unpersist()
     return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """DataFrame[center, context, cnt] — skip-gram co-occurrence counts
+    over a walk corpus (the DeepWalk/node2vec training-input stage: walks
+    are sentences, nodes are words; Perozzi et al. 2014 §4.2). Counts every
+    ordered (center, context) pair with 0 < |i−j| ≤ window inside one walk,
+    aggregated corpus-wide.
+
+    The self-join keys on walk_id: each walk is O(L) rows, so per-key join
+    work is O(L·window) regardless of graph skew — a hub appearing in many
+    walks contributes through many *different* walk_ids, which hash-spread.
+    The count aggregate is map-side combinable. Consumes only the corpus
+    shape (walk_id, step, node), so it composes with ``random_walks``,
+    weighted walks, and ``node2vec_walks`` unchanged."""
+    a = walks.select(
+        "walk_id", F.col("step").alias("i"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("j"), F.col("node").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

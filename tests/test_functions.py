@@ -518,3 +518,53 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert out[1] == (8, True)
     assert out[2][0] >= 1 and not out[2][1]
     assert out[3] == (0, False)
+
+
+def test_dedup_clusters_closure_not_pairwise(spark):
+    # a≈b and b≈c share most shingles, a vs c less so — the cluster must
+    # still be {a,b,c} via the CC closure; d is untouched (singleton).
+    from llama_spark.functions.dedup import dedup_clusters, verified_near_duplicates
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (10, base + " one two"),
+            (11, base + " one three"),
+            (12, base + " four three"),
+            (13, "totally different words entirely unrelated content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["cluster"], r["keep"])
+           for r in dedup_clusters(docs, threshold=0.4).collect()}
+    assert got[10] == (10, True)
+    assert got[11] == (10, False)
+    assert got[12] == (10, False)
+    assert got[13] == (13, True)
+    # sanity: the pair list alone does NOT contain (10, 12) directly at a
+    # threshold where the closure still links them through 11
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in verified_near_duplicates(docs, threshold=0.4).collect()}
+    assert (10, 11) in pairs and (11, 12) in pairs
+
+
+def test_repetition_ratios_model(spark):
+    from llama_spark.functions.text import repetition_ratios
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a"),       # bigrams: ab ba ab ba → dup 1-2/4=.5, top 2/4=.5
+            (1, "x y z w"),          # all distinct → dup 0, top 1/3
+            (2, "solo"),             # too short for any bigram → 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_ratios(docs, ns=(2, 3)).collect()}
+    assert abs(got[0]["dup_2gram_frac"] - 0.5) < 1e-9
+    assert abs(got[0]["top_2gram_frac"] - 0.5) < 1e-9
+    # trigrams of doc0: "a b a","b a b","a b a" → dup 1-2/3, top 2/3
+    assert abs(got[0]["dup_3gram_frac"] - (1 - 2 / 3)) < 1e-6
+    assert abs(got[0]["top_3gram_frac"] - 2 / 3) < 1e-6
+    assert got[1]["dup_2gram_frac"] == 0.0
+    assert abs(got[1]["top_2gram_frac"] - 1 / 3) < 1e-6
+    assert got[2]["dup_2gram_frac"] == 0.0 and got[2]["top_3gram_frac"] == 0.0

@@ -369,3 +369,46 @@ def test_triangle_count_incremental_random_splits(spark):
         triangle_count_incremental(e.limit(0), e).collect()[0]["triangles"]
         == full
     )
+
+
+def test_transitivity_triangle_with_tail(spark):
+    # triangle {0,1,2} + edge 2-3: degrees 2,2,3,1 → wedges 1+1+3 = 5,
+    # triangles 1 → transitivity 3/5
+    from llama_spark.operators.triangles import transitivity
+
+    e = edges_df(spark, [(0, 1), (1, 2), (2, 0), (2, 3)])
+    row = transitivity(e).collect()[0]
+    assert row["wedges"] == 5
+    assert row["triangles"] == 1
+    assert abs(row["transitivity"] - 0.6) < 1e-9
+
+
+def test_transitivity_no_wedges(spark):
+    from llama_spark.operators.triangles import transitivity
+
+    row = transitivity(edges_df(spark, [(0, 1)])).collect()[0]
+    assert row["wedges"] == 0 and row["triangles"] == 0
+    assert row["transitivity"] == 0.0
+
+
+def test_skipgram_pairs_matches_model(spark):
+    from llama_spark.operators.walks import skipgram_pairs
+
+    walks = [(0, 0, 10), (0, 1, 11), (0, 2, 12), (0, 3, 13),
+             (1, 0, 11), (1, 1, 10)]
+    wdf = spark.createDataFrame(walks, "walk_id long, step long, node long")
+    window = 2
+    from collections import Counter
+
+    model = Counter()
+    for wid in {w[0] for w in walks}:
+        seq = sorted((s, n) for ww, s, n in walks if ww == wid)
+        for i, (si, ni) in enumerate(seq):
+            for sj, nj in seq:
+                if si != sj and abs(si - sj) <= window:
+                    model[(ni, nj)] += 1
+    got = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in skipgram_pairs(wdf, window=window).collect()
+    }
+    assert got == dict(model)

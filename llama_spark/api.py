@@ -231,6 +231,12 @@ class GraphSession:
 
         return greedy_coloring(self._e(), max_rounds=max_rounds)
 
+    def louvain(self, max_iter: int = 4, **kw) -> DataFrame:
+        """Staged-synchronous Louvain phase-1 communities → [id, comm]."""
+        from .operators.components import louvain_communities
+
+        return louvain_communities(self._e(), max_iter=max_iter, **kw)
+
     def modularity(self, communities: DataFrame, label_col: str = "label") -> DataFrame:
         """Newman Q of a community assignment (components.modularity)."""
         from .operators.components import modularity

@@ -2252,3 +2252,73 @@ FROM walks a JOIN walks b
  AND abs(a.step - b.step) <= {SKIPGRAM_WINDOW}
 GROUP BY a.node, b.node"""
 QUERIES["skipgram_pairs"] = q_skipgram_pairs
+
+
+LOUVAIN_ROUNDS = 4
+
+
+def q_louvain(spark, sf_dir):
+    """Staged-synchronous Louvain phase-1 (modularity-gain label moves,
+    parity-staged to break sync oscillation) — integer-exact gain scores,
+    so the oracle unrolls the identical rounds."""
+    from .operators.components import louvain_communities
+
+    return louvain_communities(load_edges(spark, sf_dir), max_iter=LOUVAIN_ROUNDS)
+
+
+def _louvain_sql(rounds: int = 4) -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS k "
+        "FROM und GROUP BY src)",
+        "m2 AS (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM deg)",
+        "s0 AS (SELECT id, id AS comm FROM deg)",
+    ]
+    for r in range(1, rounds + 1):
+        par = r - 1  # movers this round: (id + par) % 2 = 0
+        ctes.append(
+            f"""evc{r} AS MATERIALIZED (
+  SELECT u.dst AS id, s.comm AS c, CAST(COUNT(*) AS BIGINT) AS e
+  FROM und u JOIN s{r-1} s ON s.id = u.src
+  WHERE (u.dst + {par}) % 2 = 0
+  GROUP BY u.dst, s.comm)"""
+        )
+        ctes.append(
+            f"""cand{r} AS (
+  SELECT id, c, MAX(e) AS e FROM (
+    SELECT id, c, e FROM evc{r}
+    UNION ALL
+    SELECT id, comm AS c, CAST(0 AS BIGINT) AS e FROM s{r-1}
+    WHERE (id + {par}) % 2 = 0
+  ) GROUP BY id, c)"""
+        )
+        ctes.append(
+            f"tot{r} AS (SELECT s.comm AS c, CAST(SUM(d.k) AS BIGINT) AS tot "
+            f"FROM s{r-1} s JOIN deg d ON d.id = s.id GROUP BY s.comm)"
+        )
+        ctes.append(
+            f"""pick{r} AS (
+  SELECT id, c AS comm FROM (
+    SELECT cand.id, cand.c,
+           ROW_NUMBER() OVER (PARTITION BY cand.id ORDER BY
+             (m.m2 * cand.e - d.k *
+              (t.tot - CASE WHEN cand.c = s.comm THEN d.k ELSE 0 END)) DESC,
+             cand.c ASC) AS rn
+    FROM cand{r} cand
+    JOIN s{r-1} s ON s.id = cand.id
+    JOIN deg d ON d.id = cand.id
+    JOIN tot{r} t ON t.c = cand.c
+    CROSS JOIN m2 m
+  ) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT s.id, COALESCE(p.comm, s.comm) AS comm
+  FROM s{r-1} s LEFT JOIN pick{r} p ON p.id = s.id)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, comm FROM s{rounds}"
+
+
+ORACLE["louvain"] = _louvain_sql(LOUVAIN_ROUNDS)
+QUERIES["louvain"] = q_louvain

@@ -333,3 +333,131 @@ def modularity(
         )
         .agg(F.round(F.sum("_t"), 6).alias("modularity"))
     )
+
+
+def louvain_communities(
+    edges: DataFrame,
+    max_iter: int = 4,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """DataFrame[id, comm] — staged-synchronous modularity-gain label
+    updates: the distributed phase-1 Louvain variant (Blondel et al. 2008
+    move rule evaluated data-parallel, as in parallel-Louvain systems).
+    In round r only nodes with (id + r) % 2 == 0 may move — fully
+    synchronous updates oscillate on symmetric pairs (two singletons
+    swap labels forever; the known parallel-Louvain/LP pathology), while
+    the deterministic parity staging breaks the symmetry and converges
+    (two triangles + bridge reach the optimal split by round 4). A moving
+    node adopts the neighbor community c maximizing the modularity gain,
+    evaluated with v removed from its own community; ties break to the
+    smallest community label; exactly ``max_iter`` rounds run
+    (fixed-round determinism, the label_propagation convention).
+
+    **Exact-integer gain comparison** — the cross-engine trick: for fixed v
+    the candidates' ΔQ ordering equals the ordering of
+
+        score(c) = 2m·e_{v,c} − k_v·(Σ_c − [c = comm(v)]·k_v)
+
+    (all BIGINTs: 2m = |symmetrized edge set|, e_{v,c} = v's edges into c,
+    k_v = degree, Σ_c = total degree mass of c), because ΔQ(c) =
+    score(c)/(2m²) + terms constant in c. No floats anywhere, so the
+    DuckDB oracle unrolls the identical rounds bit-for-bit. Overflow
+    bound: |score| ≤ 2m·k_v < 2^63 for graphs up to ~2^31 edges with
+    hub degree ≤ 2^31 — beyond that, promote to DECIMAL.
+
+    Plan per round (LP shape + one C-row aggregate): state joins the
+    cached symmetrized edge table (state side hinted so edges stream),
+    e_{v,c} and Σ_c are map-side-combinable groupBys, the per-node argmax
+    is one max(struct) — only V-row frames shuffle. This is the community
+    operator with an OBJECTIVE; ``modularity()`` scores its output.
+    """
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    m2 = und.count()  # Σ_v k_v = 2m (each undirected edge twice)
+    nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    tiny_state = nodes.count() <= 100_000
+    deg = (
+        und.groupBy(F.col(SRC).alias("id"))
+        .agg(F.count("*").alias("k"))
+        .repartition(p, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    init = nodes.select("id", F.col("id").alias("comm"))
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
+
+    def step(state: DataFrame, it: int) -> DataFrame:
+        movers = F.pmod(F.col("id") + F.lit(it), F.lit(2)) == 0
+        # e_{v,c}: count v's neighbors in community c (edge (u→v) makes u a
+        # neighbor of v under symmetry — same orientation trick as LP);
+        # only this round's movers need candidates, so the edge stream is
+        # pre-filtered on the gathering endpoint's parity (halves the join)
+        evc = (
+            _hint(state).join(
+                und.filter(F.pmod(F.col(DST) + F.lit(it), F.lit(2)) == 0),
+                state["id"] == und[SRC],
+            )
+            .groupBy(F.col(DST).alias("id"), F.col("comm").alias("c"))
+            .agg(F.count("*").cast("long").alias("e"))
+        )
+        # the stay-candidate must exist even when v has no neighbor in its
+        # own community (e=0); max() keeps the counted value when it does
+        cand = (
+            evc.unionByName(
+                state.filter(movers).select(
+                    "id", F.col("comm").alias("c"), F.lit(0).cast("long").alias("e")
+                )
+            )
+            .groupBy("id", "c")
+            .agg(F.max("e").alias("e"))
+        )
+        tot = (
+            _hint(state).join(deg, "id")
+            .groupBy(F.col("comm").alias("c"))
+            .agg(F.sum("k").alias("tot"))
+        )
+        scored = (
+            cand.join(_hint(state), "id")
+            .join(_hint(deg), "id")
+            .join(_hint(tot), "c")
+            .select(
+                "id",
+                "c",
+                (
+                    F.lit(m2) * F.col("e")
+                    - F.col("k")
+                    * (
+                        F.col("tot")
+                        - F.when(F.col("c") == F.col("comm"), F.col("k")).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                ).alias("score"),
+            )
+        )
+        picks = (
+            scored.groupBy("id")
+            .agg(F.max(F.struct(F.col("score"), (-F.col("c")).alias("negc"))).alias("b"))
+            .select("id", (-F.col("b.negc")).alias("new_comm"))
+        )
+        return state.join(_hint(picks), "id", "left").select(
+            "id", F.coalesce("new_comm", "comm").alias("comm")
+        )
+
+    result = iterate(
+        init,
+        step,
+        max_iter=max_iter,
+        updated_count=None,  # fixed rounds for cross-engine determinism
+        checkpoint_dir=checkpoint_dir,
+        truncate_every=1 if tiny_state else 4,
+        resume=resume,
+        name="louvain",
+    )
+    und.unpersist()
+    nodes.unpersist()
+    deg.unpersist()
+    return result.state

@@ -412,3 +412,78 @@ def test_skipgram_pairs_matches_model(spark):
         for r in skipgram_pairs(wdf, window=window).collect()
     }
     assert got == dict(model)
+
+
+def _louvain_model(pairs, rounds):
+    # staged-synchronous Louvain move rule — mirrors operators/components.py
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    k = {v: len(ns) for v, ns in adj.items()}
+    m2 = sum(k.values())
+    comm = {v: v for v in adj}
+    for r in range(rounds):
+        tot = defaultdict(int)
+        for v in adj:
+            tot[comm[v]] += k[v]
+        new = {}
+        for v in adj:
+            if (v + r) % 2 != 0:
+                new[v] = comm[v]
+                continue
+            evc = defaultdict(int)
+            for u in adj[v]:
+                evc[comm[u]] += 1
+            evc[comm[v]] += 0
+            best = None
+            for c, e in sorted(evc.items()):
+                t = tot[c] - (k[v] if c == comm[v] else 0)
+                key = (m2 * e - k[v] * t, -c)
+                if best is None or key > best[0]:
+                    best = (key, c)
+            new[v] = best[1]
+        comm = new
+    return comm
+
+
+def test_louvain_two_triangles_optimal_split(spark):
+    from llama_spark.operators.components import louvain_communities, modularity
+
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    e = edges_df(spark, pairs)
+    got = {r["id"]: r["comm"] for r in louvain_communities(e, max_iter=4).collect()}
+    assert got == _louvain_model(pairs, 4)
+    # the staged rule reaches the optimal split {0,1,2}/{3,4,5}
+    assert {frozenset(v for v in got if got[v] == c) for c in set(got.values())} == {
+        frozenset({0, 1, 2}), frozenset({3, 4, 5})
+    }
+    comms = louvain_communities(e, max_iter=4).withColumnRenamed("comm", "label")
+    q = modularity(e, comms).collect()[0]["modularity"]
+    assert abs(q - 0.357143) < 1e-4
+
+
+def test_louvain_matches_model_random(spark):
+    import random
+
+    from llama_spark.operators.components import louvain_communities
+
+    rng = random.Random(3)
+    pairs = []
+    for base in (0, 20, 40):
+        mem = list(range(base, base + 20))
+        for _ in range(60):
+            a, b = rng.sample(mem, 2)
+            pairs.append((a, b))
+    for _ in range(8):
+        a, b = rng.randrange(0, 60), rng.randrange(0, 60)
+        if a != b:
+            pairs.append((a, b))
+    got = {
+        r["id"]: r["comm"]
+        for r in louvain_communities(edges_df(spark, pairs), max_iter=6).collect()
+    }
+    assert got == _louvain_model(pairs, 6)

@@ -925,3 +925,32 @@ def _rep_sql() -> str:
 
 DOCS_ORACLE["repetition_ratios"] = _rep_sql()
 DOCS_QUERIES["repetition_ratios"] = q_repetition_ratios
+
+
+# --- deterministic dataset splits (r5) ---------------------------------------
+
+SPLIT_SEED = 42
+
+
+def q_dataset_splits(spark, sf_dir):
+    """Hash-based train/val/test assignment — stable under corpus growth
+    and reshuffles (membership is a pure function of doc_id), the
+    reproducibility property row_number/sample-based splits lack."""
+    from .functions.cluster import dataset_splits
+
+    return dataset_splits(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), seed=SPLIT_SEED
+    )
+
+
+DOCS_ORACLE["dataset_splits"] = f"""WITH b AS (
+  SELECT doc_id,
+         {HASH.format(f"concat(CAST(doc_id AS VARCHAR), ':split:{SPLIT_SEED}')")} % 100
+           AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b"""
+DOCS_QUERIES["dataset_splits"] = q_dataset_splits

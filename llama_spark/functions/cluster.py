@@ -139,3 +139,38 @@ def cluster_balanced_sample(
         .filter(F.col("rn") <= per_cluster)
         .select("vec_id", "cluster")
     )
+
+
+def dataset_splits(
+    documents: DataFrame,
+    fractions: tuple[int, int, int] = (90, 5, 5),
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DataFrame[doc_id, bucket, split] — deterministic train/val/test
+    assignment: bucket = H(doc_id:split:seed) % 100 (the portable
+    md5-derived 60-bit hash), split = 'train'/'val'/'test' by cumulative
+    ``fractions`` (percent, summing to 100).
+
+    Hash-based (not row_number/sample) on purpose: membership is a pure
+    function of the id, so it is stable under corpus growth, reshuffles,
+    partial reruns, and engine (the property every reproducible data
+    pipeline needs — appending docs never reassigns existing ones).
+    One map-side expression, no shuffle, no RNG state."""
+    from .text import token_hash
+
+    a, b, c = fractions
+    if a + b + c != 100:
+        raise ValueError(f"fractions must sum to 100, got {fractions}")
+    bucket = F.pmod(
+        token_hash(F.concat(F.col(id_col).cast("string"), F.lit(f":split:{seed}"))),
+        F.lit(100),
+    )
+    return documents.select(F.col(id_col), bucket.alias("bucket")).select(
+        id_col,
+        "bucket",
+        F.when(F.col("bucket") < a, F.lit("train"))
+        .when(F.col("bucket") < a + b, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -568,3 +568,27 @@ def test_repetition_ratios_model(spark):
     assert got[1]["dup_2gram_frac"] == 0.0
     assert abs(got[1]["top_2gram_frac"] - 1 / 3) < 1e-6
     assert got[2]["dup_2gram_frac"] == 0.0 and got[2]["top_3gram_frac"] == 0.0
+
+
+def test_dataset_splits_stable_and_partitioned(spark):
+    from llama_spark.functions.cluster import dataset_splits
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["bucket"], r["split"])
+           for r in dataset_splits(docs).collect()}
+    assert len(got) == 200
+    # membership is a pure function of the id: appending docs never
+    # reassigns existing ones
+    sub = {r["doc_id"]: (r["bucket"], r["split"])
+           for r in dataset_splits(docs.filter("doc_id < 50")).collect()}
+    assert all(got[i] == sub[i] for i in sub)
+    for i, (b, s) in got.items():
+        assert s == ("train" if b < 90 else "val" if b < 95 else "test")
+    # roughly proportional (hash uniformity; generous bounds for n=200)
+    n_train = sum(1 for b, s in got.values() if s == "train")
+    assert 150 <= n_train <= 200
+    import pytest
+    with pytest.raises(ValueError):
+        dataset_splits(docs, fractions=(80, 10, 5))

@@ -219,6 +219,12 @@ class GraphSession:
 
         return effective_diameter(self._e(), max_t=max_t, quantile=quantile)
 
+    def hyperball_harmonic(self, max_t: int = 6, **kw) -> DataFrame:
+        """All-nodes harmonic centrality estimates (HyperBall sketches)."""
+        from .operators.anf import hyperball_harmonic
+
+        return hyperball_harmonic(self._e(), max_t=max_t, **kw)
+
     def assortativity(self) -> DataFrame:
         """One row [assortativity, reciprocity] (graph.assortativity)."""
         from .graph import assortativity

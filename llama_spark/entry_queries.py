@@ -2322,3 +2322,70 @@ def _louvain_sql(rounds: int = 4) -> str:
 
 ORACLE["louvain"] = _louvain_sql(LOUVAIN_ROUNDS)
 QUERIES["louvain"] = q_louvain
+
+
+def q_hyperball_harmonic(spark, sf_dir):
+    """HyperBall: per-node harmonic centrality for ALL nodes from the FM
+    ball sketches — the all-V centrality scale path (the exact multi-source
+    BFS kernel answers K sampled roots at the same round cost)."""
+    from .operators.anf import hyperball_harmonic
+
+    return hyperball_harmonic(load_edges(spark, sf_dir), max_t=ANF_T, registers=ANF_R)
+
+
+def _hyperball_sql() -> str:
+    def h(r: int) -> str:
+        return (
+            "CAST(('0x' || substr(md5(concat(CAST(id AS VARCHAR), "
+            f"':anf{r}')), 1, 15)) AS BIGINT)"
+        )
+
+    init_cols = ", ".join(
+        f"(({h(r)} | {_ANF_FORCE}) & -({h(r)} | {_ANF_FORCE})) AS m{r}"
+        for r in range(ANF_R)
+    )
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        f"s0 AS MATERIALIZED (SELECT id, {init_cols} FROM nodes)",
+    ]
+    for t in range(1, ANF_T + 1):
+        ors = ", ".join(f"bit_or(q.m{r}) AS o{r}" for r in range(ANF_R))
+        merged = ", ".join(
+            f"p.m{r} | COALESCE(o.o{r}, 0) AS m{r}" for r in range(ANF_R)
+        )
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT p.id, {merged}
+  FROM s{t-1} p LEFT JOIN (
+    SELECT e.src AS id, {ors}
+    FROM s{t-1} q JOIN edges e ON e.dst = q.id GROUP BY e.src
+  ) o ON o.id = p.id)"""
+        )
+
+    def est(alias: str) -> str:
+        bsum = " + ".join(
+            f"bit_count(((~{alias}.m{r}) & -(~{alias}.m{r})) - 1)"
+            for r in range(ANF_R)
+        )
+        return (
+            f"(POWER(2.0, CAST(({bsum}) AS DOUBLE) / {float(ANF_R)!r}) "
+            f"/ {0.77351!r})"
+        )
+
+    # the same left-associated increment chain the Spark state accumulates
+    incs = " + ".join(
+        f"(({est(f's{t}')}) - ({est(f's{t-1}')})) / {float(t)!r}"
+        for t in range(1, ANF_T + 1)
+    )
+    joins = " ".join(
+        f"JOIN s{t} ON s{t}.id = s0.id" for t in range(1, ANF_T + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT s0.id, ROUND({incs}, 6) AS harmonic FROM s0 {joins}"
+    )
+
+
+ORACLE["hyperball_harmonic"] = _hyperball_sql()
+QUERIES["hyperball_harmonic"] = q_hyperball_harmonic

@@ -487,3 +487,58 @@ def test_louvain_matches_model_random(spark):
         for r in louvain_communities(edges_df(spark, pairs), max_iter=6).collect()
     }
     assert got == _louvain_model(pairs, 6)
+
+
+def test_hyperball_harmonic_matches_model(spark):
+    # exact replay: FM masks are pure integers, the float chain is the
+    # same left-associated expression sequence in both implementations
+    import hashlib
+
+    from llama_spark.operators.anf import FM_PHI, hyperball_harmonic
+
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 3), (3, 5)]
+    R, T = 8, 4
+
+    def fm_bit(v, r):
+        h = int(hashlib.md5(f"{v}:anf{r}".encode()).hexdigest()[:15], 16)
+        f = h | (1 << 59)
+        return f & -f
+
+    def lowest_unset(m):
+        b = 0
+        while (m >> b) & 1:
+            b += 1
+        return b
+
+    def est(ms):
+        return 2.0 ** (sum(lowest_unset(m) for m in ms) / float(R)) / FM_PHI
+
+    nodes = sorted({v for p in pairs for v in p})
+    out_adj = {v: [d for s, d in pairs if s == v] for v in nodes}
+    masks = {v: [fm_bit(v, r) for r in range(R)] for v in nodes}
+    pe = {v: est(masks[v]) for v in nodes}
+    h = {v: 0.0 for v in nodes}
+    for t in range(1, T + 1):
+        new = {}
+        for v in nodes:
+            ms = list(masks[v])
+            for w in out_adj[v]:
+                for r in range(R):
+                    ms[r] |= masks[w][r]
+            new[v] = ms
+        masks = new
+        for v in nodes:
+            ne = est(masks[v])
+            h[v] = h[v] + (ne - pe[v]) / float(t)
+            pe[v] = ne
+    model = {v: round(h[v], 6) for v in nodes}
+
+    got = {
+        r["id"]: r["harmonic"]
+        for r in hyperball_harmonic(
+            edges_df(spark, pairs), max_t=T, registers=R
+        ).collect()
+    }
+    assert got == model
+    # semantic sanity: the source 0 reaches everything, the sink 5 nothing
+    assert got[0] > got[5] and got[5] == 0.0

@@ -178,7 +178,8 @@ def main() -> None:
     )
 
     from llama_spark.graph import assortativity
-    from llama_spark.operators.anf import neighborhood_function
+    from llama_spark.operators.anf import hyperball_harmonic, neighborhood_function
+    from llama_spark.operators.components import louvain_communities
     from llama_spark.operators.hits import hits
 
     from llama_spark.operators.centrality import katz_centrality
@@ -186,6 +187,8 @@ def main() -> None:
     timed("hits8", lambda: hits(edges, max_iter=8).count())
     timed("katz8", lambda: katz_centrality(edges, max_iter=8).count())
     timed("anf_t6", lambda: neighborhood_function(edges, max_t=6).count())
+    timed("hyperball_t6", lambda: hyperball_harmonic(edges, max_t=6).count())
+    timed("louvain4", lambda: louvain_communities(edges, max_iter=4).count())
     timed("assortativity", lambda: assortativity(edges).count())
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

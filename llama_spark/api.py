@@ -243,6 +243,16 @@ class GraphSession:
 
         return louvain_communities(self._e(), max_iter=max_iter, **kw)
 
+    def louvain_multilevel(
+        self, levels: int = 2, rounds_per_level: int = 4
+    ) -> DataFrame:
+        """Full multi-level Louvain (move rounds + contraction) → [id, comm]."""
+        from .operators.components import louvain_multilevel
+
+        return louvain_multilevel(
+            self._e(), levels=levels, rounds_per_level=rounds_per_level
+        )
+
     def modularity(self, communities: DataFrame, label_col: str = "label") -> DataFrame:
         """Newman Q of a community assignment (components.modularity)."""
         from .operators.components import modularity

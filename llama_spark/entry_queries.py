@@ -2389,3 +2389,96 @@ def _hyperball_sql() -> str:
 
 ORACLE["hyperball_harmonic"] = _hyperball_sql()
 QUERIES["hyperball_harmonic"] = q_hyperball_harmonic
+
+
+def q_louvain_multilevel(spark, sf_dir):
+    """Full multi-level Louvain: staged move rounds, community contraction
+    (integer edge-count weights; intra mass folds into supernode degree),
+    staged weighted rounds on the contracted graph, labels composed."""
+    from .operators.components import louvain_multilevel
+
+    return louvain_multilevel(
+        load_edges(spark, sf_dir), levels=2, rounds_per_level=LOUVAIN_ROUNDS
+    )
+
+
+def _louvain_round_ctes(prefix: str, und: str, deg: str, rounds: int) -> list[str]:
+    """Weighted staged-Louvain round CTEs: state frames {prefix}0..{prefix}R
+    over edge table ``und``[src,dst,w] and mass table ``deg``[id,k] (the
+    m2 CTE must exist). Mirrors operators/components._louvain_rounds."""
+    ctes = [f"{prefix}0 AS (SELECT id, id AS comm FROM {deg})"]
+    for r in range(1, rounds + 1):
+        par = r - 1
+        p0 = f"{prefix}{r-1}"
+        ctes.append(
+            f"""evc_{prefix}{r} AS MATERIALIZED (
+  SELECT u.dst AS id, s.comm AS c, CAST(SUM(u.w) AS BIGINT) AS e
+  FROM {und} u JOIN {p0} s ON s.id = u.src
+  WHERE (u.dst + {par}) % 2 = 0
+  GROUP BY u.dst, s.comm)"""
+        )
+        ctes.append(
+            f"""cand_{prefix}{r} AS (
+  SELECT id, c, MAX(e) AS e FROM (
+    SELECT id, c, e FROM evc_{prefix}{r}
+    UNION ALL
+    SELECT id, comm AS c, CAST(0 AS BIGINT) AS e FROM {p0}
+    WHERE (id + {par}) % 2 = 0
+  ) GROUP BY id, c)"""
+        )
+        ctes.append(
+            f"tot_{prefix}{r} AS (SELECT s.comm AS c, CAST(SUM(d.k) AS BIGINT) "
+            f"AS tot FROM {p0} s JOIN {deg} d ON d.id = s.id GROUP BY s.comm)"
+        )
+        ctes.append(
+            f"""pick_{prefix}{r} AS (
+  SELECT id, c AS comm FROM (
+    SELECT cand.id, cand.c,
+           ROW_NUMBER() OVER (PARTITION BY cand.id ORDER BY
+             (m.m2 * cand.e - d.k *
+              (t.tot - CASE WHEN cand.c = s.comm THEN d.k ELSE 0 END)) DESC,
+             cand.c ASC) AS rn
+    FROM cand_{prefix}{r} cand
+    JOIN {p0} s ON s.id = cand.id
+    JOIN {deg} d ON d.id = cand.id
+    JOIN tot_{prefix}{r} t ON t.c = cand.c
+    CROSS JOIN m2 m
+  ) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""{prefix}{r} AS MATERIALIZED (
+  SELECT s.id, COALESCE(p.comm, s.comm) AS comm
+  FROM {p0} s LEFT JOIN pick_{prefix}{r} p ON p.id = s.id)"""
+        )
+    return ctes
+
+
+def _louvain_ml_sql(rounds: int = 4) -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "undw AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM und)",
+        "deg1 AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS k "
+        "FROM und GROUP BY src)",
+        "m2 AS (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM deg1)",
+    ]
+    ctes += _louvain_round_ctes("a", "undw", "deg1", rounds)
+    ctes += [
+        f"""mapped AS MATERIALIZED (
+  SELECT x.comm AS ca, y.comm AS cb
+  FROM und u JOIN a{rounds} x ON x.id = u.src JOIN a{rounds} y ON y.id = u.dst)""",
+        "deg2 AS MATERIALIZED (SELECT ca AS id, CAST(COUNT(*) AS BIGINT) AS k "
+        "FROM mapped GROUP BY ca)",
+        """und2 AS MATERIALIZED (
+  SELECT ca AS src, cb AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM mapped WHERE ca <> cb GROUP BY ca, cb)""",
+    ]
+    ctes += _louvain_round_ctes("b", "und2", "deg2", rounds)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.id, b.comm FROM a{rounds} a JOIN b{rounds} b ON b.id = a.comm"
+    )
+
+
+ORACLE["louvain_multilevel"] = _louvain_ml_sql(LOUVAIN_ROUNDS)
+QUERIES["louvain_multilevel"] = q_louvain_multilevel

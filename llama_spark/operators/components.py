@@ -335,76 +335,44 @@ def modularity(
     )
 
 
-def louvain_communities(
-    edges: DataFrame,
-    max_iter: int = 4,
-    checkpoint_dir: str | None = None,
-    resume: bool = False,
+def _louvain_rounds(
+    und_w: DataFrame,
+    deg: DataFrame,
+    m2: int,
+    rounds: int,
+    tiny_state: bool,
+    name: str = "louvain",
 ) -> DataFrame:
-    """DataFrame[id, comm] — staged-synchronous modularity-gain label
-    updates: the distributed phase-1 Louvain variant (Blondel et al. 2008
-    move rule evaluated data-parallel, as in parallel-Louvain systems).
-    In round r only nodes with (id + r) % 2 == 0 may move — fully
-    synchronous updates oscillate on symmetric pairs (two singletons
-    swap labels forever; the known parallel-Louvain/LP pathology), while
-    the deterministic parity staging breaks the symmetry and converges
-    (two triangles + bridge reach the optimal split by round 4). A moving
-    node adopts the neighbor community c maximizing the modularity gain,
-    evaluated with v removed from its own community; ties break to the
-    smallest community label; exactly ``max_iter`` rounds run
-    (fixed-round determinism, the label_propagation convention).
-
-    **Exact-integer gain comparison** — the cross-engine trick: for fixed v
-    the candidates' ΔQ ordering equals the ordering of
-
-        score(c) = 2m·e_{v,c} − k_v·(Σ_c − [c = comm(v)]·k_v)
-
-    (all BIGINTs: 2m = |symmetrized edge set|, e_{v,c} = v's edges into c,
-    k_v = degree, Σ_c = total degree mass of c), because ΔQ(c) =
-    score(c)/(2m²) + terms constant in c. No floats anywhere, so the
-    DuckDB oracle unrolls the identical rounds bit-for-bit. Overflow
-    bound: |score| ≤ 2m·k_v < 2^63 for graphs up to ~2^31 edges with
-    hub degree ≤ 2^31 — beyond that, promote to DECIMAL.
-
-    Plan per round (LP shape + one C-row aggregate): state joins the
-    cached symmetrized edge table (state side hinted so edges stream),
-    e_{v,c} and Σ_c are map-side-combinable groupBys, the per-node argmax
-    is one max(struct) — only V-row frames shuffle. This is the community
-    operator with an OBJECTIVE; ``modularity()`` scores its output.
-    """
-    spark = edges.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
-    m2 = und.count()  # Σ_v k_v = 2m (each undirected edge twice)
-    nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    tiny_state = nodes.count() <= 100_000
-    deg = (
-        und.groupBy(F.col(SRC).alias("id"))
-        .agg(F.count("*").alias("k"))
-        .repartition(p, "id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    init = nodes.select("id", F.col("id").alias("comm"))
+    """The staged Louvain move rounds over a WEIGHTED symmetric edge table
+    ``und_w[src, dst, w]`` (w BIGINT, no self-loop rows) with node masses
+    ``deg[id, k]`` (k INCLUDES 2× any self-loop weight — the phase-2
+    contraction invariant) and global mass ``m2`` = Σk. Level 1 passes
+    w = 1 and plain degrees, making this exactly the unweighted move rule;
+    level 2+ passes the contracted multigraph, where the SAME integer gain
+    score(c) = m2·e_{v,c} − k_v·Σ'_c stays exact because contracted
+    weights are edge counts. Returns [id, comm] after exactly ``rounds``
+    staged rounds (movers: (id + r) % 2 == 0; see louvain_communities)."""
+    init = deg.select("id", F.col("id").alias("comm"))
 
     def _hint(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
 
     def step(state: DataFrame, it: int) -> DataFrame:
         movers = F.pmod(F.col("id") + F.lit(it), F.lit(2)) == 0
-        # e_{v,c}: count v's neighbors in community c (edge (u→v) makes u a
-        # neighbor of v under symmetry — same orientation trick as LP);
+        # e_{v,c}: weight of v's edges into community c (edge (u→v) makes
+        # u a neighbor of v under symmetry — same orientation trick as LP);
         # only this round's movers need candidates, so the edge stream is
         # pre-filtered on the gathering endpoint's parity (halves the join)
         evc = (
             _hint(state).join(
-                und.filter(F.pmod(F.col(DST) + F.lit(it), F.lit(2)) == 0),
-                state["id"] == und[SRC],
+                und_w.filter(F.pmod(F.col(DST) + F.lit(it), F.lit(2)) == 0),
+                state["id"] == und_w[SRC],
             )
             .groupBy(F.col(DST).alias("id"), F.col("comm").alias("c"))
-            .agg(F.count("*").cast("long").alias("e"))
+            .agg(F.sum("w").cast("long").alias("e"))
         )
         # the stay-candidate must exist even when v has no neighbor in its
-        # own community (e=0); max() keeps the counted value when it does
+        # own community (e=0); max() keeps the summed value when it does
         cand = (
             evc.unionByName(
                 state.filter(movers).select(
@@ -440,7 +408,9 @@ def louvain_communities(
         )
         picks = (
             scored.groupBy("id")
-            .agg(F.max(F.struct(F.col("score"), (-F.col("c")).alias("negc"))).alias("b"))
+            .agg(
+                F.max(F.struct(F.col("score"), (-F.col("c")).alias("negc"))).alias("b")
+            )
             .select("id", (-F.col("b.negc")).alias("new_comm"))
         )
         return state.join(_hint(picks), "id", "left").select(
@@ -450,14 +420,142 @@ def louvain_communities(
     result = iterate(
         init,
         step,
-        max_iter=max_iter,
+        max_iter=rounds,
         updated_count=None,  # fixed rounds for cross-engine determinism
-        checkpoint_dir=checkpoint_dir,
         truncate_every=1 if tiny_state else 4,
-        resume=resume,
-        name="louvain",
+        name=name,
     )
+    return result.state
+
+
+def louvain_communities(
+    edges: DataFrame,
+    max_iter: int = 4,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """DataFrame[id, comm] — staged-synchronous modularity-gain label
+    updates: the distributed phase-1 Louvain variant (Blondel et al. 2008
+    move rule evaluated data-parallel, as in parallel-Louvain systems).
+    In round r only nodes with (id + r) % 2 == 0 may move — fully
+    synchronous updates oscillate on symmetric pairs (two singletons
+    swap labels forever; the known parallel-Louvain/LP pathology), while
+    the deterministic parity staging breaks the symmetry and converges
+    (two triangles + bridge reach the optimal split by round 4). A moving
+    node adopts the neighbor community c maximizing the modularity gain,
+    evaluated with v removed from its own community; ties break to the
+    smallest community label; exactly ``max_iter`` rounds run
+    (fixed-round determinism, the label_propagation convention).
+
+    **Exact-integer gain comparison** — the cross-engine trick: for fixed v
+    the candidates' ΔQ ordering equals the ordering of
+
+        score(c) = 2m·e_{v,c} − k_v·(Σ_c − [c = comm(v)]·k_v)
+
+    (all BIGINTs: 2m = |symmetrized edge set|, e_{v,c} = v's edges into c,
+    k_v = degree, Σ_c = total degree mass of c), because ΔQ(c) =
+    score(c)/(2m²) + terms constant in c. No floats anywhere, so the
+    DuckDB oracle unrolls the identical rounds bit-for-bit. Overflow
+    bound: |score| ≤ 2m·k_v < 2^63 for graphs up to ~2^31 edges with
+    hub degree ≤ 2^31 — beyond that, promote to DECIMAL.
+
+    Plan per round (LP shape + one C-row aggregate): state joins the
+    cached symmetrized edge table (state side hinted so edges stream),
+    e_{v,c} and Σ_c are map-side-combinable groupBys, the per-node argmax
+    is one max(struct) — only V-row frames shuffle. This is the community
+    operator with an OBJECTIVE; ``modularity()`` scores its output, and
+    ``louvain_multilevel`` stacks contraction phases on top.
+    """
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    m2 = und.count()  # Σ_v k_v = 2m (each undirected edge twice)
+    nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    tiny_state = nodes.count() <= 100_000
+    deg = (
+        und.groupBy(F.col(SRC).alias("id"))
+        .agg(F.count("*").alias("k"))
+        .repartition(p, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    und_w = und.withColumn("w", F.lit(1).cast("long"))
+    out = _louvain_rounds(und_w, deg, m2, max_iter, tiny_state)
     und.unpersist()
     nodes.unpersist()
     deg.unpersist()
-    return result.state
+    return out
+
+
+def louvain_multilevel(
+    edges: DataFrame,
+    levels: int = 2,
+    rounds_per_level: int = 4,
+) -> DataFrame:
+    """DataFrame[id, comm] — full multi-level Louvain: run the staged move
+    rounds (phase 1), CONTRACT communities into supernodes (phase 2: the
+    contracted multigraph's inter-community edge counts become weights,
+    intra-community counts become self-loop mass folded into supernode
+    degree k_A = Σ_B W(A,B) + 2·W(A,A), total mass 2m unchanged), and
+    repeat the move rounds on the contracted graph — the step that turns
+    the one-level heuristic into the real Louvain algorithm (Blondel et
+    al. 2008 §2). Final labels compose: comm(v) = level-L label of v's
+    level-1 community. All contracted weights are integer edge counts, so
+    the exact-integer gain score survives every level and the DuckDB
+    oracle replays the whole stack.
+
+    Scale: each contraction SHRINKS the graph (supernodes = communities),
+    so level 2+ rounds cost a fraction of level 1; the level-1 rounds
+    dominate, with the audited LP-shaped plan. The A→B mapping joins are
+    the contract_graph dictionary pattern.
+    """
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    m2 = und.count()
+    nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    tiny_state = nodes.count() <= 100_000
+    deg = (
+        und.groupBy(F.col(SRC).alias("id"))
+        .agg(F.count("*").alias("k"))
+        .repartition(p, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    assign = materialize(
+        _louvain_rounds(
+            und.withColumn("w", F.lit(1).cast("long")), deg, m2,
+            rounds_per_level, tiny_state, name="louvain_l1",
+        )
+    )
+    for lvl in range(2, levels + 1):
+        a_src = assign.select(F.col("id").alias(SRC), F.col("comm").alias("ca"))
+        a_dst = assign.select(F.col("id").alias(DST), F.col("comm").alias("cb"))
+        mapped = (
+            und.join(a_src, SRC).join(a_dst, DST).select("ca", "cb")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # k_A over ALL mapped rows: intra rows appear twice (both
+        # directions), contributing exactly 2·W(A,A) — the self-loop mass
+        deg2 = mapped.groupBy(F.col("ca").alias("id")).agg(
+            F.count("*").alias("k")
+        )
+        und2 = (
+            mapped.filter(F.col("ca") != F.col("cb"))
+            .groupBy(F.col("ca").alias(SRC), F.col("cb").alias(DST))
+            .agg(F.count("*").cast("long").alias("w"))
+        )
+        sup = _louvain_rounds(
+            und2, deg2, m2, rounds_per_level, tiny_state,
+            name=f"louvain_l{lvl}",
+        )
+        prev = assign
+        assign = materialize(
+            prev.join(
+                sup.select(F.col("id").alias("comm"), F.col("comm").alias("sc")),
+                "comm",
+            ).select("id", F.col("sc").alias("comm"))
+        )
+        mapped.unpersist()
+    und.unpersist()
+    nodes.unpersist()
+    deg.unpersist()
+    return assign

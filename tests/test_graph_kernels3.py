@@ -542,3 +542,93 @@ def test_hyperball_harmonic_matches_model(spark):
     assert got == model
     # semantic sanity: the source 0 reaches everything, the sink 5 nothing
     assert got[0] > got[5] and got[5] == 0.0
+
+
+def _multilevel_model(pairs, levels, rounds):
+    from collections import defaultdict
+
+    und = set()
+    for a, b in pairs:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+
+    def run_rounds(sym_w, deg, m2, comm):
+        adj = defaultdict(dict)
+        for (a, b), w in sym_w.items():
+            adj[a][b] = w
+        for r in range(rounds):
+            tot = defaultdict(int)
+            for v in deg:
+                tot[comm[v]] += deg[v]
+            new = {}
+            for v in deg:
+                if (v + r) % 2 != 0:
+                    new[v] = comm[v]
+                    continue
+                evc = defaultdict(int)
+                for u, w in adj[v].items():
+                    evc[comm[u]] += w
+                evc[comm[v]] += 0
+                best = None
+                for c, e in sorted(evc.items()):
+                    t = tot[c] - (deg[v] if c == comm[v] else 0)
+                    key = (m2 * e - deg[v] * t, -c)
+                    if best is None or key > best[0]:
+                        best = (key, c)
+                new[v] = best[1]
+            comm = new
+        return comm
+
+    deg = defaultdict(int)
+    for a, b in und:
+        deg[a] += 1
+    m2 = sum(deg.values())
+    assign = run_rounds({e: 1 for e in und}, dict(deg), m2, {v: v for v in deg})
+    for _ in range(levels - 1):
+        K, W = defaultdict(int), defaultdict(int)
+        for a, b in und:
+            ca, cb = assign[a], assign[b]
+            K[ca] += 1
+            if ca != cb:
+                W[(ca, cb)] += 1
+        sc = run_rounds(dict(W), dict(K), m2, {c: c for c in K})
+        assign = {v: sc[assign[v]] for v in assign}
+    return assign
+
+
+def test_louvain_multilevel_matches_model_and_improves_q(spark):
+    import random
+
+    from llama_spark.operators.components import (
+        louvain_communities,
+        louvain_multilevel,
+        modularity,
+    )
+
+    rng = random.Random(3)
+    pairs = []
+    for base in (0, 20, 40, 60):
+        mem = list(range(base, base + 20))
+        for _ in range(55):
+            a, b = rng.sample(mem, 2)
+            pairs.append((a, b))
+    for _ in range(15):
+        a, b = rng.randrange(0, 80), rng.randrange(0, 80)
+        if a != b:
+            pairs.append((a, b))
+    e = edges_df(spark, pairs)
+    got = {
+        r["id"]: r["comm"]
+        for r in louvain_multilevel(e, levels=2, rounds_per_level=4).collect()
+    }
+    assert got == _multilevel_model(pairs, 2, 4)
+
+    def q_of(df):
+        return modularity(e, df.withColumnRenamed("comm", "label")).collect()[0][
+            "modularity"
+        ]
+
+    q1 = q_of(louvain_communities(e, max_iter=4))
+    q2 = q_of(louvain_multilevel(e, levels=2, rounds_per_level=4))
+    assert q2 > q1  # contraction unlocks merges phase 1 cannot see

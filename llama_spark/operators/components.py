@@ -272,6 +272,7 @@ def label_propagation(
         max_iter=max_iter,
         updated_count=None,  # fixed rounds for cross-engine determinism
         checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
         truncate_every=1 if tiny_state else 4,
         resume=resume,
         name="label_propagation",
@@ -342,6 +343,9 @@ def _louvain_rounds(
     rounds: int,
     tiny_state: bool,
     name: str = "louvain",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
 ) -> DataFrame:
     """The staged Louvain move rounds over a WEIGHTED symmetric edge table
     ``und_w[src, dst, w]`` (w BIGINT, no self-loop rows) with node masses
@@ -422,7 +426,10 @@ def _louvain_rounds(
         step,
         max_iter=rounds,
         updated_count=None,  # fixed rounds for cross-engine determinism
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
         truncate_every=1 if tiny_state else 4,
+        resume=resume,
         name=name,
     )
     return result.state
@@ -432,6 +439,7 @@ def louvain_communities(
     edges: DataFrame,
     max_iter: int = 4,
     checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
     resume: bool = False,
 ) -> DataFrame:
     """DataFrame[id, comm] — staged-synchronous modularity-gain label
@@ -479,7 +487,11 @@ def louvain_communities(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     und_w = und.withColumn("w", F.lit(1).cast("long"))
-    out = _louvain_rounds(und_w, deg, m2, max_iter, tiny_state)
+    out = _louvain_rounds(
+        und_w, deg, m2, max_iter, tiny_state,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        resume=resume,
+    )
     und.unpersist()
     nodes.unpersist()
     deg.unpersist()

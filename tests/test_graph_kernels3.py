@@ -632,3 +632,23 @@ def test_louvain_multilevel_matches_model_and_improves_q(spark):
     q1 = q_of(louvain_communities(e, max_iter=4))
     q2 = q_of(louvain_multilevel(e, levels=2, rounds_per_level=4))
     assert q2 > q1  # contraction unlocks merges phase 1 cannot see
+
+
+def test_louvain_resume_reproduces_uninterrupted_run(spark, tmp_path):
+    # kill-and-resume == straight run (north-rule resumability); the
+    # staged parity depends on the ROUND INDEX, so resume must restore it
+    from llama_spark.operators.components import louvain_communities
+
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3),
+             (6, 7), (7, 8), (8, 6), (5, 6)]
+    e = edges_df(spark, pairs)
+    full = {r["id"]: r["comm"] for r in louvain_communities(e, max_iter=4).collect()}
+    ck = str(tmp_path / "ck")
+    louvain_communities(e, max_iter=2, checkpoint_dir=ck, checkpoint_every=2)
+    resumed = {
+        r["id"]: r["comm"]
+        for r in louvain_communities(
+            e, max_iter=4, checkpoint_dir=ck, checkpoint_every=2, resume=True
+        ).collect()
+    }
+    assert resumed == full

@@ -2482,3 +2482,29 @@ def _louvain_ml_sql(rounds: int = 4) -> str:
 
 ORACLE["louvain_multilevel"] = _louvain_ml_sql(LOUVAIN_ROUNDS)
 QUERIES["louvain_multilevel"] = q_louvain_multilevel
+
+
+def q_four_cycles(spark, sf_dir):
+    """Exact 4-cycle (butterfly) count — Σ_{u<v} C(common, 2) over wedge
+    endpoint pairs, halved for the two opposite-corner pairs per cycle."""
+    from .operators.triangles import four_cycle_count
+
+    return four_cycle_count(load_edges(spark, sf_dir))
+
+
+ORACLE["four_cycles"] = f"""WITH edges AS ({EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM edges WHERE src <> dst
+),
+both_dir AS (
+  SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und
+),
+wp AS (
+  SELECT a.dst AS u, b.dst AS v, COUNT(*) AS c
+  FROM both_dir a JOIN both_dir b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst
+)
+SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) // 4 AS BIGINT) AS four_cycles
+FROM wp"""
+QUERIES["four_cycles"] = q_four_cycles

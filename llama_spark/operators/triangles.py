@@ -227,3 +227,43 @@ def transitivity(edges: DataFrame, orient: str = "degree") -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+
+
+def four_cycle_count(edges: DataFrame) -> DataFrame:
+    """1-row DataFrame[four_cycles: long] — exact number of (unordered)
+    4-cycles in the simple undirected graph (the butterfly count when the
+    graph is bipartite — the standard cohesion statistic for
+    host↔resource / user↔item link structures): every endpoint pair
+    (u < v) with c common neighbors carries C(c, 2) cycles, and every
+    4-cycle has exactly TWO opposite-corner pairs, so
+
+        four_cycles = Σ_{u<v} c·(c−1) DIV 4        (always divisible).
+
+    Plan: wedges pivot at the middle — for middle w, emit each unordered
+    endpoint pair once via (u < v) on w's neighbor pairs, groupBy (u, v)
+    count. Same join class as triangle counting (2-path enumeration; skew
+    is governed by middle degree — degree orientation does not apply to
+    4-cycles, so the documented bound is Σ_w d(w)², the inherent wedge
+    count). Exact integers throughout."""
+    und = drop_self_loops(undirected_ordered(edges)).dropDuplicates([SRC, DST])
+    both = und.unionByName(
+        und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    )
+    a, b = both.alias("a"), both.alias("b")
+    wedge_pairs = (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .groupBy(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        wedge_pairs.agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - F.lit(1))), F.lit(0)
+            ).alias("_s")
+        )
+        .select(F.expr("CAST(_s DIV 4 AS BIGINT)").alias("four_cycles"))
+        .localCheckpoint(eager=True)
+    )

@@ -652,3 +652,37 @@ def test_louvain_resume_reproduces_uninterrupted_run(spark, tmp_path):
         ).collect()
     }
     assert resumed == full
+
+
+def test_four_cycle_count_known_graphs(spark):
+    from llama_spark.operators.triangles import four_cycle_count
+
+    def n4(pairs):
+        return four_cycle_count(edges_df(spark, pairs)).collect()[0]["four_cycles"]
+
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert n4(square) == 1
+    assert n4(square + [(0, 2)]) == 1   # a chord adds no 4-vertex cycle
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert n4(k4) == 3
+    assert n4([(0, 1), (1, 2), (2, 0)]) == 0   # triangle has none
+    # brute-force check on a small random graph
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    pairs = list({(a, b) for a, b in (sorted(rng.sample(range(8), 2))
+                  for _ in range(14))})
+    pairs = [(a, b) for a, b in pairs]
+    adj = {v: set() for v in range(8)}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    brute = 0
+    for quad in itertools.combinations(range(8), 4):
+        for perm in itertools.permutations(quad[1:]):
+            cyc = (quad[0],) + perm
+            if all(cyc[(i + 1) % 4] in adj[cyc[i]] for i in range(4)):
+                brute += 1
+    brute //= 2  # each cycle counted for 2 directions (fixed start = quad[0])
+    assert n4(pairs) == brute

@@ -954,3 +954,36 @@ SELECT doc_id, bucket,
             ELSE 'test' END AS split
 FROM b"""
 DOCS_QUERIES["dataset_splits"] = q_dataset_splits
+
+
+# --- unigram NLL quality score (r5) ------------------------------------------
+
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style perplexity-proxy: per-doc avg −ln p(token) under the
+    corpus unigram distribution; per-token costs quantized to integer
+    micro-nats so per-doc sums are order-independent and engine-exact."""
+    from .functions.text import unigram_logprob
+
+    return unigram_logprob(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+DOCS_ORACLE["unigram_logprob"] = f"""WITH toks AS MATERIALIZED ({TOKS_SQL}),
+freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+costs AS (
+  SELECT tok,
+         CAST(ROUND((ln(CAST(total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+              * 1000000.0) AS BIGINT) AS micro_nll
+  FROM freq CROSS JOIN tt),
+per_doc AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(c.micro_nll) AS BIGINT) AS nll_micro
+  FROM toks t JOIN costs c ON c.tok = t.tok GROUP BY t.doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.nll_micro, 0) AS nll_micro,
+       CASE WHEN COALESCE(p.n_tokens, 0) > 0
+            THEN ROUND(p.nll_micro / (p.n_tokens * 1000000.0), 6)
+            ELSE 0e0 END AS avg_nll
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id"""
+DOCS_QUERIES["unigram_logprob"] = q_unigram_logprob

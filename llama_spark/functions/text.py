@@ -268,3 +268,59 @@ def repetition_ratios(documents: DataFrame, ns: tuple[int, ...] = (2, 3)) -> Dat
     return out.select(
         "doc_id", *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in fracs]
     )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-doc unigram negative log-likelihood — the deterministic stand-in
+    for the CCNet/Wikipedia-LM perplexity filter: score each document by
+    how surprising its tokens are under the CORPUS unigram distribution,
+    avg_nll = (1/n) Σ_tok −ln(count(tok)/total). High = rare-token text
+    (specialist or gibberish), low = stopword soup; pipelines keep a
+    middle band.
+
+    **Order-independent float trick**: a per-doc Σ of doubles depends on
+    aggregation order (Spark's partial aggregates vs a SQL engine's hash
+    order would drift in the last ulp). Each token's cost is therefore
+    quantized ONCE to integer micro-nats — round((ln(total) − ln(cnt))·1e6)
+    as BIGINT, a pure function of the token's corpus count — then per-doc
+    sums are exact integer arithmetic in any order and any engine; the
+    single float division per doc rounds to 6 dp. Quantization error is
+    ≤ 5e-7 per token, bounded and deterministic.
+
+    Plan: one tokenize pass, one vocab-sized count aggregate, one hash
+    join of tokens against the vocab costs, one per-doc sum — all
+    map-side combinable; the 1-row corpus total folds in as a cross join.
+    """
+    t = tokenize(documents).persist()
+    freq = t.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = t.groupBy().agg(F.count("*").cast("long").alias("total"))
+    costs = freq.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            (F.log(F.col("total").cast("double")) - F.log(F.col("cnt").cast("double")))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("micro_nll"),
+    )
+    per_doc = (
+        t.join(costs, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("micro_nll").cast("long").alias("nll_micro"),
+        )
+    )
+    out = documents.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("nll_micro", F.lit(0)).alias("nll_micro"),
+        F.when(
+            F.coalesce("n_tokens", F.lit(0)) > 0,
+            F.round(F.col("nll_micro") / (F.col("n_tokens") * F.lit(1000000.0)), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_nll"),
+    )
+    t.unpersist()
+    return out

@@ -592,3 +592,30 @@ def test_dataset_splits_stable_and_partitioned(spark):
     import pytest
     with pytest.raises(ValueError):
         dataset_splits(docs, fractions=(80, 10, 5))
+
+
+def test_unigram_logprob_model(spark):
+    import math
+
+    from llama_spark.functions.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c"), (2, "b")],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=3, b=2, c=1, total=6
+    total = 6
+    cost = {t: round((math.log(total) - math.log(c)) * 1e6)
+            for t, c in {"a": 3, "b": 2, "c": 1}.items()}
+    exp = {
+        0: (3, cost["a"] * 2 + cost["b"]),
+        1: (2, cost["a"] + cost["c"]),
+        2: (1, cost["b"]),
+    }
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    for d, (n, micro) in exp.items():
+        assert got[d]["n_tokens"] == n
+        assert got[d]["nll_micro"] == micro
+        assert abs(got[d]["avg_nll"] - round(micro / (n * 1e6), 6)) < 1e-12
+    # rare-token doc scores higher than stopword-soup doc
+    assert got[1]["avg_nll"] > got[0]["avg_nll"]

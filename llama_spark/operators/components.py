@@ -228,6 +228,7 @@ def label_propagation(
     max_iter: int = 5,
     initial_labels: DataFrame | None = None,
     checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
     resume: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation; DataFrame[id, label].

@@ -547,14 +547,20 @@ def louvain_multilevel(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # k_A over ALL mapped rows: intra rows appear twice (both
-        # directions), contributing exactly 2·W(A,A) — the self-loop mass
-        deg2 = mapped.groupBy(F.col("ca").alias("id")).agg(
-            F.count("*").alias("k")
+        # directions), contributing exactly 2·W(A,A) — the self-loop mass.
+        # Both contracted tables feed EVERY round of the level's move
+        # loop — persist them or each round re-runs the contraction
+        # groupBys (the HITS ≥2-references lesson)
+        deg2 = (
+            mapped.groupBy(F.col("ca").alias("id"))
+            .agg(F.count("*").alias("k"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         und2 = (
             mapped.filter(F.col("ca") != F.col("cb"))
             .groupBy(F.col("ca").alias(SRC), F.col("cb").alias(DST))
             .agg(F.count("*").cast("long").alias("w"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         sup = _louvain_rounds(
             und2, deg2, m2, rounds_per_level, tiny_state,
@@ -568,6 +574,9 @@ def louvain_multilevel(
             ).select("id", F.col("sc").alias("comm"))
         )
         mapped.unpersist()
+        deg2.unpersist()
+        und2.unpersist()
+        prev.unpersist()
     und.unpersist()
     nodes.unpersist()
     deg.unpersist()

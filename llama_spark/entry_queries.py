@@ -2508,3 +2508,38 @@ wp AS (
 SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) // 4 AS BIGINT) AS four_cycles
 FROM wp"""
 QUERIES["four_cycles"] = q_four_cycles
+
+
+def q_louvain_weighted(spark, sf_dir):
+    """Weighted staged Louvain: gain over quantized integer edge weights
+    ŵ = floor(w·128)+1 (exact in both engines), synthetic loader weights."""
+    from .graph import with_synthetic_weights
+    from .operators.components import louvain_communities
+
+    return louvain_communities(
+        with_synthetic_weights(load_edges(spark, sf_dir)),
+        max_iter=LOUVAIN_ROUNDS,
+        weight_col="weight",
+    )
+
+
+def _louvain_weighted_sql(rounds: int = 4) -> str:
+    w = "(1e0 + ((src*31 + dst) % 100)/100e0)"
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"""pair AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst,
+         CAST(FLOOR(MAX({w}) * 128e0) + 1 AS BIGINT) AS w
+  FROM edges WHERE src <> dst GROUP BY 1, 2)""",
+        "undw AS MATERIALIZED (SELECT src, dst, w FROM pair "
+        "UNION ALL SELECT dst AS src, src AS dst, w FROM pair)",
+        "degw AS MATERIALIZED (SELECT src AS id, CAST(SUM(w) AS BIGINT) AS k "
+        "FROM undw GROUP BY src)",
+        "m2 AS (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM degw)",
+    ]
+    ctes += _louvain_round_ctes("lw", "undw", "degw", rounds)
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, comm FROM lw{rounds}"
+
+
+ORACLE["louvain_weighted"] = _louvain_weighted_sql(LOUVAIN_ROUNDS)
+QUERIES["louvain_weighted"] = q_louvain_weighted

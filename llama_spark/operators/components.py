@@ -439,6 +439,8 @@ def _louvain_rounds(
 def louvain_communities(
     edges: DataFrame,
     max_iter: int = 4,
+    weight_col: str | None = None,
+    weight_resolution: int = 128,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
@@ -477,17 +479,60 @@ def louvain_communities(
     """
     spark = edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
-    m2 = und.count()  # Σ_v k_v = 2m (each undirected edge twice)
     nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
     tiny_state = nodes.count() <= 100_000
-    deg = (
-        und.groupBy(F.col(SRC).alias("id"))
-        .agg(F.count("*").alias("k"))
-        .repartition(p, "id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    und_w = und.withColumn("w", F.lit(1).cast("long"))
+    if weight_col is not None:
+        # weighted gain with exact integers: quantize ŵ = floor(w·res)+1
+        # per canonical pair (max over directions), emit both directions —
+        # the walks-operator weight convention, so the oracle replays it
+        pair = (
+            drop_self_loops(edges)
+            .select(
+                F.least(SRC, DST).alias(SRC),
+                F.greatest(SRC, DST).alias(DST),
+                F.col(weight_col).cast("double").alias("_wd"),
+            )
+            .groupBy(SRC, DST)
+            .agg(
+                (
+                    F.floor(
+                        F.max("_wd") * F.lit(float(weight_resolution))
+                    ).cast("long")
+                    + F.lit(1).cast("long")
+                ).alias("w")
+            )
+        )
+        und_w = (
+            pair.unionByName(
+                pair.select(
+                    F.col(DST).alias(SRC), F.col(SRC).alias(DST), "w"
+                )
+            )
+            .repartition(p, SRC)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        und = und_w
+        deg = (
+            und_w.groupBy(F.col(SRC).alias("id"))
+            .agg(F.sum("w").cast("long").alias("k"))
+            .repartition(p, "id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        m2 = deg.agg(F.sum("k").cast("long").alias("s")).collect()[0]["s"]
+    else:
+        und = (
+            symmetrize(edges)
+            .repartition(p, SRC)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        m2 = und.count()  # Σ_v k_v = 2m (each undirected edge twice)
+        deg = (
+            und.groupBy(F.col(SRC).alias("id"))
+            .agg(F.count("*").alias("k"))
+            .repartition(p, "id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        und_w = und.withColumn("w", F.lit(1).cast("long"))
     out = _louvain_rounds(
         und_w, deg, m2, max_iter, tiny_state,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,

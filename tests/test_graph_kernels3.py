@@ -686,3 +686,63 @@ def test_four_cycle_count_known_graphs(spark):
                 brute += 1
     brute //= 2  # each cycle counted for 2 directions (fixed start = quad[0])
     assert n4(pairs) == brute
+
+
+def test_louvain_weighted_matches_model(spark):
+    # weighted gain with quantized integer weights ŵ = floor(w·128)+1;
+    # exact replay of the staged rounds against a python model
+    from collections import defaultdict
+
+    from llama_spark.operators.components import louvain_communities
+
+    wpairs = [(0, 1, 0.9), (1, 2, 0.1), (2, 0, 0.5), (2, 3, 1.7),
+              (3, 4, 1.2), (4, 5, 0.05), (5, 3, 2.0), (1, 4, 0.3)]
+    res = 128
+    qw = {}
+    for a, b, w in wpairs:
+        key = (min(a, b), max(a, b))
+        qw[key] = max(qw.get(key, 0.0), w)
+    sym = {}
+    for (a, b), w in qw.items():
+        iw = int(w * res) + 1  # floor for positive values
+        sym[(a, b)] = iw
+        sym[(b, a)] = iw
+    deg = defaultdict(int)
+    for (a, _b), w in sym.items():
+        deg[a] += w
+    m2 = sum(deg.values())
+    comm = {v: v for v in deg}
+    rounds = 4
+    adj = defaultdict(dict)
+    for (a, b), w in sym.items():
+        adj[a][b] = w
+    for r in range(rounds):
+        tot = defaultdict(int)
+        for v in deg:
+            tot[comm[v]] += deg[v]
+        new = {}
+        for v in deg:
+            if (v + r) % 2 != 0:
+                new[v] = comm[v]
+                continue
+            evc = defaultdict(int)
+            for u, w in adj[v].items():
+                evc[comm[u]] += w
+            evc[comm[v]] += 0
+            best = None
+            for c, e in sorted(evc.items()):
+                t = tot[c] - (deg[v] if c == comm[v] else 0)
+                key = (m2 * e - deg[v] * t, -c)
+                if best is None or key > best[0]:
+                    best = (key, c)
+            new[v] = best[1]
+        comm = new
+
+    e = edges_df(spark, wpairs, weight=True)
+    got = {
+        r["id"]: r["comm"]
+        for r in louvain_communities(
+            e, max_iter=rounds, weight_col="weight"
+        ).collect()
+    }
+    assert got == comm

@@ -987,3 +987,26 @@ SELECT d.doc_id,
             ELSE 0e0 END AS avg_nll
 FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id"""
 DOCS_QUERIES["unigram_logprob"] = q_unigram_logprob
+
+
+# --- content/PII screening flags (r5) ----------------------------------------
+
+def q_content_flags(spark, sf_dir):
+    """Regex safety screen (emails, long digit runs, urls) — patterns kept
+    in the Java-regex ∩ RE2 common subset so both engines agree on the
+    semantics, not just the aggregate."""
+    from .functions.text import content_flags
+
+    return content_flags(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+DOCS_ORACLE["content_flags"] = r"""SELECT doc_id,
+       regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+         AS has_email,
+       regexp_matches(text, '[0-9]{9,}') AS has_long_digits,
+       regexp_matches(text, '(https?://|www\.)') AS has_url,
+       (regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        OR regexp_matches(text, '[0-9]{9,}')
+        OR regexp_matches(text, '(https?://|www\.)')) AS flagged
+FROM documents"""
+DOCS_QUERIES["content_flags"] = q_content_flags

@@ -324,3 +324,33 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
     t.unpersist()
     return out
+
+
+def content_flags(documents: DataFrame) -> DataFrame:
+    """Per-doc safety/PII screening flags — the filter stage every
+    production corpus pipeline runs before near-dup/quality stages:
+
+      has_email      something@something.tld shaped substring
+      has_long_digits  a run of ≥ 9 digits (phone/SSN/card shapes)
+      has_url        http(s):// or www. substring
+      flagged        any of the above
+
+    Patterns are deliberately in the common regex subset that Java regex
+    (Spark) and RE2 (DuckDB) evaluate identically — no lookaround, no
+    backreferences — so the gate proves cross-engine parity of the regex
+    SEMANTICS, not just the counts. Pure map-side expressions, no shuffle;
+    at 100 TB this is a free rider on the first scan of the text column.
+    """
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    digits = r"[0-9]{9,}"
+    url = r"(https?://|www\.)"
+    e = F.col("text").rlike(email)
+    d = F.col("text").rlike(digits)
+    u = F.col("text").rlike(url)
+    return documents.select(
+        "doc_id",
+        e.alias("has_email"),
+        d.alias("has_long_digits"),
+        u.alias("has_url"),
+        (e | d | u).alias("flagged"),
+    )

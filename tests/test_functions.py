@@ -619,3 +619,24 @@ def test_unigram_logprob_model(spark):
         assert abs(got[d]["avg_nll"] - round(micro / (n * 1e6), 6)) < 1e-12
     # rare-token doc scores higher than stopword-soup doc
     assert got[1]["avg_nll"] > got[0]["avg_nll"]
+
+
+def test_content_flags_planted(spark):
+    from llama_spark.functions.text import content_flags
+
+    docs = spark.createDataFrame(
+        [
+            (0, "contact me at alice.smith+work@example.co.uk for details"),
+            (1, "my number is 123456789 call anytime"),
+            (2, "see https://example.org/page and www.other.net"),
+            (3, "perfectly clean prose with no sensitive content at all"),
+            (4, "short digits 12345678 do not trip the nine-digit rule"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in content_flags(docs).collect()}
+    assert got[0]["has_email"] and got[0]["flagged"]
+    assert got[1]["has_long_digits"] and not got[1]["has_email"]
+    assert got[2]["has_url"] and got[2]["flagged"]
+    assert not got[3]["flagged"]
+    assert not got[4]["has_long_digits"] and not got[4]["flagged"]

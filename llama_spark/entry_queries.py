@@ -2543,3 +2543,44 @@ def _louvain_weighted_sql(rounds: int = 4) -> str:
 
 ORACLE["louvain_weighted"] = _louvain_weighted_sql(LOUVAIN_ROUNDS)
 QUERIES["louvain_weighted"] = q_louvain_weighted
+
+
+def q_hyperball_closeness(spark, sf_dir):
+    """HyperBall closeness for ALL nodes: (B̂(max_t)−1) / Σ t·ΔB̂ — the
+    all-V sibling of the exact K-root closeness gate."""
+    from .operators.anf import hyperball_closeness
+
+    return hyperball_closeness(load_edges(spark, sf_dir), max_t=ANF_T, registers=ANF_R)
+
+
+def _hyperball_closeness_sql() -> str:
+    base = _hyperball_sql()
+    head, tail = base.rsplit("\nSELECT s0.id, ROUND(", 1)
+    incs, joins = tail.split(", 6) AS harmonic FROM s0 ", 1)
+    # reuse the same state CTEs; weight increments by t instead of 1/t and
+    # divide the (max_t-ball − 1) by that sum
+    def est(alias: str) -> str:
+        bsum = " + ".join(
+            f"bit_count(((~{alias}.m{r}) & -(~{alias}.m{r})) - 1)"
+            for r in range(ANF_R)
+        )
+        return (
+            f"(POWER(2.0, CAST(({bsum}) AS DOUBLE) / {float(ANF_R)!r}) "
+            f"/ {0.77351!r})"
+        )
+
+    s = " + ".join(
+        f"(({est(f's{t}')}) - ({est(f's{t-1}')})) * {float(t)!r}"
+        for t in range(1, ANF_T + 1)
+    )
+    return (
+        head
+        + f"\nSELECT s0.id, CASE WHEN ({s}) > 0.0 THEN "
+        + f"ROUND((({est(f's{ANF_T}')}) - 1e0) / ({s}), 6) ELSE 0e0 END "
+        + "AS closeness FROM s0 "
+        + joins
+    )
+
+
+ORACLE["hyperball_closeness"] = _hyperball_closeness_sql()
+QUERIES["hyperball_closeness"] = q_hyperball_closeness

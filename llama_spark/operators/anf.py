@@ -161,30 +161,31 @@ def effective_diameter(
     )
 
 
-def hyperball_harmonic(
+def _hyperball_centralities(
     edges: DataFrame,
     max_t: int = 6,
     registers: int = 8,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """DataFrame[id, harmonic] — HyperBall (Boldi & Vigna, 2013): harmonic
-    centrality estimated for EVERY node at plain-BFS cost, via the same FM
-    ball sketches as :func:`neighborhood_function`:
+    """DataFrame[id, harmonic, closeness] — HyperBall (Boldi & Vigna,
+    2013): centralities estimated for EVERY node at plain-BFS cost, via
+    the same FM ball sketches as :func:`neighborhood_function`:
 
-        ĥ(v) = Σ_{t=1..max_t} (|B̂(v,t)| − |B̂(v,t−1)|) / t
-             ≈ Σ_u 1 / d(v→u)
+        ĥ(v) = Σ_{t=1..max_t} ΔB̂(v,t) / t      ≈ Σ_u 1 / d(v→u)
+        Ĉ(v) = (B̂(v,max_t) − 1) / Σ_t t·ΔB̂(v,t)  ≈ (|reach|−1) / Σ_u d(v→u)
 
-    (out-direction balls, matching ``harmonic_centrality``'s per-root
-    convention; estimates of nodes at distance exactly t arrive with
-    weight 1/t). This is the ALL-nodes centrality scale path: the exact
-    ``multi_source_bfs_depths`` kernel answers K sampled roots, HyperBall
-    answers all V at the same per-round join cost with V×R-long state —
-    at 10¹² nodes the difference is the operator existing or not.
+    (out-direction balls, matching the exact K-root operators'
+    conventions; ΔB̂(v,t) = B̂(v,t) − B̂(v,t−1), the estimated count of
+    nodes at distance exactly t). This is the ALL-nodes centrality scale
+    path: the exact ``multi_source_bfs_depths`` kernel answers K sampled
+    roots, HyperBall answers all V at the same per-round join cost with
+    V×R-long state — at 10¹² nodes the difference is the operator
+    existing or not.
 
     Determinism: the mask fixpoint is exact-integer (identical in any
     engine); the per-node FM estimates are floats, but both engines
-    evaluate the SAME left-associated expression chain over the same
-    mask-derived integers, and the output rounds to 6 dp.
+    evaluate the SAME left-associated expression chains over the same
+    mask-derived integers, and the outputs round to 6 dp.
     """
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -198,7 +199,7 @@ def hyperball_harmonic(
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return spark.createDataFrame([], "id long, harmonic double")
+        return spark.createDataFrame([], "id long, harmonic double, closeness double")
 
     masks = [f"m{r}" for r in range(registers)]
 
@@ -219,6 +220,7 @@ def hyperball_harmonic(
         )
         .withColumn("pe", est())
         .withColumn("h", F.lit(0.0))
+        .withColumn("s", F.lit(0.0))
         .repartition(p, "id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -240,6 +242,7 @@ def hyperball_harmonic(
             "id",
             "pe",
             "h",
+            "s",
             *[
                 F.col(m).bitwiseOR(F.coalesce(F.col(f"o{m}"), F.lit(0))).alias(m)
                 for m in masks
@@ -254,15 +257,49 @@ def hyperball_harmonic(
                 (F.col("h") + (F.col("ne") - F.col("pe")) / F.lit(float(t))).alias(
                     "h"
                 ),
+                (F.col("s") + (F.col("ne") - F.col("pe")) * F.lit(float(t))).alias(
+                    "s"
+                ),
             )
             .localCheckpoint(eager=False)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         state.count()
         prev.unpersist()
-    out = state.select("id", F.round("h", 6).alias("harmonic")).localCheckpoint(
-        eager=True
-    )
+    out = state.select(
+        "id",
+        F.round("h", 6).alias("harmonic"),
+        F.when(
+            F.col("s") > 0.0,
+            F.round((F.col("pe") - F.lit(1.0)) / F.col("s"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+    ).localCheckpoint(eager=True)
     state.unpersist()
     e.unpersist()
     return out
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    max_t: int = 6,
+    registers: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame[id, harmonic] — see :func:`_hyperball_centralities`."""
+    return _hyperball_centralities(
+        edges, max_t=max_t, registers=registers, num_partitions=num_partitions
+    ).select("id", "harmonic")
+
+
+def hyperball_closeness(
+    edges: DataFrame,
+    max_t: int = 6,
+    registers: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame[id, closeness] — see :func:`_hyperball_centralities`."""
+    return _hyperball_centralities(
+        edges, max_t=max_t, registers=registers, num_partitions=num_partitions
+    ).select("id", "closeness")

@@ -746,3 +746,56 @@ def test_louvain_weighted_matches_model(spark):
         ).collect()
     }
     assert got == comm
+
+
+def test_hyperball_closeness_matches_model(spark):
+    import hashlib
+
+    from llama_spark.operators.anf import FM_PHI, hyperball_closeness
+
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 3), (3, 5)]
+    R, T = 8, 4
+
+    def fm_bit(v, r):
+        h = int(hashlib.md5(f"{v}:anf{r}".encode()).hexdigest()[:15], 16)
+        f = h | (1 << 59)
+        return f & -f
+
+    def lowest_unset(m):
+        b = 0
+        while (m >> b) & 1:
+            b += 1
+        return b
+
+    def est(ms):
+        return 2.0 ** (sum(lowest_unset(m) for m in ms) / float(R)) / FM_PHI
+
+    nodes = sorted({v for p in pairs for v in p})
+    out_adj = {v: [d for s, d in pairs if s == v] for v in nodes}
+    masks = {v: [fm_bit(v, r) for r in range(R)] for v in nodes}
+    pe = {v: est(masks[v]) for v in nodes}
+    s = {v: 0.0 for v in nodes}
+    for t in range(1, T + 1):
+        new = {}
+        for v in nodes:
+            ms = list(masks[v])
+            for w in out_adj[v]:
+                for r in range(R):
+                    ms[r] |= masks[w][r]
+            new[v] = ms
+        masks = new
+        for v in nodes:
+            ne = est(masks[v])
+            s[v] = s[v] + (ne - pe[v]) * float(t)
+            pe[v] = ne
+    model = {
+        v: (round((pe[v] - 1.0) / s[v], 6) if s[v] > 0.0 else 0.0) for v in nodes
+    }
+    got = {
+        r["id"]: r["closeness"]
+        for r in hyperball_closeness(
+            edges_df(spark, pairs), max_t=T, registers=R
+        ).collect()
+    }
+    assert got == model
+    assert got[5] == 0.0  # sink reaches nothing

@@ -2584,3 +2584,49 @@ def _hyperball_closeness_sql() -> str:
 
 ORACLE["hyperball_closeness"] = _hyperball_closeness_sql()
 QUERIES["hyperball_closeness"] = q_hyperball_closeness
+
+
+def q_hyperball_eccentricity(spark, sf_dir):
+    """Per-node out-eccentricity lower bound from the HyperBall sketches
+    (last round whose estimated ball still grew, capped at max_t)."""
+    from .operators.anf import hyperball_eccentricity
+
+    return hyperball_eccentricity(
+        load_edges(spark, sf_dir), max_t=ANF_T, registers=ANF_R
+    )
+
+
+def _hyperball_ecc_sql() -> str:
+    base = _hyperball_sql()
+    head, _tail = base.rsplit("\nSELECT s0.id, ROUND(", 1)
+
+    def est(alias: str) -> str:
+        bsum = " + ".join(
+            f"bit_count(((~{alias}.m{r}) & -(~{alias}.m{r})) - 1)"
+            for r in range(ANF_R)
+        )
+        return (
+            f"(POWER(2.0, CAST(({bsum}) AS DOUBLE) / {float(ANF_R)!r}) "
+            f"/ {0.77351!r})"
+        )
+
+    # last t with growth — the OUTERMOST case must test the highest round,
+    # so wrap ascending (the final wrap, t = max_t, is evaluated first)
+    expr = "0"
+    for t in range(1, ANF_T + 1):
+        expr = (
+            f"CASE WHEN ({est(f's{t}')}) > ({est(f's{t-1}')}) "
+            f"THEN {t} ELSE {expr} END"
+        )
+    joins = " ".join(
+        f"JOIN s{t} ON s{t}.id = s0.id" for t in range(1, ANF_T + 1)
+    )
+    return (
+        head
+        + f"\nSELECT s0.id, CAST(({expr}) AS INTEGER) AS eccentricity "
+        + f"FROM s0 {joins}"
+    )
+
+
+ORACLE["hyperball_eccentricity"] = _hyperball_ecc_sql()
+QUERIES["hyperball_eccentricity"] = q_hyperball_eccentricity

@@ -199,7 +199,7 @@ def _hyperball_centralities(
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return spark.createDataFrame([], "id long, harmonic double, closeness double")
+        return spark.createDataFrame([], "id long, harmonic double, closeness double, eccentricity int")
 
     masks = [f"m{r}" for r in range(registers)]
 
@@ -221,6 +221,7 @@ def _hyperball_centralities(
         .withColumn("pe", est())
         .withColumn("h", F.lit(0.0))
         .withColumn("s", F.lit(0.0))
+        .withColumn("ecc", F.lit(0).cast("int"))
         .repartition(p, "id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -243,6 +244,7 @@ def _hyperball_centralities(
             "pe",
             "h",
             "s",
+            "ecc",
             *[
                 F.col(m).bitwiseOR(F.coalesce(F.col(f"o{m}"), F.lit(0))).alias(m)
                 for m in masks
@@ -260,6 +262,9 @@ def _hyperball_centralities(
                 (F.col("s") + (F.col("ne") - F.col("pe")) * F.lit(float(t))).alias(
                     "s"
                 ),
+                F.when(F.col("ne") > F.col("pe"), F.lit(t).cast("int"))
+                .otherwise(F.col("ecc"))
+                .alias("ecc"),
             )
             .localCheckpoint(eager=False)
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -275,6 +280,7 @@ def _hyperball_centralities(
         )
         .otherwise(F.lit(0.0))
         .alias("closeness"),
+        F.col("ecc").alias("eccentricity"),
     ).localCheckpoint(eager=True)
     state.unpersist()
     e.unpersist()
@@ -303,3 +309,20 @@ def hyperball_closeness(
     return _hyperball_centralities(
         edges, max_t=max_t, registers=registers, num_partitions=num_partitions
     ).select("id", "closeness")
+
+
+def hyperball_eccentricity(
+    edges: DataFrame,
+    max_t: int = 6,
+    registers: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame[id, eccentricity] — the last round t ≤ max_t at which
+    v's estimated ball still grew: a sketch lower bound on out-
+    eccentricity, capped at max_t (the double-sweep approx_diameter's
+    per-node generalization). INTEGER output — a float comparison decides
+    the branch, but both engines evaluate the identical chain, and the
+    recorded value is the round index."""
+    return _hyperball_centralities(
+        edges, max_t=max_t, registers=registers, num_partitions=num_partitions
+    ).select("id", "eccentricity")

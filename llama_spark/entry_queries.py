@@ -2630,3 +2630,46 @@ def _hyperball_ecc_sql() -> str:
 
 ORACLE["hyperball_eccentricity"] = _hyperball_ecc_sql()
 QUERIES["hyperball_eccentricity"] = q_hyperball_eccentricity
+
+
+RICH_KS = (1, 2, 4, 8, 16, 32)
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient φ(k) for a fixed k ladder — hub
+    interconnection density over the undirected simple graph."""
+    from .graph import rich_club
+
+    return rich_club(load_edges(spark, sf_dir), ks=RICH_KS)
+
+
+def _rich_club_sql() -> str:
+    parts = []
+    for k in RICH_KS:
+        parts.append(
+            f"""SELECT CAST({k} AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE d > {k}) AS n_rich,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN min_d > {k} THEN 1 ELSE 0 END), 0)
+               AS BIGINT) FROM tagged) AS e_rich"""
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""WITH edges AS ({EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM edges WHERE src <> dst
+),
+deg AS (SELECT id, COUNT(*) AS d FROM (
+  SELECT src AS id FROM und UNION ALL SELECT dst AS id FROM und) GROUP BY id),
+tagged AS (
+  SELECT LEAST(a.d, b.d) AS min_d
+  FROM und u JOIN deg a ON a.id = u.src JOIN deg b ON b.id = u.dst),
+rows_k AS ({union})
+SELECT k, n_rich, e_rich,
+       CASE WHEN n_rich >= 2
+            THEN ROUND(2e0 * e_rich / (n_rich * (n_rich - 1)), 6)
+            ELSE 0e0 END AS phi
+FROM rows_k"""
+
+
+ORACLE["rich_club"] = _rich_club_sql()
+QUERIES["rich_club"] = q_rich_club

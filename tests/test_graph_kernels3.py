@@ -818,3 +818,18 @@ def test_hyperball_eccentricity_chain(spark):
     assert got[4] == 0
     assert got[0] >= got[1] >= got[2] >= got[3] >= got[4]
     assert got[0] >= 1
+
+
+def test_rich_club_star_plus_core(spark):
+    from llama_spark.operators import triangles  # noqa: F401  (import sanity)
+    from llama_spark.graph import rich_club
+
+    # K4 core {0,1,2,3} + leaves hanging off node 0 → degrees: 0:7, 1-3:3,
+    # leaves:1. φ(1): nodes with d>1 = {0,1,2,3}, edges among them = 6 →
+    # 2·6/(4·3) = 1.0; φ(4): only node 0 → 0.0
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pairs += [(0, 10 + i) for i in range(4)]
+    got = {r["k"]: r for r in rich_club(edges_df(spark, pairs), ks=(1, 4)).collect()}
+    assert got[1]["n_rich"] == 4 and got[1]["e_rich"] == 6
+    assert abs(got[1]["phi"] - 1.0) < 1e-9
+    assert got[4]["n_rich"] == 1 and got[4]["phi"] == 0.0

@@ -225,6 +225,31 @@ class GraphSession:
 
         return hyperball_harmonic(self._e(), max_t=max_t, **kw)
 
+    def hyperball_closeness(self, max_t: int = 6, **kw) -> DataFrame:
+        """All-nodes closeness estimates from the same HyperBall pass."""
+        from .operators.anf import hyperball_closeness
+
+        return hyperball_closeness(self._e(), max_t=max_t, **kw)
+
+    def hyperball_eccentricity(self, max_t: int = 6, **kw) -> DataFrame:
+        """Per-node eccentricity lower bounds (last ball-growth round)."""
+        from .operators.anf import hyperball_eccentricity
+
+        return hyperball_eccentricity(self._e(), max_t=max_t, **kw)
+
+    def rich_club(self, ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32)) -> DataFrame:
+        """Rich-club coefficient ladder φ(k) → [k, n_rich, e_rich, phi]."""
+        from .graph import rich_club
+
+        return rich_club(self._e(), ks=ks)
+
+    def transitivity_and_cycles(self) -> DataFrame:
+        """Global transitivity crossed with the 4-cycle count — the two
+        whole-graph cohesion statistics in one frame."""
+        from .operators.triangles import four_cycle_count, transitivity
+
+        return transitivity(self._e()).crossJoin(four_cycle_count(self._e()))
+
     def assortativity(self) -> DataFrame:
         """One row [assortativity, reciprocity] (graph.assortativity)."""
         from .graph import assortativity

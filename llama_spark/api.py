@@ -201,6 +201,12 @@ class GraphSession:
 
         return eigenvector_centrality(self._e(), max_iter=max_iter).state
 
+    def salsa(self, max_iter: int = 8, **kw) -> DataFrame:
+        """SALSA auth/hub scores → [id, auth, hub] (mass-conserving)."""
+        from .operators.hits import salsa
+
+        return salsa(self._e(), max_iter=max_iter, **kw)
+
     def hits(self, max_iter: int = 8, **kw) -> DataFrame:
         """Kleinberg hubs & authorities → DataFrame[id, auth, hub]."""
         from .operators.hits import hits

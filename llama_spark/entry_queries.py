@@ -2673,3 +2673,58 @@ FROM rows_k"""
 
 ORACLE["rich_club"] = _rich_club_sql()
 QUERIES["rich_club"] = q_rich_club
+
+
+SALSA_ITERS = 6
+
+
+def q_salsa(spark, sf_dir):
+    """SALSA — the stochastic HITS sibling: degree-normalized alternating
+    walk; mass conserved exactly, so no normalization half-jobs exist to
+    mirror. Scores scaled by n and rounded (the hits gate convention)."""
+    from .operators.hits import salsa_result
+
+    res = salsa_result(load_edges(spark, sf_dir), max_iter=SALSA_ITERS)
+    n = float(res.n_nodes)
+    return res.state.select(
+        "id",
+        F.round(F.col("auth") * F.lit(n), 6).alias("auth_scaled"),
+        F.round(F.col("hub") * F.lit(n), 6).alias("hub_scaled"),
+    )
+
+
+def _salsa_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "od AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)",
+        "idg AS MATERIALIZED (SELECT dst, COUNT(*) AS idg FROM edges GROUP BY dst)",
+        "ns AS (SELECT COUNT(*) AS k FROM od)",
+        "h0 AS MATERIALIZED (SELECT src AS id, 1e0/(SELECT k FROM ns) AS hub "
+        "FROM od)",
+    ]
+    for i in range(1, SALSA_ITERS + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(h.hub / d.od) AS ar
+  FROM h{i-1} h JOIN edges e ON e.src = h.id JOIN od d ON d.src = e.src
+  GROUP BY e.dst),
+h{i} AS MATERIALIZED (
+  SELECT e.src AS id, SUM(a.ar / g.idg) AS hub
+  FROM a{i} a JOIN edges e ON e.dst = a.id JOIN idg g ON g.dst = e.dst
+  GROUP BY e.src)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""\nSELECT n.id,
+       ROUND(COALESCE(a.ar, 0e0) * (SELECT n FROM nn), 6) AS auth_scaled,
+       ROUND(COALESCE(h.hub, 0e0) * (SELECT n FROM nn), 6) AS hub_scaled
+FROM nodes n
+LEFT JOIN a{SALSA_ITERS} a ON a.id = n.id
+LEFT JOIN h{SALSA_ITERS} h ON h.id = n.id"""
+    )
+
+
+ORACLE["salsa"] = _salsa_sql()
+QUERIES["salsa"] = q_salsa

@@ -833,3 +833,36 @@ def test_rich_club_star_plus_core(spark):
     assert got[1]["n_rich"] == 4 and got[1]["e_rich"] == 6
     assert abs(got[1]["phi"] - 1.0) < 1e-9
     assert got[4]["n_rich"] == 1 and got[4]["phi"] == 0.0
+
+
+def test_salsa_matches_model_and_conserves_mass(spark):
+    from collections import defaultdict
+
+    from llama_spark.operators.hits import salsa
+
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0), (1, 3), (4, 2)]
+    iters = 6
+    srcs = sorted({a for a, _ in pairs})
+    od = defaultdict(int)
+    idg = defaultdict(int)
+    for a, b in pairs:
+        od[a] += 1
+        idg[b] += 1
+    hub = {v: 1.0 / len(srcs) for v in srcs}
+    auth = {}
+    for _ in range(iters):
+        auth = defaultdict(float)
+        for a, b in pairs:
+            auth[b] += hub.get(a, 0.0) / od[a]
+        new_hub = defaultdict(float)
+        for a, b in pairs:
+            new_hub[a] += auth[b] / idg[b]
+        hub = new_hub
+    got = {r["id"]: (r["auth"], r["hub"]) for r in salsa(
+        edges_df(spark, pairs), max_iter=iters).collect()}
+    for v in got:
+        assert abs(got[v][0] - auth.get(v, 0.0)) < 1e-12
+        assert abs(got[v][1] - hub.get(v, 0.0)) < 1e-12
+    # row-stochastic transfers conserve mass exactly: each side sums to 1
+    assert abs(sum(a for a, _ in got.values()) - 1.0) < 1e-9
+    assert abs(sum(h for _, h in got.values()) - 1.0) < 1e-9

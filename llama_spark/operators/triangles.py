@@ -229,7 +229,7 @@ def transitivity(edges: DataFrame, orient: str = "degree") -> DataFrame:
     )
 
 
-def four_cycle_count(edges: DataFrame) -> DataFrame:
+def four_cycle_count(edges: DataFrame, hub_cap: int | None = None) -> DataFrame:
     """1-row DataFrame[four_cycles: long] — exact number of (unordered)
     4-cycles in the simple undirected graph (the butterfly count when the
     graph is bipartite — the standard cohesion statistic for
@@ -243,12 +243,24 @@ def four_cycle_count(edges: DataFrame) -> DataFrame:
     endpoint pair once via (u < v) on w's neighbor pairs, groupBy (u, v)
     count. Same join class as triangle counting (2-path enumeration; skew
     is governed by middle degree — degree orientation does not apply to
-    4-cycles, so the documented bound is Σ_w d(w)², the inherent wedge
-    count). Exact integers throughout."""
+    4-cycles, so the inherent bound is Σ_w d(w)², the wedge count).
+    Exact integers throughout.
+
+    **Power-law safety valve**: on a web graph one d≈10⁶ hub alone emits
+    10¹² wedge pairs. ``hub_cap`` drops wedges whose MIDDLE has degree >
+    cap: a 4-cycle is then counted once per diagonal whose two opposite
+    corners both survive the cap, and the half-sum (floored) is a
+    documented LOWER BOUND — equal to the exact count whenever no cycle
+    corner is a hub. Default None = exact count (the linkpred ``hub_cap``
+    convention)."""
     und = drop_self_loops(undirected_ordered(edges)).dropDuplicates([SRC, DST])
     both = und.unionByName(
         und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
     )
+    if hub_cap is not None:
+        deg = both.groupBy(SRC).agg(F.count("*").alias("_d"))
+        keep = deg.filter(F.col("_d") <= hub_cap).select(SRC)
+        both = both.join(keep, SRC, "left_semi")
     a, b = both.alias("a"), both.alias("b")
     wedge_pairs = (
         a.join(

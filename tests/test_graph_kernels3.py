@@ -866,3 +866,29 @@ def test_salsa_matches_model_and_conserves_mass(spark):
     # row-stochastic transfers conserve mass exactly: each side sums to 1
     assert abs(sum(a for a, _ in got.values()) - 1.0) < 1e-9
     assert abs(sum(h for _, h in got.values()) - 1.0) < 1e-9
+
+
+def test_four_cycle_hub_cap_lower_bound(spark):
+    from llama_spark.operators.triangles import four_cycle_count
+
+    # square {0,1,2,3} + hub 9 connected to everything: the hub creates
+    # C(4,2)=6 extra middle pairs and sits on many cycles
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    hub = [(9, v) for v in range(4)]
+    exact = four_cycle_count(edges_df(spark, square + hub)).collect()[0][
+        "four_cycles"
+    ]
+    capped = four_cycle_count(
+        edges_df(spark, square + hub), hub_cap=3
+    ).collect()[0]["four_cycles"]
+    assert capped <= exact
+    # the hub (degree 4) is excluded as a middle AND as a corner of
+    # surviving diagonals; the pure square survives intact
+    assert capped >= 1
+    # no hubs → the cap is a no-op
+    assert (
+        four_cycle_count(edges_df(spark, square), hub_cap=10).collect()[0][
+            "four_cycles"
+        ]
+        == 1
+    )

@@ -2728,3 +2728,83 @@ LEFT JOIN h{SALSA_ITERS} h ON h.id = n.id"""
 
 ORACLE["salsa"] = _salsa_sql()
 QUERIES["salsa"] = q_salsa
+
+
+def q_graph_radius(spark, sf_dir):
+    """1-row [radius_lb, diameter_lb] — min/max of the HyperBall per-node
+    eccentricity bounds over nodes that reach beyond themselves (ecc > 0);
+    the per-node generalization of the double-sweep approx_diameter gate."""
+    from .operators.anf import hyperball_eccentricity
+
+    ecc = hyperball_eccentricity(load_edges(spark, sf_dir), max_t=ANF_T,
+                                 registers=ANF_R)
+    live = ecc.filter(F.col("eccentricity") > 0)
+    return live.agg(
+        F.min("eccentricity").cast("int").alias("radius_lb"),
+        F.max("eccentricity").cast("int").alias("diameter_lb"),
+    )
+
+
+ORACLE["graph_radius"] = f"""WITH ecc AS ({ORACLE["hyperball_eccentricity"]})
+SELECT CAST(MIN(eccentricity) AS INTEGER) AS radius_lb,
+       CAST(MAX(eccentricity) AS INTEGER) AS diameter_lb
+FROM ecc WHERE eccentricity > 0"""
+QUERIES["graph_radius"] = q_graph_radius
+
+
+PPR_SEEDS = (0, 1, 2, 3, 5, 8, 13, 21)
+
+
+def q_walk_ppr(spark, sf_dir):
+    """Monte-Carlo personalized relevance: visit counts of deterministic
+    walks from a fixed seed set (walk_id = node id at walks_per_node=1,
+    so the corpus is the seed-filtered subset of the random_walks gate's,
+    bit-identical)."""
+    from .operators.walks import walk_visit_counts
+
+    return walk_visit_counts(
+        load_edges(spark, sf_dir), sources=list(PPR_SEEDS),
+        walk_length=WALK_LEN, walks_per_node=1, seed=WALK_SEED,
+    )
+
+
+def _walk_ppr_sql() -> str:
+    from .operators.walks import ADJ_SALTS
+
+    h = (
+        "CAST(('0x' || substr(md5(concat_ws(':', f.walk_id, {t}, "
+        f"{WALK_SEED})), 1, 15)) AS BIGINT)"
+    )
+    seeds = ", ".join(str(s) for s in PPR_SEEDS)
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "adj AS MATERIALIZED (SELECT src, dst, ROW_NUMBER() OVER "
+        f"(PARTITION BY src ORDER BY dst % {ADJ_SALTS}, dst) AS idx FROM edges)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)",
+        f"s0 AS (SELECT id AS walk_id, 0 AS step, id AS node FROM nodes "
+        f"WHERE id IN ({seeds}))",
+    ]
+    for t in range(WALK_LEN):
+        ctes.append(
+            f"""s{t+1} AS MATERIALIZED (
+  SELECT f.walk_id, {t+1} AS step, a.dst AS node
+  FROM s{t} f JOIN deg d ON d.src = f.node
+  JOIN adj a ON a.src = f.node AND a.idx = ({h.format(t=t)} % d.od) + 1
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, step, node FROM s{t}" for t in range(WALK_LEN + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f", walks AS MATERIALIZED ({union})\n"
+        + """SELECT node, CAST(COUNT(*) AS BIGINT) AS visits,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM walks), 6)
+         AS ppr_estimate
+FROM walks GROUP BY node"""
+    )
+
+
+ORACLE["walk_ppr"] = _walk_ppr_sql()
+QUERIES["walk_ppr"] = q_walk_ppr

@@ -135,10 +135,15 @@ def random_walks(
     seed: int = 42,
     weight_col: str | None = None,
     weight_resolution: int = 128,
+    sources: list[int] | None = None,
 ) -> DataFrame:
     """DataFrame[walk_id, step, node] — ``walks_per_node`` deterministic
-    walks from every node, ``walk_length`` steps (or fewer at a sink);
-    step 0 is the start node, walk_id = node·walks_per_node + w.
+    walks from every node (or only from ``sources`` when given — the
+    personalization case: at 10¹² nodes you walk from the seed set, not
+    the graph), ``walk_length`` steps (or fewer at a sink); step 0 is the
+    start node, walk_id = node·walks_per_node + w regardless of
+    ``sources``, so seeded walks are bit-identical to the corresponding
+    subset of the full corpus.
 
     With ``weight_col``, steps are weight-biased: neighbor i is picked
     with probability ŵ_i/Σŵ where ŵ = floor(w·weight_resolution)+1
@@ -208,6 +213,9 @@ def random_walks(
         return F.broadcast(df) if n_deg <= 100_000 else df.hint("shuffle_hash")
 
     nodes = nodes_of(edges)
+    if sources is not None:
+        seeds = sorted(set(sources))
+        nodes = nodes.filter(F.col("id").isin(seeds))
     starts = nodes.select(
         F.explode(F.array(*[F.lit(w) for w in range(walks_per_node)])).alias("w"),
         F.col("id").alias("node"),
@@ -295,6 +303,7 @@ def node2vec_walks(
     q: float = 0.5,
     retries: int = 4,
     seed: int = 42,
+    sources: list[int] | None = None,
 ) -> DataFrame:
     """DataFrame[walk_id, step, node] — deterministic node2vec-biased
     walks (Grover & Leskovec 2016): from prev u at cur v, neighbor x is
@@ -315,7 +324,9 @@ def node2vec_walks(
     window over ``retries`` rows — every join an equi-join, no neighbor
     scans, replayable in SQL (the oracle unrolls the same draws).
 
-    Step 0 has no prev node and uses the r=0 uniform draw directly."""
+    Step 0 has no prev node and uses the r=0 uniform draw directly.
+    ``sources`` restricts the start set (seeded corpora); walk ids are
+    unchanged, so seeded output ≡ the filtered full corpus."""
     spark = edges.sparkSession
     pp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if retries < 1:
@@ -353,6 +364,9 @@ def node2vec_walks(
         return F.broadcast(df) if n_deg <= 100_000 else df.hint("shuffle_hash")
 
     nodes = nodes_of(edges)
+    if sources is not None:
+        seeds = sorted(set(sources))
+        nodes = nodes.filter(F.col("id").isin(seeds))
     starts = nodes.select(
         F.explode(F.array(*[F.lit(w) for w in range(walks_per_node)])).alias("w"),
         F.col("id").alias("node"),
@@ -492,4 +506,40 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         )
         .groupBy("center", "context")
         .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def walk_visit_counts(
+    edges: DataFrame,
+    sources: list[int],
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    seed: int = 42,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """DataFrame[node, visits, ppr_estimate] — Monte-Carlo personalized
+    relevance: visit frequencies of the deterministic walks started from
+    ``sources``. This is the production estimator for personalized
+    PageRank at web scale (exact PPR per seed set is a full power
+    iteration; landing counts of O(|seeds|·walks) walkers cost a few
+    seeded joins — Fogaras et al. 2005). Deterministic walks make the
+    estimate reproducible and SQL-replayable; ppr_estimate = visits /
+    total visits (the walk-occupancy distribution, teleport-free).
+
+    Scale: everything downstream of ``random_walks(sources=...)`` is
+    proportional to the WALK corpus, not the graph."""
+    w = random_walks(
+        edges,
+        walk_length=walk_length,
+        walks_per_node=walks_per_node,
+        seed=seed,
+        weight_col=weight_col,
+        sources=sources,
+    )
+    counts = w.groupBy("node").agg(F.count("*").cast("long").alias("visits"))
+    total = w.groupBy().agg(F.count("*").cast("long").alias("_t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "node",
+        "visits",
+        F.round(F.col("visits") / F.col("_t"), 6).alias("ppr_estimate"),
     )

@@ -892,3 +892,28 @@ def test_four_cycle_hub_cap_lower_bound(spark):
         ]
         == 1
     )
+
+
+def test_walk_visit_counts_seeded_subset(spark):
+    from llama_spark.operators.walks import random_walks, walk_visit_counts
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 0)]
+    e = edges_df(spark, pairs)
+    seeds = [0, 2, 5]
+    # seeded walks are EXACTLY the seed-filtered subset of the full corpus
+    full = {(r["walk_id"], r["step"], r["node"])
+            for r in random_walks(e, walk_length=3).collect()
+            if r["walk_id"] in seeds}
+    seeded = {(r["walk_id"], r["step"], r["node"])
+              for r in random_walks(e, walk_length=3, sources=seeds).collect()}
+    assert seeded == full
+    got = {r["node"]: (r["visits"], r["ppr_estimate"])
+           for r in walk_visit_counts(e, sources=seeds, walk_length=3).collect()}
+    total = sum(v for v, _ in got.values())
+    assert total == len(full)
+    from collections import Counter
+
+    model = Counter(n for _, _, n in full)
+    for node, (v, est) in got.items():
+        assert v == model[node]
+        assert abs(est - round(v / total, 6)) < 1e-12

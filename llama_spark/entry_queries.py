@@ -2808,3 +2808,131 @@ FROM walks GROUP BY node"""
 
 ORACLE["walk_ppr"] = _walk_ppr_sql()
 QUERIES["walk_ppr"] = q_walk_ppr
+
+
+# ------------------------------- co-citation / bibliographic coupling
+
+COCIT_TOP_K = 25
+
+
+def q_cocitation(spark, sf_dir):
+    """Co-citation strength — pages cited together by a common source
+    (Small 1973); the directed sibling of link_prediction's undirected
+    common-neighbor scores. Uncapped so the oracle sees identical pairs."""
+    from .operators.linkpred import cocitation_pairs
+
+    return cocitation_pairs(
+        load_edges(spark, sf_dir), mode="cocitation", top_k=COCIT_TOP_K
+    )
+
+
+def q_bib_coupling(spark, sf_dir):
+    """Bibliographic coupling — pages citing the same targets (Kessler
+    1963); the transposed pivot of q_cocitation."""
+    from .operators.linkpred import cocitation_pairs
+
+    return cocitation_pairs(
+        load_edges(spark, sf_dir), mode="coupling", top_k=COCIT_TOP_K
+    )
+
+
+def _cocitation_sql(pivot: str, leaf: str) -> str:
+    return f"""WITH edges AS MATERIALIZED ({EDGES_SQL})
+SELECT a.{leaf} AS a, b.{leaf} AS b, CAST(COUNT(*) AS BIGINT) AS strength
+FROM edges a JOIN edges b
+  ON a.{pivot} = b.{pivot} AND a.{leaf} < b.{leaf}
+GROUP BY a.{leaf}, b.{leaf}
+ORDER BY strength DESC, a, b
+LIMIT {COCIT_TOP_K}"""
+
+
+ORACLE["cocitation"] = _cocitation_sql("src", "dst")
+ORACLE["bib_coupling"] = _cocitation_sql("dst", "src")
+QUERIES["cocitation"] = q_cocitation
+QUERIES["bib_coupling"] = q_bib_coupling
+
+
+# --------------------------------------------------- weighted modularity
+
+
+def q_modularity_weighted(spark, sf_dir):
+    """Weighted Newman Q of the weighted staged-Louvain assignment —
+    the objective the weighted mover climbs, scored exactly (quantized
+    integer masses; floats only in the final per-community terms)."""
+    from .graph import with_synthetic_weights
+    from .operators.components import louvain_communities, modularity_weighted
+
+    ew = with_synthetic_weights(load_edges(spark, sf_dir))
+    comm = louvain_communities(ew, max_iter=LOUVAIN_ROUNDS, weight_col="weight")
+    return modularity_weighted(ew, comm, label_col="comm", weight_col="weight")
+
+
+def _modularity_weighted_sql(rounds: int = 4) -> str:
+    w = "(1e0 + ((src*31 + dst) % 100)/100e0)"
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"""pair AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst,
+         CAST(FLOOR(MAX({w}) * 128e0) + 1 AS BIGINT) AS w
+  FROM edges WHERE src <> dst GROUP BY 1, 2)""",
+        "undw AS MATERIALIZED (SELECT src, dst, w FROM pair "
+        "UNION ALL SELECT dst AS src, src AS dst, w FROM pair)",
+        "degw AS MATERIALIZED (SELECT src AS id, CAST(SUM(w) AS BIGINT) AS k "
+        "FROM undw GROUP BY src)",
+        "m2 AS (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM degw)",
+    ]
+    ctes += _louvain_round_ctes("mw", "undw", "degw", rounds)
+    ctes += [
+        f"""intra AS (
+  SELECT la.comm AS c, SUM(u.w) AS i
+  FROM undw u JOIN mw{rounds} la ON la.id = u.src
+  JOIN mw{rounds} lb ON lb.id = u.dst
+  WHERE la.comm = lb.comm GROUP BY la.comm)""",
+        f"""ssum AS (
+  SELECT l.comm AS c, SUM(d.k) AS sc
+  FROM mw{rounds} l JOIN degw d ON d.id = l.id GROUP BY l.comm)""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT ROUND(SUM(
+  CAST(COALESCE(i.i, 0) AS DOUBLE) / (SELECT m2 FROM m2)
+  - (CAST(s.sc AS DOUBLE) / (SELECT m2 FROM m2))
+    * (CAST(s.sc AS DOUBLE) / (SELECT m2 FROM m2))
+), 6) AS modularity
+FROM ssum s LEFT JOIN intra i ON i.c = s.c"""
+    )
+
+
+ORACLE["modularity_weighted"] = _modularity_weighted_sql(LOUVAIN_ROUNDS)
+QUERIES["modularity_weighted"] = q_modularity_weighted
+
+
+# ------------------------------------------------- power-law degree fit
+
+POWERLAW_DMIN = 4
+
+
+def q_degree_powerlaw(spark, sf_dir):
+    """Hill MLE of the undirected degree-tail exponent — the scale-free
+    diagnostic over the same histogram degree_distribution reports."""
+    from .graph import degree_powerlaw
+
+    return degree_powerlaw(load_edges(spark, sf_dir), d_min=POWERLAW_DMIN)
+
+
+ORACLE["degree_powerlaw"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM edges WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS d FROM (
+  SELECT src AS id FROM und UNION ALL SELECT dst AS id FROM und) GROUP BY id),
+hist AS (SELECT d, COUNT(*) AS c FROM deg WHERE d >= {POWERLAW_DMIN} GROUP BY d),
+aggd AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
+         SUM(c * ln(CAST(d AS DOUBLE) / {float(POWERLAW_DMIN)!r})) AS lm
+  FROM hist)
+SELECT CAST({POWERLAW_DMIN} AS BIGINT) AS d_min, n AS n_tail,
+       CASE WHEN lm > 0e0 THEN ROUND(1e0 + CAST(n AS DOUBLE) / lm, 6) END AS alpha
+FROM aggd"""
+QUERIES["degree_powerlaw"] = q_degree_powerlaw

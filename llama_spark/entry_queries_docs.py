@@ -1010,3 +1010,88 @@ DOCS_ORACLE["content_flags"] = r"""SELECT doc_id,
         OR regexp_matches(text, '(https?://|www\.)')) AS flagged
 FROM documents"""
 DOCS_QUERIES["content_flags"] = q_content_flags
+
+
+# ------------------------------------------------ segment-level dedup
+
+SEG_WIDTH = 8
+
+
+def q_segment_dedup(spark, sf_dir):
+    """CCNet-style exact segment dedup — every non-first occurrence of a
+    duplicated 8-token window removed, docs re-joined in order."""
+    from .functions.dedup import segment_dedup
+
+    return segment_dedup(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), width=SEG_WIDTH
+    )
+
+
+DOCS_ORACLE["segment_dedup"] = f"""WITH toks AS MATERIALIZED ({TOKS_SQL}),
+segs AS MATERIALIZED (
+  SELECT doc_id, CAST((pos - 1) // {SEG_WIDTH} AS BIGINT) AS seg,
+         string_agg(tok, ' ' ORDER BY pos) AS stext
+  FROM toks GROUP BY doc_id, (pos - 1) // {SEG_WIDTH}),
+ranked AS (
+  SELECT doc_id, seg, stext,
+         row_number() OVER (PARTITION BY stext ORDER BY doc_id, seg) AS rn
+  FROM segs),
+pk AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(stext, ' ' ORDER BY seg) AS text_dedup
+  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+pa AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs FROM segs GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(pa.n_segs, 0) AS n_segs,
+       COALESCE(pk.n_kept, 0) AS n_kept,
+       COALESCE(pk.text_dedup, '') AS text_dedup
+FROM documents d
+LEFT JOIN pa ON pa.doc_id = d.doc_id
+LEFT JOIN pk ON pk.doc_id = d.doc_id"""
+DOCS_QUERIES["segment_dedup"] = q_segment_dedup
+
+
+# ---------------------------------------------------- sequence packing
+
+PACK_BUDGET = 64
+PACK_GROUPS = 8
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy fixed-budget sequence packing — docs sharded into streams,
+    each stream packed in doc_id order (see functions/text.pack_sequences).
+    Non-SQL-native semantics, so the oracle replays the greedy walk with a
+    recursive CTE (bounded by the longest stream)."""
+    from .functions.text import pack_sequences
+
+    return pack_sequences(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        budget=PACK_BUDGET,
+        n_groups=PACK_GROUPS,
+    )
+
+
+DOCS_ORACLE["pack_sequences"] = rf"""WITH RECURSIVE lt AS (
+  SELECT doc_id, CAST(doc_id % {PACK_GROUPS} AS BIGINT) AS grp,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+base AS (
+  SELECT doc_id, grp, n_tokens,
+         row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+  FROM lt),
+walk AS (
+  SELECT doc_id, grp, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS "offset",
+         n_tokens AS acc
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.doc_id, b.grp, b.n_tokens, b.rn,
+         CASE WHEN w.acc + b.n_tokens > {PACK_BUDGET}
+              THEN w.seq_id + 1 ELSE w.seq_id END,
+         CASE WHEN w.acc + b.n_tokens > {PACK_BUDGET}
+              THEN CAST(0 AS BIGINT) ELSE w.acc END,
+         CASE WHEN w.acc + b.n_tokens > {PACK_BUDGET}
+              THEN b.n_tokens ELSE w.acc + b.n_tokens END
+  FROM walk w JOIN base b ON b.grp = w.grp AND b.rn = w.rn + 1)
+SELECT doc_id, grp, seq_id, "offset", n_tokens FROM walk"""
+DOCS_QUERIES["pack_sequences"] = q_pack_sequences

@@ -497,3 +497,74 @@ def dedup_clusters(
             (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("keep"),
         )
     )
+
+
+def segment_dedup(documents: DataFrame, width: int = 8) -> DataFrame:
+    """CCNet-style exact segment-level dedup (Wenzek et al. 2020 dedup
+    paragraphs across shards; the synthetic corpus has no newlines, so
+    the unit here is a fixed ``width``-token window — the same shared
+    tokenizer contract as every other text op).
+
+    Every occurrence of a duplicated segment EXCEPT the first — first =
+    smallest (doc_id, seg_no) — is removed, and each doc's surviving
+    segments are re-joined in order. Returns one row per input doc:
+    DataFrame[doc_id, n_segs, n_kept, text_dedup] (text_dedup = '' when
+    every segment was a repeat).
+
+    Plan: tokenize → posexplode → groupBy (doc, seg) to build segment
+    strings (sort_array over in-segment positions — bounded by ``width``,
+    never by doc length) → global first-occurrence via a segment-text
+    groupBy-min (NO window over the segment partition: a segment
+    duplicated 10⁹ times at corpus scale becomes one min-aggregate row,
+    not one sort partition) → semi-join back → per-doc ordered re-join.
+    Exact strings and BIGINTs only; nothing float anywhere.
+    """
+    from .text import tokens_col
+
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens_col()).alias("_pos", "_tok")
+    )
+    segs = (
+        toks.withColumn("_seg", (F.col("_pos") / width).cast("long"))
+        .groupBy("doc_id", "_seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_pos", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("_stext")
+        )
+    )
+    first = segs.groupBy("_stext").agg(
+        F.min(F.struct("doc_id", "_seg")).alias("_first")
+    )
+    kept = segs.join(first, "_stext").filter(
+        (F.col("doc_id") == F.col("_first.doc_id"))
+        & (F.col("_seg") == F.col("_first._seg"))
+    )
+    per_doc_kept = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_seg", "_stext"))),
+                lambda s: s["_stext"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    per_doc_all = segs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segs")
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc_all, "doc_id", "left")
+        .join(per_doc_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segs", F.lit(0)).cast("long").alias("n_segs"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )

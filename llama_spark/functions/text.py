@@ -11,6 +11,10 @@ deliberately portable primitives:
 - token→int hash: first 15 hex chars of md5 → 60-bit integer (identical in
   Spark ``conv`` and DuckDB hex-cast)
 - rolling fingerprints: base-3 polynomial over a lag window mod 2^31-1
+
+Sole exception: ``pack_sequences`` — greedy packing is sequential per
+stream by definition, so it runs as one Arrow ``applyInPandas`` over
+(doc_id, n_tokens) pairs (never text), one bounded batch per stream.
 """
 
 from __future__ import annotations
@@ -353,4 +357,66 @@ def content_flags(documents: DataFrame) -> DataFrame:
         d.alias("has_long_digits"),
         u.alias("has_url"),
         (e | d | u).alias("flagged"),
+    )
+
+
+def pack_sequences(
+    documents: DataFrame, budget: int = 256, n_groups: int = 8
+) -> DataFrame:
+    """Greedy fixed-budget sequence packing — the training-data op that
+    turns a document corpus into dense fixed-length model inputs (the
+    "packing" step of every LLM pretraining pipeline; see T5/GPT-style
+    example packing). Returns one row per doc:
+
+        DataFrame[doc_id, grp, seq_id, offset, n_tokens]
+
+    where docs are deterministically sharded into ``n_groups`` streams
+    (grp = doc_id % n_groups), each stream is walked in doc_id order, and
+    a doc is appended to the current sequence unless that would exceed
+    ``budget`` tokens — then a new sequence starts. A doc longer than the
+    budget occupies a sequence alone (truncation is the tokenizer's
+    concern, not the packer's). ``offset`` is the doc's start position
+    inside its sequence; ``seq_id`` restarts at 0 per group.
+
+    Scale: greedy packing is inherently sequential IN ITS STREAM, so the
+    parallel unit is the stream — ``n_groups`` scales with the corpus
+    (100 TB → tens of thousands of groups, each a bounded pandas batch in
+    one ``applyInPandas`` task); only the (doc_id, n_tokens) PAIRS move,
+    never text. The per-group loop is O(docs in group) numpy, no Python
+    per-row in the token path (token counts come from the shared Catalyst
+    tokenizer).
+    """
+    tc = documents.select(
+        "doc_id",
+        (F.col("doc_id") % n_groups).cast("long").alias("grp"),
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs, offs = [], []
+        seq, acc = 0, 0
+        for i, t in enumerate(pdf["n_tokens"]):
+            t = int(t)
+            if i > 0 and acc + t > budget:
+                seq += 1
+                acc = 0
+            offs.append(acc)
+            seqs.append(seq)
+            acc += t
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "grp": pdf["grp"],
+                "seq_id": pd.Series(seqs, dtype="int64"),
+                "offset": pd.Series(offs, dtype="int64"),
+                "n_tokens": pdf["n_tokens"],
+            }
+        )
+
+    return tc.groupBy("grp").applyInPandas(
+        pack,
+        schema="doc_id long, grp long, seq_id long, `offset` long, n_tokens long",
     )

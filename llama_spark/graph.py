@@ -294,3 +294,53 @@ def rich_club(edges: DataFrame, ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32)) -> D
         ).alias("r")
     ).select("r.k", "r.n_rich", "r.e_rich", "r.phi")
     return rows
+
+
+def degree_powerlaw(edges: DataFrame, d_min: int = 4) -> DataFrame:
+    """ONE row [d_min, n_tail, alpha] — the Hill maximum-likelihood
+    estimate of the power-law exponent of the undirected degree tail
+    (Clauset/Shalizi/Newman 2009 eq. 3.1, continuous approximation):
+
+        α = 1 + n / Σ_{d_i ≥ d_min} ln(d_i / d_min)
+
+    the standard scale-free diagnostic for web link graphs (reference
+    context: LLAMA's degree tooling stops at the histogram,
+    tools/degree_distribution; this is the model fit ON that histogram).
+
+    Plan: the degree aggregate collapses to the DISTINCT-degree histogram
+    first (≤ max-degree rows — hundreds, not |V|), so the float ln enters
+    once per distinct degree, weighted by an exact BIGINT count.
+    α is NULL when every tail degree equals d_min (zero log-mass).
+    """
+    und = drop_self_loops(undirected_ordered(edges)).dropDuplicates([SRC, DST])
+    deg = (
+        und.select(F.col(SRC).alias("id"))
+        .unionAll(und.select(F.col(DST).alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    hist = (
+        deg.filter(F.col("d") >= d_min)
+        .groupBy("d")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        hist.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("_n"),
+            F.sum(
+                F.col("c")
+                * F.log(F.col("d").cast("double") / F.lit(float(d_min)))
+            ).alias("_lm"),
+        )
+        .select(
+            F.lit(d_min).cast("long").alias("d_min"),
+            F.col("_n").alias("n_tail"),
+            F.round(
+                F.when(
+                    F.col("_lm") > 0.0,
+                    F.lit(1.0) + F.col("_n").cast("double") / F.col("_lm"),
+                ),
+                6,
+            ).alias("alpha"),
+        )
+    )

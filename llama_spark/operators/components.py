@@ -626,3 +626,72 @@ def louvain_multilevel(
     nodes.unpersist()
     deg.unpersist()
     return assign
+
+
+def modularity_weighted(
+    edges: DataFrame,
+    communities: DataFrame,
+    label_col: str = "label",
+    weight_col: str = "weight",
+    weight_resolution: int = 128,
+) -> DataFrame:
+    """Weighted Newman modularity of a community assignment — ONE row
+    [modularity: double]; the objective ``louvain_communities(...,
+    weight_col=...)`` climbs, scored exactly:
+
+        Q_w = Σ_c [ W_intra_c / W  −  (S_c / W)² ]
+
+    over the symmetrized QUANTIZED view (ŵ = floor(w·res)+1 per canonical
+    pair, max over directions — the exact-integer convention shared with
+    weighted Louvain / weighted walks, so every term is a BIGINT until
+    the final per-community division, rounded to 6 dp). W = total
+    symmetrized mass, W_intra_c = intra-community mass (both directions),
+    S_c = Σ_{v∈c} strength(v).
+
+    Plan: identical join shape to ``modularity()`` — two V-row dictionary
+    joins (shuffle-hash hinted) tag the E-row symmetric table, then two
+    map-side-combinable groupBys; one pass, no iteration.
+    """
+    pair = (
+        drop_self_loops(edges)
+        .select(
+            F.least(SRC, DST).alias(SRC),
+            F.greatest(SRC, DST).alias(DST),
+            F.col(weight_col).cast("double").alias("_wd"),
+        )
+        .groupBy(SRC, DST)
+        .agg(
+            (
+                F.floor(F.max("_wd") * F.lit(float(weight_resolution))).cast("long")
+                + F.lit(1).cast("long")
+            ).alias("w")
+        )
+    )
+    und_w = pair.unionByName(
+        pair.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "w")
+    )
+    lab = communities.select("id", F.col(label_col).alias("_c"))
+    lab_h = lab.hint("shuffle_hash")
+    deg = und_w.groupBy(F.col(SRC).alias("id")).agg(F.sum("w").alias("_k"))
+    wtot = und_w.agg(F.sum("w").alias("_w2"))
+    tagged = und_w.join(
+        lab_h.withColumnRenamed("id", SRC).withColumnRenamed("_c", "_ca"), SRC
+    ).join(lab_h.withColumnRenamed("id", DST).withColumnRenamed("_c", "_cb"), DST)
+    intra = (
+        tagged.filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("_c"))
+        .agg(F.sum("w").alias("_intra"))
+    )
+    ssum = lab.join(deg, "id").groupBy("_c").agg(F.sum("_k").alias("_sc"))
+    return (
+        ssum.join(intra, "_c", "left")
+        .crossJoin(F.broadcast(wtot))
+        .select(
+            (
+                F.coalesce("_intra", F.lit(0)).cast("double") / F.col("_w2")
+                - (F.col("_sc").cast("double") / F.col("_w2"))
+                * (F.col("_sc").cast("double") / F.col("_w2"))
+            ).alias("_t")
+        )
+        .agg(F.round(F.sum("_t"), 6).alias("modularity"))
+    )

@@ -145,3 +145,57 @@ def link_prediction_scores(
             F.desc("adamic_adar"), F.asc("a"), F.asc("b")
         ).limit(top_k)
     return out
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    mode: str = "cocitation",
+    top_k: int | None = 25,
+    hub_cap: int | None = None,
+) -> DataFrame:
+    """Directed co-citation / bibliographic coupling — the two classic
+    web-link-graph projections (Small 1973; Kessler 1963) the reference's
+    directed edge lists support but never name:
+
+    * ``mode="cocitation"``: strength(a, b) = #{w : w→a AND w→b} — pages
+      CITED TOGETHER (pivot at the citing page w). The bipartite
+      projection of the (source × target) incidence onto targets.
+    * ``mode="coupling"``: strength(a, b) = #{w : a→w AND b→w} — pages
+      CITING the same targets (pivot at the cited page w); the projection
+      onto sources.
+
+    Returns DataFrame[a, b, strength] with a < b, ordered (strength desc,
+    a, b), ``top_k`` rows (None = all pairs).
+
+    Plan: one self-equi-join of the deduped directed edge table on the
+    pivot column with (a < b), then a pair groupBy — exactly the wedge
+    join class of ``link_prediction_scores``/``four_cycle_count``, so the
+    same skew law applies: a pivot of degree d emits C(d, 2) pair rows.
+    ``hub_cap`` drops pivots with out-fan > cap (co-citation by a hub
+    directory page carries no signal anyway — the standard df-cap
+    argument of functions/dedup.py's n-gram joiner); capped strengths are
+    documented lower bounds. The oracle gate runs uncapped. Exact BIGINT
+    counts end-to-end; no floats anywhere.
+    """
+    if mode not in ("cocitation", "coupling"):
+        raise ValueError(f"mode must be cocitation|coupling, got {mode!r}")
+    pivot, leaf = (SRC, DST) if mode == "cocitation" else (DST, SRC)
+    e = (
+        drop_self_loops(edges.select(SRC, DST))
+        .dropDuplicates([SRC, DST])
+        .select(F.col(pivot).alias("_w"), F.col(leaf).alias("_x"))
+    )
+    if hub_cap is not None:
+        fan = e.groupBy("_w").agg(F.count("*").alias("_d"))
+        e = e.join(
+            fan.filter(F.col("_d") <= hub_cap).select("_w"), "_w", "left_semi"
+        )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a._w") == F.col("b._w")) & (F.col("a._x") < F.col("b._x")))
+        .groupBy(F.col("a._x").alias("a"), F.col("b._x").alias("b"))
+        .agg(F.count("*").cast("long").alias("strength"))
+    )
+    if top_k is not None:
+        pairs = pairs.orderBy(F.desc("strength"), F.asc("a"), F.asc("b")).limit(top_k)
+    return pairs

@@ -794,9 +794,9 @@ def _truss_sql() -> str:
     )
 
 
-def _coreness_sql() -> str:
+def _coreness_sql(edges_sql: str = EDGES_SQL) -> str:
     ctes = [
-        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"edges AS MATERIALIZED ({edges_sql})",
         f"und AS MATERIALIZED ({UND_SQL})",
         "c0 AS MATERIALIZED (SELECT src AS id, COUNT(*) AS c FROM und GROUP BY src)",
     ]
@@ -2936,3 +2936,36 @@ SELECT CAST({POWERLAW_DMIN} AS BIGINT) AS d_min, n AS n_tail,
        CASE WHEN lm > 0e0 THEN ROUND(1e0 + CAST(n AS DOUBLE) / lm, 6) END AS alpha
 FROM aggd"""
 QUERIES["degree_powerlaw"] = q_degree_powerlaw
+
+
+# ----------------------------------------------- decremental coreness
+
+CORE_SUB_SQL = f"""
+  SELECT src, dst FROM ({EDGES_SQL}) WHERE src % 2 = 0 AND dst % 2 = 0
+"""
+CORE_DEL_MOD = 10
+
+
+def q_coreness_decremental(spark, sf_dir):
+    """Core maintenance under edge DELETIONS: a cheap truncated prior run
+    (3 h-index rounds on the even-node subgraph — a pointwise upper bound
+    of its core numbers, hence also of the reduced graph's) warm-starts
+    the descent on the graph minus a deterministic 10% deletion batch.
+    The oracle is the plain cold unrolled decomposition of the reduced
+    graph, so any warm-start shortcut that changed the fixpoint would
+    hash-mismatch (the cc_incremental convention, pointed at deletes)."""
+    from .operators.kcore import coreness
+
+    sub = load_edges(spark, sf_dir).filter(
+        (F.col("src") % 2 == 0) & (F.col("dst") % 2 == 0)
+    )
+    kept = sub.filter((F.col("src") * 31 + F.col("dst")) % CORE_DEL_MOD != 0)
+    prior = coreness(sub, rounds=3)
+    return coreness(kept, initial=prior)
+
+
+ORACLE["coreness_decremental"] = _coreness_sql(
+    f"SELECT src, dst FROM ({CORE_SUB_SQL}) "
+    f"WHERE (src * 31 + dst) % {CORE_DEL_MOD} <> 0"
+)
+QUERIES["coreness_decremental"] = q_coreness_decremental

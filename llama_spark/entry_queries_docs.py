@@ -1095,3 +1095,41 @@ walk AS (
   FROM walk w JOIN base b ON b.grp = w.grp AND b.rn = w.rn + 1)
 SELECT doc_id, grp, seq_id, "offset", n_tokens FROM walk"""
 DOCS_QUERIES["pack_sequences"] = q_pack_sequences
+
+
+# ------------------------------------- graph × embeddings feature join
+
+NMEAN_DIMS = 8
+
+
+def q_neighbor_features(spark, sf_dir):
+    """GraphSAGE-style 1-hop mean feature aggregation — the link graph
+    joined to the embedding table, element-wise neighbor means in long
+    (id, dim, mean_val) format."""
+    from .entry_queries import load_edges
+    from .functions.similarity import neighbor_mean_embeddings
+
+    return neighbor_mean_embeddings(
+        load_edges(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        dims=NMEAN_DIMS,
+    )
+
+
+def _neighbor_features_sql() -> str:
+    from .entry_queries import EDGES_SQL
+
+    return f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+emb AS (SELECT vec_id, embedding[1:{NMEAN_DIMS}] AS e FROM embeddings),
+comp AS (
+  SELECT g.src AS id,
+         generate_subscripts(m.e, 1) - 1 AS dim,
+         unnest(m.e) AS val
+  FROM edges g JOIN emb m ON m.vec_id = g.dst)
+SELECT id, CAST(dim AS BIGINT) AS dim,
+       ROUND(SUM(CAST(val AS DOUBLE)) / COUNT(*), 6) AS mean_val
+FROM comp GROUP BY id, dim"""
+
+
+DOCS_ORACLE["neighbor_features"] = _neighbor_features_sql()
+DOCS_QUERIES["neighbor_features"] = q_neighbor_features

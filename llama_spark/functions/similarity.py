@@ -371,3 +371,49 @@ def ivf_ann(
     )
     base.unpersist()
     return out
+
+
+def neighbor_mean_embeddings(
+    edges: DataFrame,
+    embeddings: DataFrame,
+    dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """GraphSAGE-style 1-hop mean aggregation (Hamilton et al. 2017) —
+    the feature-propagation step that fuses the LINK GRAPH with the
+    EMBEDDING table: for every node u, the element-wise mean of the
+    embedding vectors of u's out-neighbors that have one.
+
+    Returns LONG format — DataFrame[id, dim, mean_val] (dim 0-based over
+    the first ``dims`` components, mean rounded to 6 dp) — because a
+    per-node array column would hash fragilely across engines, and the
+    long shape is what a downstream training join wants anyway.
+
+    Plan: one E-row equi-join against the V-row embedding dictionary
+    (shuffle-hash hinted — the E side streams), THEN a ``dims``-wide
+    posexplode (E·dims rows, fully distributed), then one map-side-
+    combinable (node, dim) sum/count aggregate. A degree-d hub is d·dims
+    rows spread across partitions — no per-node list ever materializes,
+    so there is no skew cliff. Floats are cast to double once before
+    summing; the 6-dp round absorbs cross-engine sum-order ULPs (the
+    adamic_adar / modularity precedent).
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("_v"), F.slice(F.col(vec_col), 1, dims).alias("_e")
+    ).hint("shuffle_hash")
+    joined = edges.select("src", "dst").join(
+        emb, edges["dst"] == emb["_v"]
+    )
+    comp = joined.select(
+        F.col("src").alias("id"), F.posexplode("_e").alias("dim", "_val")
+    )
+    return (
+        comp.groupBy("id", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("_val").cast("double")) / F.count("*"), 6
+            ).alias("mean_val")
+        )
+        .select("id", F.col("dim").cast("long").alias("dim"), "mean_val")
+    )

@@ -117,6 +117,7 @@ def coreness(
     edges: DataFrame,
     rounds: int | None = None,
     max_iter: int = 100,
+    initial: DataFrame | None = None,
 ) -> DataFrame:
     """DataFrame[id, coreness] — the FULL core decomposition (every node's
     core number), via the h-index fixpoint: c₀(v) = deg(v);
@@ -133,6 +134,10 @@ def coreness(
 
     ``rounds`` forces a fixed round count (SQL-oracle-portable mode, like
     ``k_core``); ``rounds=None`` iterates until no value changes.
+    ``initial`` warm-starts the descent from a prior [id, coreness] —
+    valid whenever the prior is a pointwise UPPER bound of the true core
+    numbers (always true after edge DELETIONS, and for any truncated
+    prior run), converging to the identical fixpoint in fewer rounds.
 
     **Delta iteration** (tail-round filter): h(v) can only change when some
     neighbor's value changed last round, so tail rounds recompute h ONLY
@@ -162,11 +167,26 @@ def coreness(
 
     und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
     m_edges = und.count()
-    c = (
-        und.groupBy(F.col(SRC).alias("id"))
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("c"))
+    if initial is None:
+        c = deg.localCheckpoint(eager=True)
+    else:
+        # warm start from ANY pointwise upper bound of the true core
+        # numbers (h-index descent is monotone from above — Lü et al.
+        # 2016): tighten with the degree bound, fall back to degree for
+        # nodes the prior never saw. The DECREMENTAL maintenance path:
+        # after edge deletions the old coreness is such a bound.
+        init = initial.select(
+            "id", F.col(initial.columns[1]).cast("long").alias("_ci")
+        )
+        c = (
+            deg.join(init, "id", "left")
+            .select(
+                "id",
+                F.least(F.coalesce("_ci", F.col("c")), F.col("c")).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
     n = c.count()  # checkpointed — near-free; drives the join-side policy
     # max degree bounds |affected| ≤ changed · max_deg a priori (c0 = degree)
     max_deg = int(c.agg(F.max("c")).collect()[0][0] or 0)

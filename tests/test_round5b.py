@@ -246,3 +246,60 @@ def test_pack_sequences(spark):
     assert got == model
     # doc 3 exceeds the budget → it sits alone at offset 0 of its sequence
     assert got[3][2] == 0
+
+
+# ------------------------------------------- neighbor feature aggregation
+
+def test_neighbor_mean_embeddings(spark):
+    from llama_spark.functions.similarity import neighbor_mean_embeddings
+
+    edges = edges_df(spark, [(0, 1), (0, 2), (1, 2), (2, 9)])  # 9 has no emb
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (2, [3.0, 4.0, 5.0]),
+            (0, [9.0, 9.0, 9.0]),  # nobody points at 0 → unused
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id"], r["dim"]): r["mean_val"]
+        for r in neighbor_mean_embeddings(edges, emb, dims=2).collect()
+    }
+    # node 0 averages emb(1), emb(2); node 1 sees emb(2); node 2's only
+    # neighbor (9) has no embedding → absent
+    assert got == {
+        (0, 0): 2.0, (0, 1): 3.0,
+        (1, 0): 3.0, (1, 1): 4.0,
+    }
+
+
+# --------------------------------------------------- decremental coreness
+
+def test_coreness_decremental_warm_start(spark):
+    from llama_spark.operators.kcore import coreness
+
+    # K5 (coreness 4) + pendant path; delete two K5 edges → inner core drops
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    extra = [(4, 5), (5, 6)]
+    full = edges_df(spark, k5 + extra)
+    kept = edges_df(spark, [e for e in k5 if e not in [(0, 1), (2, 3)]] + extra)
+
+    prior = coreness(full, rounds=3)
+    warm = {r["id"]: r["coreness"] for r in coreness(kept, initial=prior).collect()}
+    cold = {r["id"]: r["coreness"] for r in coreness(kept).collect()}
+    assert warm == cold
+
+
+def test_coreness_initial_ignores_understated_nodes_via_degree_cap(spark):
+    """A prior that OVERSHOOTS (e.g. stale values way above the new
+    degrees) must still converge to the exact decomposition — the degree
+    cap and the first h-round pull it down."""
+    from llama_spark.operators.kcore import coreness
+
+    tri = edges_df(spark, [(0, 1), (1, 2), (2, 0), (2, 3)])
+    stale = spark.createDataFrame(
+        [(0, 99), (1, 99), (2, 99), (3, 99)], "id long, coreness long"
+    )
+    warm = {r["id"]: r["coreness"] for r in coreness(tri, initial=stale).collect()}
+    assert warm == {0: 2, 1: 2, 2: 2, 3: 1}

@@ -1133,3 +1133,39 @@ FROM comp GROUP BY id, dim"""
 
 DOCS_ORACLE["neighbor_features"] = _neighbor_features_sql()
 DOCS_QUERIES["neighbor_features"] = q_neighbor_features
+
+
+# ------------------------------------------------- ANN recall meta-gate
+
+
+def q_ivf_recall(spark, sf_dir):
+    """Recall@k of the IVF-Flat index against brute-force cosine truth on
+    the same query set — the ANN quality knob measured, not asserted.
+    Composes the two already-gated pipelines; the oracle composes their
+    SQL the same way."""
+    from .functions.similarity import ann_recall
+
+    return ann_recall(
+        q_cosine_topk(spark, sf_dir), q_ivf_ann(spark, sf_dir)
+    )
+
+
+def _ivf_recall_sql() -> str:
+    truth = DOCS_ORACLE["cosine_topk"]
+    appr = DOCS_ORACLE["ivf_ann"]
+    return f"""WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({truth}) t),
+appr AS (
+  SELECT query_id, neighbor_id FROM ({appr}) a),
+hit AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+        FROM truth JOIN appr USING (query_id, neighbor_id)),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_pairs FROM truth)
+SELECT t.truth_pairs, h.hits,
+       ROUND(CAST(h.hits AS DOUBLE)
+             / (CASE WHEN t.truth_pairs > 0 THEN t.truth_pairs END), 6)
+         AS recall
+FROM tot t, hit h"""
+
+
+DOCS_ORACLE["ivf_recall"] = _ivf_recall_sql()
+DOCS_QUERIES["ivf_recall"] = q_ivf_recall

@@ -417,3 +417,32 @@ def neighbor_mean_embeddings(
         )
         .select("id", F.col("dim").cast("long").alias("dim"), "mean_val")
     )
+
+
+def ann_recall(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """ONE row [truth_pairs, hits, recall] — retrieval recall of an
+    approximate neighbor list against an exact one: the fraction of
+    ground-truth (query_id, neighbor_id) pairs the approximate index
+    returned. THE quality metric for the ANN family ("measure, don't
+    guess" — the recall knob claims of lsh_ann/ivf_ann become a gated
+    number instead of a docstring assertion).
+
+    Plan: one equi-join on (query_id, neighbor_id) + two count
+    aggregates — both sides are k·|queries| rows (tiny, driver-bounded),
+    so this costs nothing beyond the two input pipelines.
+    """
+    t = truth.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hit = t.join(a, ["query_id", "neighbor_id"]).agg(
+        F.count("*").cast("long").alias("hits")
+    )
+    tot = t.agg(F.count("*").cast("long").alias("truth_pairs"))
+    return tot.crossJoin(hit).select(
+        "truth_pairs",
+        "hits",
+        F.round(
+            F.col("hits").cast("double")
+            / F.when(F.col("truth_pairs") > 0, F.col("truth_pairs")),
+            6,
+        ).alias("recall"),
+    )

@@ -2969,3 +2969,75 @@ ORACLE["coreness_decremental"] = _coreness_sql(
     f"WHERE (src * 31 + dst) % {CORE_DEL_MOD} <> 0"
 )
 QUERIES["coreness_decremental"] = q_coreness_decremental
+
+
+# ------------------------------------------------- truss decomposition
+
+TRUSS_UNROLL = 4
+
+
+def q_trussness(spark, sf_dir):
+    """Full truss decomposition — per-edge max k with the edge in the
+    k-truss, via the local h-index descent (fixed-round portable mode;
+    converged rounds are no-ops on both sides)."""
+    from .operators.truss import trussness
+
+    return trussness(load_edges(spark, sf_dir), rounds=TRUSS_UNROLL)
+
+
+def _trussness_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        """canon AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM edges WHERE src <> dst)""",
+        """tri AS MATERIALIZED (
+  SELECT a.src AS u, a.dst AS v, b.dst AS w
+  FROM canon a JOIN canon b ON b.src = a.dst
+  JOIN canon c ON c.src = a.src AND c.dst = b.dst)""",
+        """t0 AS MATERIALIZED (
+  SELECT e.src, e.dst, CAST(COALESCE(s.t, 0) AS BIGINT) AS t
+  FROM canon e LEFT JOIN (
+    SELECT src, dst, COUNT(*) AS t FROM (
+      SELECT u AS src, v AS dst FROM tri
+      UNION ALL SELECT v AS src, w AS dst FROM tri
+      UNION ALL SELECT u AS src, w AS dst FROM tri)
+    GROUP BY src, dst) s ON s.src = e.src AND s.dst = e.dst)""",
+    ]
+    for i in range(1, TRUSS_UNROLL + 1):
+        p = f"t{i-1}"
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT p.src, p.dst, LEAST(p.t, COALESCE(h.h, p.t)) AS t
+  FROM {p} p LEFT JOIN (
+    SELECT src, dst, MAX(LEAST(level, cum)) AS h FROM (
+      SELECT src, dst, level,
+             SUM(cnt) OVER (PARTITION BY src, dst ORDER BY level DESC) AS cum
+      FROM (
+        SELECT src, dst, level, COUNT(*) AS cnt FROM (
+          SELECT tr.u AS src, tr.v AS dst, LEAST(t2.t, t3.t) AS level
+          FROM tri tr
+          JOIN {p} t2 ON t2.src = tr.v AND t2.dst = tr.w
+          JOIN {p} t3 ON t3.src = tr.u AND t3.dst = tr.w
+          UNION ALL
+          SELECT tr.v AS src, tr.w AS dst, LEAST(t1.t, t3.t) AS level
+          FROM tri tr
+          JOIN {p} t1 ON t1.src = tr.u AND t1.dst = tr.v
+          JOIN {p} t3 ON t3.src = tr.u AND t3.dst = tr.w
+          UNION ALL
+          SELECT tr.u AS src, tr.w AS dst, LEAST(t1.t, t2.t) AS level
+          FROM tri tr
+          JOIN {p} t1 ON t1.src = tr.u AND t1.dst = tr.v
+          JOIN {p} t2 ON t2.src = tr.v AND t2.dst = tr.w
+        ) GROUP BY src, dst, level)
+    ) GROUP BY src, dst
+  ) h ON h.src = p.src AND h.dst = p.dst)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT src, dst, t + 2 AS trussness FROM t{TRUSS_UNROLL}"
+    )
+
+
+ORACLE["trussness"] = _trussness_sql()
+QUERIES["trussness"] = q_trussness

@@ -117,3 +117,163 @@ def k_truss(
         e.unpersist()
         return out
     return e
+
+
+def trussness(
+    edges: DataFrame,
+    rounds: int | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """DataFrame[src, dst, trussness] (src < dst) — the FULL truss
+    decomposition: for every edge, the maximum k such that the edge
+    survives in the k-truss. The edge-level sibling of ``coreness`` and
+    the converged form of ``k_truss``'s single level.
+
+    Local h-index fixpoint (Sariyüce/Seshadhri/Pinar 2017 local truss
+    decomposition; the same monotone-descent family as Lü et al.'s
+    coreness iteration): t₀(e) = support(e); each round, every triangle
+    {e,f,g} offers e the level min(t(f), t(g)), and
+
+        t_{r+1}(e) = min(t_r(e), H({level of each triangle on e}))
+
+    which descends exactly to trussness(e) − 2; edges on no triangle stay
+    at 0. All integers — the DuckDB oracle unrolls identical rounds.
+
+    Scale shape per round: the triangle table (u,v,w) is enumerated ONCE
+    with the oriented skew-safe join and persisted; each round joins the
+    current E-row value vector to its three sides (three hash joins of
+    the T-row table), explodes each triangle into its 3 (edge, level)
+    offers, and h-indexes them with the coreness window trick — the
+    window holds at most |distinct levels on e| ≤ support(e) rows AFTER a
+    (edge, level) pre-combine, so a 10⁶-triangle edge collapses to its
+    level histogram before anything sorts. 3T offer rows per round is
+    the inherent cost of edge-local truss maintenance.
+    """
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from pyspark.sql import Window
+
+    e = _canonical(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    a, b, c = e.alias("a"), e.alias("b"), e.alias("c")
+    tri = (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .join(
+            c,
+            (F.col("c.src") == F.col("a.src")) & (F.col("c.dst") == F.col("b.dst")),
+        )
+        .select(
+            F.col("a.src").alias("u"),
+            F.col("a.dst").alias("v"),
+            F.col("b.dst").alias("w"),
+        )
+        .repartition(p, "u")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_tri = tri.count()
+
+    supp = (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias(SRC), F.col("v").alias(DST)),
+                    F.struct(F.col("v").alias(SRC), F.col("w").alias(DST)),
+                    F.struct(F.col("u").alias(SRC), F.col("w").alias(DST)),
+                )
+            ).alias("s")
+        )
+        .select("s.src", "s.dst")
+        .groupBy(SRC, DST)
+        .agg(F.count("*").alias("t"))
+    )
+    t = (
+        e.join(supp, [SRC, DST], "left")
+        .select(SRC, DST, F.coalesce("t", F.lit(0)).cast("long").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    if n_tri == 0:
+        e.unpersist()
+        tri.unpersist()
+        return t.select(SRC, DST, (F.col("t") + F.lit(2)).alias("trussness"))
+
+    w = Window.partitionBy(SRC, DST).orderBy(F.desc("level"))
+    limit = rounds if rounds is not None else max_iter
+    prev_cached = None
+    for _i in range(limit):
+        t1 = t.select(F.col(SRC).alias("u"), F.col(DST).alias("v"), F.col("t").alias("_t1"))
+        t2 = t.select(F.col(SRC).alias("v"), F.col(DST).alias("w"), F.col("t").alias("_t2"))
+        t3 = t.select(F.col(SRC).alias("u"), F.col(DST).alias("w"), F.col("t").alias("_t3"))
+        offers = (
+            tri.join(t1, ["u", "v"])
+            .join(t2, ["v", "w"])
+            .join(t3, ["u", "w"])
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("u").alias(SRC), F.col("v").alias(DST),
+                            F.least("_t2", "_t3").alias("level"),
+                        ),
+                        F.struct(
+                            F.col("v").alias(SRC), F.col("w").alias(DST),
+                            F.least("_t1", "_t3").alias("level"),
+                        ),
+                        F.struct(
+                            F.col("u").alias(SRC), F.col("w").alias(DST),
+                            F.least("_t1", "_t2").alias("level"),
+                        ),
+                    )
+                ).alias("o")
+            )
+            .select("o.src", "o.dst", "o.level")
+        )
+        hi = (
+            offers.groupBy(SRC, DST, "level")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("cum", F.sum("cnt").over(w))
+            .groupBy(SRC, DST)
+            .agg(F.max(F.least(F.col("level"), F.col("cum"))).alias("h"))
+        )
+        new_t = (
+            t.join(hi, [SRC, DST], "left")
+            .select(
+                SRC,
+                DST,
+                F.least(
+                    F.col("t"), F.coalesce("h", F.col("t"))
+                ).cast("long").alias("t"),
+                (
+                    F.coalesce("h", F.col("t")) < F.col("t")
+                ).alias("_changed"),
+            )
+        )
+        # State cadence: persist each round, TRUE-truncate with a
+        # localCheckpoint every 4th. This build's localCheckpoint cuts
+        # the SQL plan but recompute still chains through RDD lineage,
+        # and each round references t THREE times — checkpoint-only
+        # cadence therefore recomputes 3^r deep (measured: round walls
+        # 5.6 → 10.2 → 29.5 → 120s on a 5.8k-edge graph). The persist
+        # interleave bounds recompute depth at 4 rounds (measured flat
+        # 1-2s rounds, 16-round convergence in ~50s on the same graph).
+        if _i % 4 == 3:
+            new_t = new_t.localCheckpoint(eager=True)
+            held = None
+        else:
+            new_t = new_t.persist(StorageLevel.MEMORY_AND_DISK)
+            held = new_t
+        changed = int(
+            new_t.agg(F.sum(F.col("_changed").cast("long"))).collect()[0][0] or 0
+        )
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = held
+        t = new_t.select(SRC, DST, "t")
+        if changed == 0:
+            break  # fixpoint — remaining unrolled rounds are no-ops too
+
+    e.unpersist()
+    tri.unpersist()
+    if prev_cached is not None:
+        # hand back a checkpointed frame, never a live CacheManager entry
+        t = t.localCheckpoint(eager=True)
+        prev_cached.unpersist()
+    return t.select(SRC, DST, (F.col("t") + F.lit(2)).alias("trussness"))

@@ -303,3 +303,76 @@ def test_coreness_initial_ignores_understated_nodes_via_degree_cap(spark):
     )
     warm = {r["id"]: r["coreness"] for r in coreness(tri, initial=stale).collect()}
     assert warm == {0: 2, 1: 2, 2: 2, 3: 1}
+
+
+# -------------------------------------------------- truss decomposition
+
+def _trussness_model(pairs):
+    """Brute force: peel for k = 3, 4, ... ; trussness = last k survived."""
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    truss = {e: 2 for e in edges}
+    k = 3
+    cur = set(edges)
+    while cur:
+        changed = True
+        sub = set(cur)
+        while changed:
+            changed = False
+            adj = defaultdict(set)
+            for a, b in sub:
+                adj[a].add(b)
+                adj[b].add(a)
+            drop = {
+                (a, b)
+                for a, b in sub
+                if len(adj[a] & adj[b]) < k - 2
+            }
+            if drop:
+                sub -= drop
+                changed = True
+        for e in sub:
+            truss[e] = k
+        cur = sub
+        k += 1
+    return truss
+
+
+TRUSS_GRAPHS = [
+    # K5 + pendant triangle sharing one vertex + a chain
+    [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    + [(4, 5), (4, 6), (5, 6), (6, 7), (7, 8)],
+    # two K4s sharing an edge
+    [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+     (2, 4), (2, 5), (3, 4), (3, 5), (4, 5)],
+    # triangle-free: star + path
+    [(0, i) for i in range(1, 5)] + [(5, 6), (6, 7)],
+]
+
+
+@pytest.mark.parametrize("pairs", TRUSS_GRAPHS)
+def test_trussness_matches_bruteforce(spark, pairs):
+    from llama_spark.operators.truss import trussness
+
+    got = {
+        (r["src"], r["dst"]): r["trussness"]
+        for r in trussness(edges_df(spark, pairs)).collect()
+    }
+    assert got == _trussness_model(pairs)
+
+
+def test_trussness_consistent_with_k_truss(spark):
+    """Edges with trussness ≥ k must be exactly the k-truss edge set."""
+    from llama_spark.operators.truss import k_truss, trussness
+
+    pairs = TRUSS_GRAPHS[0]
+    t = trussness(edges_df(spark, pairs))
+    for k in (3, 4):
+        via_t = {
+            (r["src"], r["dst"])
+            for r in t.filter(f"trussness >= {k}").collect()
+        }
+        direct = {
+            (r["src"], r["dst"])
+            for r in k_truss(edges_df(spark, pairs), k=k).collect()
+        }
+        assert via_t == direct

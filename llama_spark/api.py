@@ -290,6 +290,34 @@ class GraphSession:
 
         return modularity(self._e(), communities, label_col=label_col)
 
+    def modularity_weighted(
+        self, communities: DataFrame, label_col: str = "label", **kw
+    ) -> DataFrame:
+        """Weighted Newman Q on quantized integer masses
+        (components.modularity_weighted)."""
+        from .operators.components import modularity_weighted
+
+        return modularity_weighted(self._e(), communities, label_col=label_col, **kw)
+
+    def trussness(self, **kw) -> DataFrame:
+        """Full truss decomposition — per-edge max k (truss.trussness)."""
+        from .operators.truss import trussness
+
+        return trussness(self._e(), **kw)
+
+    def cocitation(self, mode: str = "cocitation", **kw) -> DataFrame:
+        """Directed co-citation / bibliographic coupling pair strengths
+        (linkpred.cocitation_pairs)."""
+        from .operators.linkpred import cocitation_pairs
+
+        return cocitation_pairs(self._e(), mode=mode, **kw)
+
+    def degree_powerlaw(self, d_min: int = 4) -> DataFrame:
+        """Hill MLE of the degree-tail exponent (graph.degree_powerlaw)."""
+        from .graph import degree_powerlaw
+
+        return degree_powerlaw(self._e(), d_min=d_min)
+
     def degrees(self) -> DataFrame:
         from .graph import degrees
 

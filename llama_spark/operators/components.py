@@ -318,13 +318,14 @@ def modularity(
         .groupBy(F.col("_ca").alias("_c"))
         .agg(F.count("*").alias("_intra"))
     )
+    # V-row ⨝ V-row: hash, never sort (SMJ otherwise — r5 plan audit)
     dsum = (
-        lab.join(deg, "id")
+        lab.join(deg.hint("shuffle_hash"), "id")
         .groupBy("_c")
         .agg(F.sum("_d").alias("_dc"))
     )
     return (
-        dsum.join(intra, "_c", "left")
+        dsum.join(intra.hint("shuffle_hash"), "_c", "left")
         .crossJoin(F.broadcast(m2))
         .select(
             (
@@ -682,9 +683,14 @@ def modularity_weighted(
         .groupBy(F.col("_ca").alias("_c"))
         .agg(F.sum("w").alias("_intra"))
     )
-    ssum = lab.join(deg, "id").groupBy("_c").agg(F.sum("_k").alias("_sc"))
+    # V-row ⨝ V-row: hash, never sort (SMJ otherwise — r5 plan audit)
+    ssum = (
+        lab.join(deg.hint("shuffle_hash"), "id")
+        .groupBy("_c")
+        .agg(F.sum("_k").alias("_sc"))
+    )
     return (
-        ssum.join(intra, "_c", "left")
+        ssum.join(intra.hint("shuffle_hash"), "_c", "left")
         .crossJoin(F.broadcast(wtot))
         .select(
             (

@@ -204,6 +204,22 @@ def main() -> None:
 
     timed("simhash_pairs", lambda: simhash_near_dup_pairs(docs).count())
 
+    from llama_spark.functions.dedup import segment_dedup
+    from llama_spark.functions.similarity import neighbor_mean_embeddings
+    from llama_spark.operators.linkpred import cocitation_pairs
+    from llama_spark.operators.truss import trussness
+
+    timed("trussness4", lambda: trussness(edges, rounds=4).count())
+    timed(
+        "cocitation_cap64",
+        lambda: cocitation_pairs(edges, top_k=25, hub_cap=64).count(),
+    )
+    timed("segment_dedup", lambda: segment_dedup(docs).count())
+    timed(
+        "neighbor_features_d8",
+        lambda: neighbor_mean_embeddings(edges, emb, dims=8).count(),
+    )
+
     def pages_pipeline() -> None:
         from llama_spark.api import GraphSession
         from llama_spark.sources.pages import generate_pages

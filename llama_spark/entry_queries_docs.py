@@ -1169,3 +1169,55 @@ FROM tot t, hit h"""
 
 DOCS_ORACLE["ivf_recall"] = _ivf_recall_sql()
 DOCS_QUERIES["ivf_recall"] = q_ivf_recall
+
+
+# -------------------------------------------- minhash estimation error
+
+
+def q_minhash_error(spark, sf_dir):
+    """Measured MinHash sketch accuracy: |est − exact Jaccard| over the
+    LSH candidate pairs (mean + worst). The sketch-error sibling of
+    ivf_recall — accuracy claimed by the k=16 signature becomes a gated
+    number."""
+    from .functions.dedup import minhash_estimate_error
+
+    return minhash_estimate_error(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+DOCS_ORACLE["minhash_error"] = DOCS_ORACLE["lsh_candidates"].replace(
+    """SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM band_sig x JOIN band_sig y
+  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id""",
+    """, cands AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM band_sig x JOIN band_sig y
+    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS agree
+  FROM cands c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  GROUP BY c.doc_a, c.doc_b),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b),
+err AS (
+  SELECT ABS(CAST(g.agree AS DOUBLE) / 16
+             - CAST(COALESCE(i.common, 0) AS DOUBLE)
+               / (sa.sz + sb.sz - COALESCE(i.common, 0))) AS e
+  FROM agree g
+  LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+  JOIN sizes sa ON sa.doc_id = g.doc_a
+  JOIN sizes sb ON sb.doc_id = g.doc_b)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(e), 6) AS mae, ROUND(MAX(e), 6) AS max_err
+FROM err""",
+)
+DOCS_QUERIES["minhash_error"] = q_minhash_error

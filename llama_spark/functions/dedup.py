@@ -568,3 +568,74 @@ def segment_dedup(documents: DataFrame, width: int = 8) -> DataFrame:
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
     )
+
+
+def minhash_estimate_error(
+    documents: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """ONE row [n_pairs, mae, max_err] — the measured estimation error of
+    the MinHash sketch against exact shingle Jaccard over the LSH
+    candidate pairs: est = (matching signature components)/k, err =
+    |est − J_exact|. The sketch-accuracy sibling of the ivf_recall gate —
+    the k=16 sketch's ±1/√k error bar becomes a gated number.
+
+    Plan: candidates are the subquadratic LSH set; the signature-match
+    join touches only candidate·k rows and the exact verify only
+    candidate shingle lists — nothing quadratic anywhere. Per-pair values
+    are exact rationals in double; floats only meet at the final
+    mean/max, rounded to 6 dp.
+    """
+    cands = lsh_candidate_pairs(documents, k, bands, n, max_bucket_size)
+    sig = minhash_signatures(documents, k, n)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "i", F.col("minhash").alias("_ma")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "i", F.col("minhash").alias("_mb")
+    )
+    agree = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "i"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("_ma") == F.col("_mb"), 1).otherwise(0)
+            ).alias("_agree")
+        )
+    )
+    sh = shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cands.join(a, cands["doc_a"] == F.col("a.doc_id"))
+        .join(
+            b,
+            (cands["doc_b"] == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sza"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_szb"))
+    err = (
+        agree.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            F.abs(
+                F.col("_agree").cast("double") / F.lit(float(k))
+                - F.coalesce("_common", F.lit(0)).cast("double")
+                / (F.col("_sza") + F.col("_szb") - F.coalesce("_common", F.lit(0)))
+            ).alias("_e")
+        )
+    )
+    return err.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("_e"), 6).alias("mae"),
+        F.round(F.max("_e"), 6).alias("max_err"),
+    )

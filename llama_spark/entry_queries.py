@@ -918,9 +918,9 @@ def _pagerank_top10_sql() -> str:
     )
 
 
-def _cc_sql() -> str:
+def _cc_sql(edges_sql: str = EDGES_SQL) -> str:
     ctes = [
-        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"edges AS MATERIALIZED ({edges_sql})",
         f"nodes AS MATERIALIZED ({NODES_SQL})",
         f"und AS MATERIALIZED ({UND_SQL})",
         "c0 AS MATERIALIZED (SELECT id, id AS component FROM nodes)",
@@ -3041,3 +3041,31 @@ def _trussness_sql() -> str:
 
 ORACLE["trussness"] = _trussness_sql()
 QUERIES["trussness"] = q_trussness
+
+
+# --------------------------------------------------- decremental CC
+
+CC_DEL_MOD = 10
+
+
+def q_cc_decremental(spark, sf_dir):
+    """Component maintenance under edge DELETIONS: only the components a
+    deletion touched are re-solved; every other node keeps its prior
+    label. The oracle is the plain cold unrolled CC on the reduced edge
+    set — any stale label or missed split hash-mismatches."""
+    from .operators.components import (
+        connected_components,
+        connected_components_decremental,
+    )
+
+    edges = load_edges(spark, sf_dir)
+    pred = (F.col("src") * 31 + F.col("dst")) % CC_DEL_MOD == 0
+    kept, deleted = edges.filter(~pred), edges.filter(pred)
+    prior = connected_components(edges)
+    return connected_components_decremental(kept, deleted, prior)
+
+
+ORACLE["cc_decremental"] = _cc_sql(
+    f"SELECT src, dst FROM ({EDGES_SQL}) WHERE (src * 31 + dst) % {CC_DEL_MOD} <> 0"
+)
+QUERIES["cc_decremental"] = q_cc_decremental

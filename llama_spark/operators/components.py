@@ -701,3 +701,53 @@ def modularity_weighted(
         )
         .agg(F.round(F.sum("_t"), 6).alias("modularity"))
     )
+
+
+def connected_components_decremental(
+    kept: DataFrame, deleted: DataFrame, prior: DataFrame
+) -> DataFrame:
+    """DataFrame[id, component] of the graph AFTER edge deletions,
+    recomputing ONLY the components the deletions touched — the
+    delete-side sibling of the ``initial_components`` warm start (which
+    is valid only for INSERTS: hash-min is monotone downward, so labels
+    of a split component can never rise back to the new fixpoint).
+
+    Correctness: an edge never crosses a prior-component boundary, so a
+    deletion can only split WITHIN its prior component; every other
+    component's min-id labeling is untouched. The affected subgraph is
+    re-solved cold; nodes that lost their last edge leave the node set
+    (matching cold CC on the kept edge table, which is defined over
+    nodes_of(kept)).
+
+    Scale shape: the affected set is a broadcast-or-hash semi-join chain
+    (deleted endpoints → prior labels → affected components → member
+    nodes); the cold recompute runs on the affected subgraph only — on a
+    web graph where deletions touch a few domains, that is a vanishing
+    fraction of E. Worst case (a deletion in the giant component) it
+    degrades to one full CC, never worse than cold.
+    """
+    # components whose member set a deletion touched
+    ends = (
+        deleted.select(F.col(SRC).alias("id"))
+        .unionByName(deleted.select(F.col(DST).alias("id")))
+        .distinct()
+    )
+    aff_comps = (
+        prior.join(ends.hint("shuffle_hash"), "id", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    aff_nodes = prior.join(
+        aff_comps.hint("shuffle_hash"), "component", "left_semi"
+    ).select("id")
+    sub = kept.join(
+        aff_nodes.withColumnRenamed("id", SRC).hint("shuffle_hash"),
+        SRC,
+        "left_semi",
+    )
+    resolved = connected_components(sub)
+    untouched = (
+        prior.join(aff_comps.hint("shuffle_hash"), "component", "left_anti")
+        .select("id", "component")
+    )
+    return untouched.unionByName(resolved.select("id", "component"))

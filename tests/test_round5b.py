@@ -376,3 +376,32 @@ def test_trussness_consistent_with_k_truss(spark):
             for r in k_truss(edges_df(spark, pairs), k=k).collect()
         }
         assert via_t == direct
+
+
+# ------------------------------------------------------ decremental CC
+
+def test_cc_decremental_split_and_untouched(spark):
+    from llama_spark.operators.components import (
+        connected_components,
+        connected_components_decremental,
+    )
+
+    # component A: chain 0-1-2-3 (deleting 1-2 splits it);
+    # component B: triangle 10-11-12 (untouched);
+    # node 20-21 edge fully deleted → 20,21 leave the node set
+    full = edges_df(
+        spark, [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21)]
+    )
+    kept = edges_df(spark, [(0, 1), (2, 3), (10, 11), (11, 12), (12, 10)])
+    deleted = edges_df(spark, [(1, 2), (20, 21)])
+
+    prior = connected_components(full)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_decremental(kept, deleted, prior).collect()
+    }
+    cold = {
+        r["id"]: r["component"] for r in connected_components(kept).collect()
+    }
+    assert got == cold
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 10: 10, 11: 10, 12: 10}

@@ -1221,3 +1221,48 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
 FROM err""",
 )
 DOCS_QUERIES["minhash_error"] = q_minhash_error
+
+
+def q_neighbor_features_2hop(spark, sf_dir):
+    """Stacked (2-layer) mean aggregation — each node averages its
+    out-neighbors' 1-hop mean vectors; the GraphSAGE layer-stack shape
+    without learned weights."""
+    from .entry_queries import load_edges
+    from .functions.similarity import neighbor_mean_embeddings
+
+    return neighbor_mean_embeddings(
+        load_edges(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        dims=NMEAN_DIMS,
+        hops=2,
+    )
+
+
+def _neighbor_features_2hop_sql() -> str:
+    from .entry_queries import EDGES_SQL
+
+    return f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+emb AS (SELECT vec_id, embedding[1:{NMEAN_DIMS}] AS e FROM embeddings),
+comp AS (
+  SELECT g.src AS id,
+         generate_subscripts(m.e, 1) - 1 AS dim,
+         unnest(m.e) AS val
+  FROM edges g JOIN emb m ON m.vec_id = g.dst),
+h1 AS MATERIALIZED (
+  SELECT id, CAST(dim AS BIGINT) AS dim,
+         ROUND(SUM(CAST(val AS DOUBLE)) / COUNT(*), 6) AS mean_val
+  FROM comp GROUP BY id, dim),
+h1i AS (SELECT id, dim, CAST(ROUND(mean_val * 1e6) AS BIGINT) AS pv FROM h1),
+agg2 AS (
+  SELECT g.src AS id, p.dim,
+         CAST(SUM(p.pv) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM edges g JOIN h1i p ON p.id = g.dst
+  GROUP BY g.src, p.dim)
+SELECT id, dim,
+       CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+            * ((abs(s) * 2 + c) // (2 * c)) AS DOUBLE) / 1e6 AS mean_val
+FROM agg2"""
+
+
+DOCS_ORACLE["neighbor_features_2hop"] = _neighbor_features_2hop_sql()
+DOCS_QUERIES["neighbor_features_2hop"] = q_neighbor_features_2hop

@@ -405,3 +405,21 @@ def test_cc_decremental_split_and_untouched(spark):
     }
     assert got == cold
     assert got == {0: 0, 1: 0, 2: 2, 3: 2, 10: 10, 11: 10, 12: 10}
+
+
+def test_neighbor_mean_embeddings_2hop(spark):
+    from llama_spark.functions.similarity import neighbor_mean_embeddings
+
+    # 0→1→2, 1→2: h1(1)=emb(2); h1(0)=mean(emb(1),emb(2)); h2(0)=h1(1)
+    edges = edges_df(spark, [(0, 1), (0, 2), (1, 2)])
+    emb = spark.createDataFrame(
+        [(1, [2.0, 4.0]), (2, [6.0, 8.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id"], r["dim"]): r["mean_val"]
+        for r in neighbor_mean_embeddings(edges, emb, dims=2, hops=2).collect()
+    }
+    # h2(0) = mean over {h1(1), h1(2)} — but node 2 has no out-neighbors
+    # so it has no h1 row → h2(0) averages h1(1) alone = emb(2)
+    assert got == {(0, 0): 6.0, (0, 1): 8.0}

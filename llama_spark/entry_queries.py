@@ -3069,3 +3069,58 @@ ORACLE["cc_decremental"] = _cc_sql(
     f"SELECT src, dst FROM ({EDGES_SQL}) WHERE (src * 31 + dst) % {CC_DEL_MOD} <> 0"
 )
 QUERIES["cc_decremental"] = q_cc_decremental
+
+
+# ------------------------------------------- weighted multi-root closeness
+
+WSSSP_UNROLL = 16
+WALK_WQ = "CAST(FLOOR((1e0 + ((src*31 + dst) % 100)/100e0) * 128e0) + 1 AS BIGINT)"
+
+
+def q_weighted_closeness(spark, sf_dir):
+    """Closeness over WEIGHTED shortest paths for the sampled root set —
+    one multi-root Bellman-Ford wave (integer-quantized weights, so every
+    distance and distance-sum is an exact BIGINT on both engines)."""
+    from .graph import with_synthetic_weights
+    from .operators.traversal import weighted_closeness_centrality
+
+    return weighted_closeness_centrality(
+        with_synthetic_weights(load_edges(spark, sf_dir)),
+        roots=CLOSE_ROOTS,
+        max_iter=WSSSP_UNROLL,
+    )
+
+
+def _weighted_closeness_sql() -> str:
+    roots = ", ".join(f"({r}, {r}, 0)" for r in sorted(set(CLOSE_ROOTS)))
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"""relw AS MATERIALIZED (
+  SELECT src, dst, MIN({WALK_WQ}) AS w
+  FROM edges WHERE src <> dst GROUP BY src, dst)""",
+        f"s0(root, id, dist) AS (VALUES {roots})",
+    ]
+    for i in range(1, WSSSP_UNROLL + 1):
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT root, id, MIN(dist) AS dist FROM (
+    SELECT root, id, dist FROM s{i-1}
+    UNION ALL
+    SELECT p.root, u.dst AS id, p.dist + u.w AS dist
+    FROM s{i-1} p JOIN relw u ON u.src = p.id
+  ) GROUP BY root, id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT root AS id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+       ROUND(CASE WHEN SUM(dist) > 0
+                  THEN CAST(COUNT(*) - 1 AS DOUBLE) / SUM(dist)
+                  ELSE 0e0 END, 6) AS closeness
+FROM s{WSSSP_UNROLL} GROUP BY root"""
+    )
+
+
+ORACLE["weighted_closeness"] = _weighted_closeness_sql()
+QUERIES["weighted_closeness"] = q_weighted_closeness

@@ -423,3 +423,37 @@ def test_neighbor_mean_embeddings_2hop(spark):
     # h2(0) = mean over {h1(1), h1(2)} — but node 2 has no out-neighbors
     # so it has no h1 row → h2(0) averages h1(1) alone = emb(2)
     assert got == {(0, 0): 6.0, (0, 1): 8.0}
+
+
+# ---------------------------------------------- weighted multi-root SSSP
+
+def test_multi_source_sssp_matches_single(spark):
+    from llama_spark.operators.traversal import multi_source_sssp
+
+    # weighted diamond + tail: 0→1 (w .5), 0→2 (w 3), 1→2 (w .5), 2→3 (w 1)
+    e = edges_df(
+        spark, [(0, 1, 0.5), (0, 2, 3.0), (1, 2, 0.5), (2, 3, 1.0)], weight=True
+    )
+    got = {
+        (r["root"], r["id"]): r["dist"]
+        for r in multi_source_sssp(e, roots=[0, 2]).collect()
+    }
+    # quantized: w=.5→65, 3.0→385, 1.0→129; 0→2 via 1 = 130 < 385
+    assert got == {
+        (0, 0): 0, (0, 1): 65, (0, 2): 130, (0, 3): 259,
+        (2, 2): 0, (2, 3): 129,
+    }
+
+
+def test_weighted_closeness_values(spark):
+    from llama_spark.operators.traversal import weighted_closeness_centrality
+
+    e = edges_df(
+        spark, [(0, 1, 0.5), (0, 2, 3.0), (1, 2, 0.5), (2, 3, 1.0)], weight=True
+    )
+    got = {
+        r["id"]: (r["n_reached"], r["closeness"])
+        for r in weighted_closeness_centrality(e, roots=[0, 3]).collect()
+    }
+    assert got[0] == (3, round(3 / (65 + 130 + 259), 6))
+    assert got[3] == (0, 0.0)  # sink root: no out-reach

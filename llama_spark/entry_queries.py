@@ -3124,3 +3124,129 @@ FROM s{WSSSP_UNROLL} GROUP BY root"""
 
 ORACLE["weighted_closeness"] = _weighted_closeness_sql()
 QUERIES["weighted_closeness"] = q_weighted_closeness
+
+
+# ------------------------------------------------------- GNN fan-out sampling
+
+FANOUT_ROOT_MOD = 256  # roots = node ids divisible by this (16 at MODULUS 4096)
+FANOUTS = (8, 4)
+FANOUT_SEED = 17
+
+
+def q_gnn_fanout(spark, sf_dir):
+    """GraphSAGE-style deterministic fan-out sampling: up to 8 neighbors
+    per root, then up to 4 per sampled node — the GNN minibatch block.
+    Sampling keys are portable md5 hashes, so the oracle draws the exact
+    same neighbors."""
+    from .operators.walks import fanout_sample
+
+    edges = load_edges(spark, sf_dir)
+    from .graph import nodes_of
+
+    roots = [
+        r.id
+        for r in nodes_of(edges)
+        .filter(F.col("id") % FANOUT_ROOT_MOD == 0)
+        .collect()
+    ]
+    out = fanout_sample(edges, roots, fanouts=FANOUTS, seed=FANOUT_SEED)
+    return out.select("root", F.col("hop").cast("int").alias("hop"), "src", "dst")
+
+
+def _fanout_key(root: str, src: str, dst: str, hop: int) -> str:
+    return (
+        f"CAST(('0x'||substr(md5({root}||':'||{src}||':'||{dst}"
+        f"||':{FANOUT_SEED}:{hop}'),1,15)) AS BIGINT)"
+    )
+
+
+def _fanout_sql() -> str:
+    f1, f2 = FANOUTS
+    return f"""WITH edges AS ({EDGES_SQL}),
+nodes AS ({NODES_SQL}),
+roots AS (SELECT id AS root FROM nodes WHERE id % {FANOUT_ROOT_MOD} = 0),
+c1 AS (
+  SELECT r.root, e.src, e.dst,
+         {_fanout_key('r.root', 'e.src', 'e.dst', 1)} AS k
+  FROM roots r JOIN edges e ON e.src = r.root),
+h1 AS (SELECT root, src, dst FROM (
+    SELECT root, src, dst,
+           row_number() OVER (PARTITION BY root, src ORDER BY k, dst) AS rk
+    FROM c1) WHERE rk <= {f1}),
+f2 AS (SELECT DISTINCT root, dst AS node FROM h1),
+c2 AS (
+  SELECT f.root, e.src, e.dst,
+         {_fanout_key('f.root', 'e.src', 'e.dst', 2)} AS k
+  FROM f2 f JOIN edges e ON e.src = f.node),
+h2 AS (SELECT root, src, dst FROM (
+    SELECT root, src, dst,
+           row_number() OVER (PARTITION BY root, src ORDER BY k, dst) AS rk
+    FROM c2) WHERE rk <= {f2})
+SELECT root, CAST(1 AS INTEGER) AS hop, src, dst FROM h1
+UNION ALL
+SELECT root, CAST(2 AS INTEGER) AS hop, src, dst FROM h2"""
+
+
+ORACLE["gnn_fanout"] = _fanout_sql()
+QUERIES["gnn_fanout"] = q_gnn_fanout
+
+
+# ----------------------------------------------------- seeded label spreading
+
+LS_SEED_MOD = 17   # seeds = ids divisible by this (241 of 4096)
+LS_CLASSES = 3     # seed label = id % LS_CLASSES
+LS_ROUNDS = 8      # ≥ graph diameter at every SF we run
+
+
+def q_label_spreading(spark, sf_dir):
+    """Semi-supervised label spreading: clamp labels id%3 on the ids
+    divisible by 17, majority-vote-propagate 8 synchronous rounds."""
+    from .operators.components import label_spreading
+
+    edges = load_edges(spark, sf_dir)
+    from .graph import nodes_of
+
+    seeds = nodes_of(edges).filter(F.col("id") % LS_SEED_MOD == 0).select(
+        "id", (F.col("id") % LS_CLASSES).alias("label")
+    )
+    return label_spreading(edges, seeds, max_iter=LS_ROUNDS)
+
+
+def _label_spreading_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        f"""l0 AS MATERIALIZED (
+  SELECT n.id,
+         CASE WHEN n.id % {LS_SEED_MOD} = 0 THEN n.id % {LS_CLASSES} END AS label,
+         n.id % {LS_SEED_MOD} = 0 AS seeded
+  FROM nodes n)""",
+    ]
+    for i in range(1, LS_ROUNDS + 1):
+        ctes.append(
+            f"""v{i} AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT u.dst AS id, l.label,
+           row_number() OVER (PARTITION BY u.dst
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rk
+    FROM l{i-1} l JOIN und u ON u.src = l.id
+    WHERE l.label IS NOT NULL
+    GROUP BY u.dst, l.label) WHERE rk = 1)"""
+        )
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT l.id,
+         CASE WHEN l.seeded THEN l.id % {LS_CLASSES}
+              ELSE COALESCE(v.label, l.label) END AS label,
+         l.seeded
+  FROM l{i-1} l LEFT JOIN v{i} v ON v.id = l.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, label FROM l{LS_ROUNDS}"
+    )
+
+
+ORACLE["label_spreading"] = _label_spreading_sql()
+QUERIES["label_spreading"] = q_label_spreading

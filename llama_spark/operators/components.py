@@ -751,3 +751,83 @@ def connected_components_decremental(
         .select("id", "component")
     )
     return untouched.unionByName(resolved.select("id", "component"))
+
+
+def label_spreading(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 8,
+) -> DataFrame:
+    """Seeded (semi-supervised) label spreading; DataFrame[id, label].
+
+    ``seeds`` is DataFrame[id, label] — the clamped ground-truth set (in a
+    web corpus: pages with known topic/language/spam labels). Every round,
+    each node recomputes its label as the **majority vote of its labeled
+    neighbors** (tie-break = smallest label, same mode() shape as
+    :func:`label_propagation`); nodes with no labeled neighbor keep their
+    current label (initially NULL); seed nodes are re-clamped every round
+    (Zhu & Ghahramani 2002 label propagation with clamping). Exactly
+    ``max_iter`` synchronous rounds — deterministic, engine-portable,
+    matching the unrolled SQL oracle bit-for-bit.
+
+    Unlike :func:`label_propagation` (unseeded, every node starts with its
+    own id), the fixpoint here classifies the UNLABELED set from a small
+    clamped frontier — the transductive classification operator.
+
+    Scale: identical per-round cost shape to label_propagation — one
+    E-row vote shuffle + one V-row argmax + one V-row state join; the
+    labeled-only filter makes early rounds cheaper (votes flow only out
+    of the reached set). State follows the broadcast≤100k/shuffle-hash
+    policy.
+    """
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    nodes = nodes_of(edges).repartition(p, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    tiny_state = nodes.count() <= 100_000
+    sd = seeds.select("id", F.col("label").cast("long").alias("_seed"))
+    init = nodes.join(sd, "id", "left").select(
+        "id",
+        F.col("_seed").alias("label"),
+        F.col("_seed").isNotNull().alias("seeded"),
+        F.col("_seed"),
+    )
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        votes = (
+            _hint(state.filter(F.col("label").isNotNull()).select("id", "label"))
+            .join(und, F.col("id") == und[SRC])
+            .groupBy(F.col(DST).alias("id"), "label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+                ).alias("best")
+            )
+            .select("id", (-F.col("best.neg")).alias("new_label"))
+        )
+        return state.join(_hint(votes), "id", "left").select(
+            "id",
+            F.when(F.col("seeded"), F.col("_seed"))
+            .otherwise(F.coalesce("new_label", "label"))
+            .alias("label"),
+            "seeded",
+            "_seed",
+        )
+
+    result = iterate(
+        init,
+        step,
+        max_iter=max_iter,
+        updated_count=None,  # fixed rounds for cross-engine determinism
+        truncate_every=1 if tiny_state else 4,
+        name="label_spreading",
+    )
+    und.unpersist()
+    nodes.unpersist()
+    return result.state.select("id", "label")

@@ -543,3 +543,95 @@ def walk_visit_counts(
         "visits",
         F.round(F.col("visits") / F.col("_t"), 6).alias("ppr_estimate"),
     )
+
+
+def fanout_sample(
+    edges: DataFrame,
+    roots: list[int],
+    fanouts: tuple[int, ...] = (8, 4),
+    seed: int = 17,
+    salts: int = ADJ_SALTS,
+) -> DataFrame:
+    """DataFrame[root, hop, src, dst] — deterministic GraphSAGE-style
+    fan-out neighborhood sampling: for every root, sample up to
+    ``fanouts[0]`` out-neighbors, then up to ``fanouts[1]`` out-neighbors
+    of each distinct sampled node, and so on (Hamilton et al. 2017).
+    This is the minibatch-construction operator a GNN trainer consumes;
+    at web scale the sampled blocks — not the full adjacency — are what
+    leaves the graph store.
+
+    Determinism: the per-edge sampling key is the portable 60-bit md5
+    hash of ``root:src:dst:seed:hop``, so every engine (and every resume)
+    draws the same neighbors; sampling = keep the ``f`` smallest keys per
+    (root, src), i.e. a uniform without-replacement draw.
+
+    Hub safety: the per-(root, src) top-f is computed in two phases —
+    rank within (root, src, key%salts) and keep ≤ f per salt bucket (a
+    superset of the global top-f, max task sort ≈ out_deg/salts), then
+    re-rank the ≤ salts·f survivors. No single task ever sorts a whole
+    hub's out-list, the same discipline as :func:`adjacency_index`.
+
+    Scale: per hop one equi-join of the frontier (≤ |roots|·Πf rows —
+    broadcast while tiny, shuffled-hash above the 100k policy bound so
+    the persisted edge table streams) against edges, then the salted
+    top-f. Work is proportional to the sampled block, not the graph.
+
+    Reference tie-in: composes the reference's out-edge iterator +
+    pick_random_node surface (ll_mlcsr_graph.h:677-682) the way a
+    sampling benchmark driver would, as data-parallel joins.
+    """
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select(SRC, DST)
+        .distinct()
+        .repartition(p, SRC)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_src = e.select(SRC).distinct().count()
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_src <= 100_000 else df.hint("shuffle_hash")
+
+    root_rows = sorted(set(int(r) for r in roots))
+    frontier = spark.createDataFrame(
+        [(r, r) for r in root_rows], "root long, node long"
+    )
+    parts: list[DataFrame] = []
+    for hop, f in enumerate(fanouts, start=1):
+        cand = (
+            _hint(frontier)
+            .join(e, frontier["node"] == e[SRC])
+            .select("root", SRC, DST)
+            .withColumn(
+                "k",
+                token_hash(
+                    F.concat_ws(
+                        ":", F.col("root"), F.col(SRC), F.col(DST),
+                        F.lit(seed), F.lit(hop),
+                    )
+                ),
+            )
+        )
+        # phase 1: top-f within each (root, src, salt) — bounded task sorts
+        w1 = Window.partitionBy("root", SRC, "b").orderBy("k", DST)
+        pre = (
+            cand.withColumn("b", F.pmod(F.col("k"), F.lit(salts)))
+            .withColumn("r1", F.row_number().over(w1))
+            .filter(F.col("r1") <= f)
+        )
+        # phase 2: exact top-f over the ≤ salts·f survivors per (root, src)
+        w2 = Window.partitionBy("root", SRC).orderBy("k", DST)
+        samp = (
+            pre.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= f)
+            .select("root", F.lit(hop).alias("hop"), SRC, DST)
+            .localCheckpoint(eager=True)
+        )
+        parts.append(samp)
+        frontier = samp.select("root", F.col(DST).alias("node")).distinct()
+    e.unpersist()
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out

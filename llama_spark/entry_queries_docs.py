@@ -1266,3 +1266,82 @@ FROM agg2"""
 
 DOCS_ORACLE["neighbor_features_2hop"] = _neighbor_features_2hop_sql()
 DOCS_QUERIES["neighbor_features_2hop"] = q_neighbor_features_2hop
+
+
+# ------------------------------------------------------------ BPE training
+
+BPE_MERGES = 6
+BPE_TOP_WORDS = 512
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer training: learn the first 6 BPE merges from corpus word
+    frequencies (capped vocabulary) — deterministic tie-breaks, greedy
+    run-parity pairing; the oracle replays the identical recurrence."""
+    from .functions.bpe import bpe_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_merges(docs, n_merges=BPE_MERGES, top_words=BPE_TOP_WORDS)
+
+
+def _bpe_sql() -> str:
+    ctes = [
+        f"""words AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM documents) WHERE w <> ''
+  GROUP BY w ORDER BY freq DESC, w ASC LIMIT {BPE_TOP_WORDS})""",
+        """s0 AS MATERIALIZED (
+  SELECT w, freq,
+         CAST(generate_subscripts(string_split(w, ''), 1) AS INTEGER) AS pos,
+         unnest(string_split(w, '')) AS sym
+  FROM words)""",
+    ]
+    for r in range(1, BPE_MERGES + 1):
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT w, freq, pos, sym,
+         lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+  FROM s{r-1})"""
+        )
+        ctes.append(
+            f"""best{r} AS MATERIALIZED (
+  SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS total
+  FROM p{r} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt ORDER BY total DESC, a ASC, b ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""heads{r} AS MATERIALIZED (
+  SELECT w, pos FROM (
+    SELECT w, pos, row_number() OVER (PARTITION BY w, run_id ORDER BY pos) AS idx
+    FROM (
+      SELECT w, pos,
+             SUM(CASE WHEN prev IS NULL OR pos <> prev + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY w ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM (SELECT m.w, m.pos, lag(m.pos) OVER (PARTITION BY m.w ORDER BY m.pos) AS prev
+            FROM (SELECT p.w, p.pos FROM p{r} p JOIN best{r} bb
+                  ON p.sym = bb.a AND p.nxt = bb.b) m)))
+  WHERE idx % 2 = 1)"""
+        )
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT w, freq, CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS INTEGER) AS pos, sym
+  FROM (
+    SELECT p.w AS w, p.freq AS freq, p.pos AS pos,
+           CASE WHEN h.pos IS NOT NULL THEN p.sym || p.nxt ELSE p.sym END AS sym,
+           g.pos AS gone
+    FROM p{r} p
+    LEFT JOIN heads{r} h ON h.w = p.w AND h.pos = p.pos
+    LEFT JOIN heads{r} g ON g.w = p.w AND g.pos = p.pos - 1
+  ) WHERE gone IS NULL)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, a AS left_sym, b AS right_sym, total AS pair_freq FROM best{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+DOCS_ORACLE["bpe_merges"] = _bpe_sql()
+DOCS_QUERIES["bpe_merges"] = q_bpe_merges

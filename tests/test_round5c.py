@@ -138,3 +138,79 @@ def test_label_spreading_seeds_stay_clamped(spark):
     assert got[1] == 5
     # node 4's only neighbor is the clamped seed 1 → adopts 5
     assert got[4] == 5
+
+
+# ------------------------------------------------------------- BPE training
+
+
+def _model_bpe(word_freqs, n_merges):
+    seqs = {w: list(w) for w in word_freqs}
+    merges = []
+    for r in range(1, n_merges + 1):
+        counts = Counter()
+        for w, f in word_freqs.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        top = max(counts.values())
+        a, b = min(p for p, c in counts.items() if c == top)
+        merges.append((r, a, b, counts[(a, b)]))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_merges_matches_model(spark):
+    from llama_spark.functions.bpe import bpe_merges
+
+    # 'aaaa' exercises greedy run-parity; 'abab' overlapping a!=b matches;
+    # low/lower/lowest share prefixes like real corpora
+    corpus = (
+        ["low"] * 5 + ["lower"] * 2 + ["lowest"] * 6 + ["aaaa"] * 3 + ["abab"] * 4
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_freq"])
+        for r in bpe_merges(docs, n_merges=5, top_words=64)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    freqs = Counter(corpus)
+    assert got == _model_bpe(freqs, 5)
+
+
+def test_bpe_merges_exhausts_early(spark):
+    from llama_spark.functions.bpe import bpe_merges
+
+    # single 2-char word: exactly one merge possible, then no pairs left
+    docs = spark.createDataFrame([(0, "ab ab ab")], "doc_id long, text string")
+    got = bpe_merges(docs, n_merges=4, top_words=8).collect()
+    assert len(got) == 1
+    assert (got[0]["left_sym"], got[0]["right_sym"], got[0]["pair_freq"]) == ("a", "b", 3)
+
+
+def test_bpe_encode_counts(spark):
+    from llama_spark.functions.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "low low lower"), (1, "aaaa")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_symbols"])
+        for r in bpe_encode(docs, [("l", "o"), ("lo", "w")]).collect()
+    }
+    # 'low' -> [low] (1 symbol), 'lower' -> [low, e, r] (3), 'aaaa' -> 4 chars
+    assert got[0] == (3, 1 + 1 + 3)
+    assert got[1] == (1, 4)

@@ -3250,3 +3250,169 @@ def _label_spreading_sql() -> str:
 
 ORACLE["label_spreading"] = _label_spreading_sql()
 QUERIES["label_spreading"] = q_label_spreading
+
+
+# ------------------------------------------------ PPR sweep cut (local clustering)
+
+SWEEP_TOP_R = 64
+SWEEP_ITERS = 6  # sweep ordering, not score parity — 6 rounds keeps the gate lean
+_SWEEP_BIG = 999999999
+
+
+def q_ppr_sweep(spark, sf_dir):
+    """Andersen–Chung–Lang local clustering: sweep the top-64 nodes by
+    degree-normalized personalized PageRank (seed set = PPR_SOURCES) over
+    the undirected view and report each prefix's conductance."""
+    from .operators.sweep import ppr_sweep
+
+    return ppr_sweep(
+        load_edges(spark, sf_dir),
+        PPR_SOURCES,
+        damping=DAMPING,
+        max_iter=SWEEP_ITERS,
+        top_r=SWEEP_TOP_R,
+    )
+
+
+def _ppr_sweep_sql() -> str:
+    srcs = ", ".join(str(s) for s in PPR_SOURCES)
+    ev = (
+        f"(CASE WHEN nodes.id IN ({srcs}) "
+        f"THEN CAST({1.0 / len(PPR_SOURCES)!r} AS DOUBLE) ELSE 0e0 END)"
+    )
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT nodes.id, {ev} AS rank FROM nodes)",
+    ]
+    base_factor = repr(1.0 - DAMPING)
+    for i in range(1, SWEEP_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT nodes.id,
+         CAST({base_factor} AS DOUBLE) * {ev}
+         + CAST({DAMPING!r} AS DOUBLE) * COALESCE(c.contrib, 0e0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT u.dst AS id, SUM(r.rank / d.d) AS contrib
+    FROM r{i-1} r JOIN und u ON u.src = r.id JOIN deg d ON d.id = r.id
+    GROUP BY u.dst
+  ) c ON nodes.id = c.id
+)"""
+        )
+    ctes += [
+        f"""scored AS MATERIALIZED (
+  SELECT r.id, d.d,
+         ROUND(r.rank * (SELECT n FROM nn), 6) / d.d AS ratio
+  FROM r{SWEEP_ITERS} r JOIN deg d ON d.id = r.id)""",
+        f"""topr AS MATERIALIZED (
+  SELECT id, d, ROW_NUMBER() OVER (ORDER BY ratio DESC, id) AS r
+  FROM scored QUALIFY r <= {SWEEP_TOP_R})""",
+        "tv AS (SELECT COUNT(*) AS v FROM und)",
+        "canon AS (SELECT src, dst FROM und WHERE src < dst)",
+        f"""pe AS MATERIALIZED (
+  SELECT LEAST(COALESCE(ru.r, {_SWEEP_BIG}), COALESCE(rv.r, {_SWEEP_BIG})) AS lo,
+         GREATEST(COALESCE(ru.r, {_SWEEP_BIG}), COALESCE(rv.r, {_SWEEP_BIG})) AS hi
+  FROM canon c
+  LEFT JOIN topr ru ON ru.id = c.src
+  LEFT JOIN topr rv ON rv.id = c.dst)""",
+        f"""deltas AS (
+  SELECT r, SUM(x) AS dx FROM (
+    SELECT lo AS r, 1 AS x FROM pe WHERE lo < {_SWEEP_BIG}
+    UNION ALL
+    SELECT hi AS r, -1 AS x FROM pe WHERE hi < {_SWEEP_BIG}
+  ) GROUP BY r)""",
+        """sweep AS (
+  SELECT t.r AS rank, t.id,
+         SUM(t.d) OVER (ORDER BY t.r) AS volume,
+         COALESCE(SUM(dl.dx) OVER (ORDER BY t.r), 0) AS cut_edges
+  FROM topr t LEFT JOIN deltas dl ON dl.r = t.r)""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT CAST(rank AS BIGINT) AS rank, id,
+       CAST(volume AS BIGINT) AS volume,
+       CAST(cut_edges AS BIGINT) AS cut_edges,
+       CASE WHEN LEAST(volume, (SELECT v FROM tv) - volume) > 0
+            THEN ROUND(CAST(cut_edges AS DOUBLE)
+                       / LEAST(volume, (SELECT v FROM tv) - volume), 6)
+       END AS conductance
+FROM sweep"""
+    )
+
+
+ORACLE["ppr_sweep"] = _ppr_sweep_sql()
+QUERIES["ppr_sweep"] = q_ppr_sweep
+
+
+# --------------------------------- edge embeddedness + local sparsification
+
+SPARSIFY_K = 4
+
+OVERLAP_SQL = f"""
+WITH edges AS MATERIALIZED ({EDGES_SQL}),
+canon AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM edges WHERE src <> dst),
+deg AS MATERIALIZED (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT src AS id FROM canon UNION ALL SELECT dst AS id FROM canon
+  ) GROUP BY id),
+tri AS MATERIALIZED (
+  SELECT a.src AS u, a.dst AS v, b.dst AS w
+  FROM canon a JOIN canon b ON b.src = a.dst
+  JOIN canon c ON c.src = a.src AND c.dst = b.dst),
+cn AS MATERIALIZED (
+  SELECT src, dst, COUNT(*) AS cn FROM (
+    SELECT u AS src, v AS dst FROM tri
+    UNION ALL SELECT v AS src, w AS dst FROM tri
+    UNION ALL SELECT u AS src, w AS dst FROM tri
+  ) GROUP BY src, dst)
+SELECT c.src, c.dst, CAST(COALESCE(n.cn, 0) AS BIGINT) AS cn,
+       CASE WHEN du.d + dv.d - 2 - COALESCE(n.cn, 0) > 0
+            THEN ROUND(CAST(COALESCE(n.cn, 0) AS DOUBLE)
+                       / (du.d + dv.d - 2 - COALESCE(n.cn, 0)), 6)
+            ELSE 0e0 END AS overlap
+FROM canon c
+LEFT JOIN cn n ON n.src = c.src AND n.dst = c.dst
+JOIN deg du ON du.id = c.src
+JOIN deg dv ON dv.id = c.dst"""
+
+
+def q_edge_overlap(spark, sf_dir):
+    """Per-edge neighborhood-overlap (embeddedness) scores — tie strength
+    for every canonical undirected edge via the skew-safe oriented
+    triangle join."""
+    from .operators.sparsify import edge_overlap
+
+    return edge_overlap(load_edges(spark, sf_dir))
+
+
+ORACLE["edge_overlap"] = OVERLAP_SQL
+QUERIES["edge_overlap"] = q_edge_overlap
+
+
+def q_sparsify(spark, sf_dir):
+    """Local similarity sparsification (Satuluri et al.): keep each node's
+    top-k incident edges by overlap; an edge survives if either endpoint
+    keeps it."""
+    from .operators.sparsify import sparsify_top_overlap
+
+    return sparsify_top_overlap(load_edges(spark, sf_dir), k=SPARSIFY_K)
+
+
+ORACLE["sparsify_topk"] = f"""WITH ov AS MATERIALIZED ({OVERLAP_SQL}),
+incident AS (
+  SELECT src AS node, dst AS other, src, dst, cn, overlap FROM ov
+  UNION ALL
+  SELECT dst AS node, src AS other, src, dst, cn, overlap FROM ov),
+ranked AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY node
+                            ORDER BY overlap DESC, cn DESC, other ASC) AS rk
+  FROM incident)
+SELECT DISTINCT src, dst FROM ranked WHERE rk <= {SPARSIFY_K}"""
+QUERIES["sparsify_topk"] = q_sparsify

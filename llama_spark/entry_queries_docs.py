@@ -1345,3 +1345,40 @@ def _bpe_sql() -> str:
 
 DOCS_ORACLE["bpe_merges"] = _bpe_sql()
 DOCS_QUERIES["bpe_merges"] = q_bpe_merges
+
+
+# --- bigram conditional NLL quality score -------------------------------------
+
+def q_bigram_logprob(spark, sf_dir):
+    """Second-order perplexity proxy: per-doc avg −ln p(w2|w1) under the
+    corpus bigram model; per-bigram costs quantized to integer micro-nats
+    so per-doc sums are order-independent and engine-exact."""
+    from .functions.text import bigram_logprob
+
+    return bigram_logprob(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+DOCS_ORACLE["bigram_logprob"] = f"""WITH toks AS MATERIALIZED ({TOKS_SQL}),
+bi AS MATERIALIZED (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+cnt AS (SELECT w1, w2, COUNT(*) AS cnt FROM bi GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(cnt) AS ctx FROM cnt GROUP BY w1),
+costs AS (
+  SELECT c.w1, c.w2,
+         CAST(ROUND((ln(CAST(x.ctx AS DOUBLE)) - ln(CAST(c.cnt AS DOUBLE)))
+              * 1000000.0) AS BIGINT) AS micro_nll
+  FROM cnt c JOIN ctx x ON x.w1 = c.w1),
+per_doc AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(c.micro_nll) AS BIGINT) AS nll_micro
+  FROM bi b JOIN costs c ON c.w1 = b.w1 AND c.w2 = b.w2
+  GROUP BY b.doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       COALESCE(p.nll_micro, 0) AS nll_micro,
+       CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+            THEN ROUND(p.nll_micro / (p.n_bigrams * 1000000.0), 6)
+            ELSE 0e0 END AS avg_nll
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id"""
+DOCS_QUERIES["bigram_logprob"] = q_bigram_logprob

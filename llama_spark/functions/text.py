@@ -420,3 +420,68 @@ def pack_sequences(
         pack,
         schema="doc_id long, grp long, seq_id long, `offset` long, n_tokens long",
     )
+
+
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-doc bigram conditional NLL — the second-order companion to
+    :func:`unigram_logprob`: score each document by how surprising its
+    token TRANSITIONS are under the corpus bigram model,
+    avg_nll = (1/(n−1)) Σ −ln p(w₂|w₁) with p(w₂|w₁) = cnt(w₁w₂)/ctx(w₁)
+    where ctx(w₁) counts w₁'s occurrences as a bigram left-hand side.
+    Every observed bigram has cnt ≥ 1, so the MLE is well-defined with no
+    smoothing; repetitive/templated text scores near 0, incoherent
+    word-salad scores high — the CCNet-style LM-perplexity filter band.
+
+    Same order-independent float trick as the unigram scorer: each
+    bigram's cost is quantized ONCE to integer micro-nats
+    round((ln ctx − ln cnt)·1e6), a pure function of corpus counts, so
+    per-doc sums are exact integer arithmetic in any aggregation order on
+    any engine; one float division per doc, rounded to 6 dp.
+
+    Plan: tokenize once; bigrams via a lead() window partitioned by doc
+    (a partition is ONE document — bounded by max doc length, never by
+    corpus size); one bigram-vocab count aggregate (map-side combined);
+    ctx derived from the counts (vocab-sized re-agg, not a second corpus
+    pass); one hash join of bigrams against the cost table; one per-doc
+    sum. Documents with < 2 tokens surface with n_bigrams = 0.
+    """
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        tokenize(documents)
+        .select("doc_id", F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .persist()
+    )
+    cnt = bi.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    ctx = cnt.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
+    costs = cnt.join(ctx, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            (F.log(F.col("ctx").cast("double")) - F.log(F.col("cnt").cast("double")))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("micro_nll"),
+    )
+    per_doc = (
+        bi.join(costs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("micro_nll").cast("long").alias("nll_micro"),
+        )
+    )
+    out = documents.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("nll_micro", F.lit(0)).alias("nll_micro"),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            F.round(F.col("nll_micro") / (F.col("n_bigrams") * F.lit(1000000.0)), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_nll"),
+    ).localCheckpoint(eager=True)
+    bi.unpersist()
+    return out

@@ -1,0 +1,190 @@
+"""Round-5 continuation ops #3: PPR sweep cut, edge embeddedness +
+local sparsification, bigram NLL scoring. Spark results are checked
+against independent pure-Python models on micro fixtures (the oracle
+gates cover the sf0.01 scale)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+
+from tests.conftest import edges_df
+
+# two 4-cliques bridged by one edge — the canonical sweep-cut fixture:
+# the bridge is the unique conductance minimum
+CLIQUE_A = [(a, b) for a in range(4) for b in range(4) if a < b]
+CLIQUE_B = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+BRIDGE = [(3, 10)]
+TWO_CLIQUES = CLIQUE_A + CLIQUE_B + BRIDGE
+
+
+def _und(edges):
+    s = set()
+    for a, b in edges:
+        if a != b:
+            s.add((a, b))
+            s.add((b, a))
+    return s
+
+
+def _deg(und):
+    d = defaultdict(int)
+    for a, _ in und:
+        d[a] += 1
+    return d
+
+
+def test_ppr_sweep_cut_and_volume_exact(spark):
+    """Per-prefix cut/volume/conductance recomputed brute-force in Python
+    from the operator's own node ordering must match exactly."""
+    from llama_spark.operators.sweep import ppr_sweep
+
+    rows = (
+        ppr_sweep(edges_df(spark, TWO_CLIQUES), sources=[0], max_iter=10, top_r=8)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["rank"] for r in rows] == list(range(1, 9))
+    und = _und(TWO_CLIQUES)
+    deg = _deg(und)
+    total_vol = len(und)
+    prefix = set()
+    for r in rows:
+        prefix.add(r["id"])
+        vol = sum(deg[v] for v in prefix)
+        cut = sum(1 for (a, b) in und if a < b and ((a in prefix) != (b in prefix)))
+        assert r["volume"] == vol
+        assert r["cut_edges"] == cut
+        denom = min(vol, total_vol - vol)
+        if denom > 0:
+            assert r["conductance"] == pytest.approx(cut / denom, abs=1e-6)
+        else:
+            assert r["conductance"] is None
+
+
+def test_ppr_sweep_finds_the_bridge(spark):
+    """Seeded in clique A, the minimum-conductance prefix is clique A
+    itself (cut = the single bridge edge)."""
+    from llama_spark.operators.sweep import ppr_sweep
+
+    rows = (
+        ppr_sweep(edges_df(spark, TWO_CLIQUES), sources=[0], max_iter=20, top_r=8)
+        .orderBy("rank")
+        .collect()
+    )
+    best = min((r for r in rows if r["conductance"] is not None),
+               key=lambda r: r["conductance"])
+    assert best["rank"] == 4  # the 4 nodes of clique A
+    assert best["cut_edges"] == 1
+    assert {r["id"] for r in rows[:4]} == {0, 1, 2, 3}
+
+
+def test_edge_overlap_matches_model(spark):
+    from llama_spark.operators.sparsify import edge_overlap
+
+    rows = edge_overlap(edges_df(spark, TWO_CLIQUES)).collect()
+    und = _und(TWO_CLIQUES)
+    nbr = defaultdict(set)
+    for a, b in und:
+        nbr[a].add(b)
+    assert len(rows) == len([1 for (a, b) in und if a < b])
+    for r in rows:
+        u, v = r["src"], r["dst"]
+        cn = len(nbr[u] & nbr[v])
+        den = len(nbr[u]) + len(nbr[v]) - 2 - cn
+        assert r["cn"] == cn
+        assert r["overlap"] == pytest.approx(cn / den if den > 0 else 0.0, abs=1e-6)
+    # the bridge edge has zero overlap; in-clique edges have 2/4
+    by_pair = {(r["src"], r["dst"]): r for r in rows}
+    assert by_pair[(3, 10)]["overlap"] == 0.0
+    assert by_pair[(0, 1)]["cn"] == 2
+
+
+def test_sparsify_keeps_every_node_connected_and_drops_bridge_last(spark):
+    from llama_spark.operators.sparsify import sparsify_top_overlap
+
+    kept = {
+        (r["src"], r["dst"])
+        for r in sparsify_top_overlap(edges_df(spark, TWO_CLIQUES), k=2).collect()
+    }
+    # union-form guarantee: every node keeps >= min(k, degree) edges
+    incident = defaultdict(int)
+    for a, b in kept:
+        incident[a] += 1
+        incident[b] += 1
+    for v in {x for e in TWO_CLIQUES for x in e}:
+        assert incident[v] >= 1
+    # the zero-overlap bridge still survives: it is BOTH endpoints' only
+    # inter-cluster edge but ranks below their k=2 in-clique edges — yet
+    # node 3 and 10 each have 3 in-clique edges of equal overlap, so the
+    # bridge is dropped; cliques stay internally connected
+    assert (3, 10) not in kept
+    assert all((a, b) in kept or (b, a) in kept for a, b in [(0, 1), (10, 11)])
+
+
+def test_sparsify_matches_model_ranking(spark):
+    """Exact kept-set equality vs a Python model using the same
+    (6dp-rounded overlap desc, cn desc, neighbor asc) ranking."""
+    from llama_spark.operators.sparsify import edge_overlap, sparsify_top_overlap
+
+    pairs = TWO_CLIQUES + [(2, 20), (20, 21), (21, 2), (13, 30)]
+    k = 2
+    ov = {
+        (r["src"], r["dst"]): (r["overlap"], r["cn"])
+        for r in edge_overlap(edges_df(spark, pairs)).collect()
+    }
+    per_node = defaultdict(list)
+    for (u, v), (o, c) in ov.items():
+        per_node[u].append((-o, -c, v, (u, v)))
+        per_node[v].append((-o, -c, u, (u, v)))
+    expect = set()
+    for node, lst in per_node.items():
+        for item in sorted(lst)[:k]:
+            expect.add(item[3])
+    kept = {
+        (r["src"], r["dst"])
+        for r in sparsify_top_overlap(edges_df(spark, pairs), k=k).collect()
+    }
+    assert kept == expect
+
+
+def test_bigram_logprob_matches_model(spark):
+    from llama_spark.functions.text import bigram_logprob
+
+    docs = [
+        (1, "a b a b a"),
+        (2, "a b c"),
+        (3, "c c c c"),
+        (4, "x"),          # single token: no bigrams
+        (5, ""),           # empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+
+    toks = {d: t.split() for d, t in docs}
+    bis = defaultdict(int)
+    ctx = defaultdict(int)
+    per_doc = defaultdict(list)
+    for d, ts in toks.items():
+        for w1, w2 in zip(ts, ts[1:]):
+            bis[(w1, w2)] += 1
+            ctx[w1] += 1
+            per_doc[d].append((w1, w2))
+    for d, _t in docs:
+        expect_n = len(per_doc[d])
+        assert rows[d]["n_bigrams"] == expect_n
+        if expect_n == 0:
+            assert rows[d]["nll_micro"] == 0
+            assert rows[d]["avg_nll"] == 0.0
+        else:
+            micro = sum(
+                round((math.log(ctx[w1]) - math.log(bis[(w1, w2)])) * 1e6)
+                for w1, w2 in per_doc[d]
+            )
+            assert rows[d]["nll_micro"] == micro
+            assert rows[d]["avg_nll"] == pytest.approx(micro / (expect_n * 1e6),
+                                                       abs=1e-6)
+    # deterministic text ("c c c c") transitions cost exactly 0 nats
+    assert rows[3]["nll_micro"] == 0

@@ -3416,3 +3416,63 @@ ranked AS (
   FROM incident)
 SELECT DISTINCT src, dst FROM ranked WHERE rk <= {SPARSIFY_K}"""
 QUERIES["sparsify_topk"] = q_sparsify
+
+
+# -------------------------------------- densest subgraph (parallel peeling)
+
+DS_UNROLL = 24  # >= log_{1.5}(4096) rounds; converged rounds are no-ops
+DS_NUM, DS_DEN = 3, 1  # 2(1+eps) with eps = 0.5
+
+
+def q_densest_subgraph(spark, sf_dir):
+    """Bahmani et al. parallel peeling trace: per-round (nodes, edges,
+    density) of the surviving subgraph plus the max-density marker — the
+    2(1+eps)-approximate densest subgraph certificate."""
+    from .operators.densest import densest_subgraph_trace
+
+    trace, _nodes = densest_subgraph_trace(
+        load_edges(spark, sf_dir), eps=0.5, max_rounds=DS_UNROLL
+    )
+    return trace
+
+
+def _densest_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"u0 AS MATERIALIZED ({UND_SQL})",
+        "s0 AS MATERIALIZED (SELECT COUNT(DISTINCT src) AS s, COUNT(*) // 2 AS e FROM u0)",
+    ]
+    for i in range(1, DS_UNROLL + 1):
+        ctes.append(
+            f"""k{i} AS (
+  SELECT dd.src FROM (SELECT src, COUNT(*) AS d FROM u{i-1} GROUP BY src) dd
+  CROSS JOIN s{i-1} st
+  WHERE CAST({DS_DEN} AS HUGEINT) * st.s * dd.d > CAST({DS_NUM} AS HUGEINT) * st.e)"""
+        )
+        ctes.append(
+            f"""u{i} AS MATERIALIZED (
+  SELECT u.src, u.dst FROM u{i-1} u
+  JOIN k{i} a ON a.src = u.src JOIN k{i} b ON b.src = u.dst)"""
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT COUNT(DISTINCT src) AS s, COUNT(*) // 2 AS e FROM u{i})"
+        )
+    trace = "\nUNION ALL ".join(
+        f"SELECT {i} AS round, s, e FROM s{i} WHERE s > 0"
+        for i in range(DS_UNROLL + 1)
+    )
+    ctes.append(f"trace AS ({trace})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT CAST(round AS BIGINT) AS round, CAST(s AS BIGINT) AS n_nodes,
+       CAST(e AS BIGINT) AS n_edges,
+       ROUND(CAST(e AS DOUBLE) / s, 6) AS density,
+       ROW_NUMBER() OVER (ORDER BY CAST(e AS DOUBLE) / s DESC, round ASC) = 1
+         AS is_best
+FROM trace"""
+    )
+
+
+ORACLE["densest_subgraph"] = _densest_sql()
+QUERIES["densest_subgraph"] = q_densest_subgraph

@@ -188,3 +188,40 @@ def test_bigram_logprob_matches_model(spark):
                                                        abs=1e-6)
     # deterministic text ("c c c c") transitions cost exactly 0 nats
     assert rows[3]["nll_micro"] == 0
+
+
+# 6-clique (density 2.5) plus a 10-edge path tail hanging off one corner —
+# long enough that whole-graph density (25/16) falls under the round-0
+# peel threshold for the clique's degree-5 corners (3·25/16 < 5)
+K6 = [(a, b) for a in range(6) for b in range(6) if a < b]
+TAIL = [(5, 100)] + [(100 + i, 101 + i) for i in range(9)]
+CLIQUE_TAIL = K6 + TAIL
+
+
+def test_densest_subgraph_isolates_the_clique(spark):
+    from llama_spark.operators.densest import densest_subgraph_trace
+
+    trace, nodes = densest_subgraph_trace(edges_df(spark, CLIQUE_TAIL), eps=0.5)
+    rows = trace.orderBy("round").collect()
+    # round 0 = whole graph (16 nodes, 25 edges)
+    assert (rows[0]["n_nodes"], rows[0]["n_edges"]) == (16, 25)
+    # the best round's survivors are exactly the clique
+    assert {r["id"] for r in nodes.collect()} == set(range(6))
+    best = [r for r in rows if r["is_best"]]
+    assert len(best) == 1
+    assert best[0]["density"] == pytest.approx(2.5, abs=1e-6)
+    # peeling trace invariants: node count strictly decreases, exactly one
+    # best marker, density = e/s on every row
+    ns = [r["n_nodes"] for r in rows]
+    assert ns == sorted(ns, reverse=True) and len(set(ns)) == len(ns)
+    for r in rows:
+        assert r["density"] == pytest.approx(r["n_edges"] / r["n_nodes"], abs=1e-6)
+
+
+def test_densest_subgraph_empty_graph(spark):
+    from llama_spark.operators.densest import densest_subgraph_trace
+
+    empty = edges_df(spark, [(1, 1)])  # only a self-loop -> empty und graph
+    trace, nodes = densest_subgraph_trace(empty)
+    assert trace.count() == 0
+    assert nodes.count() == 0

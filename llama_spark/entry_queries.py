@@ -794,13 +794,14 @@ def _truss_sql() -> str:
     )
 
 
-def _coreness_sql(edges_sql: str = EDGES_SQL) -> str:
+def _coreness_sql(edges_sql: str = EDGES_SQL, rounds: int | None = None) -> str:
+    rounds = CORENESS_UNROLL if rounds is None else rounds
     ctes = [
         f"edges AS MATERIALIZED ({edges_sql})",
         f"und AS MATERIALIZED ({UND_SQL})",
         "c0 AS MATERIALIZED (SELECT src AS id, COUNT(*) AS c FROM und GROUP BY src)",
     ]
-    for i in range(1, CORENESS_UNROLL + 1):
+    for i in range(1, rounds + 1):
         ctes.append(
             f"""c{i} AS MATERIALIZED (
   SELECT p.id, CAST(COALESCE(h.h, 0) AS BIGINT) AS c
@@ -817,7 +818,7 @@ def _coreness_sql(edges_sql: str = EDGES_SQL) -> str:
         )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT id, c AS coreness FROM c{CORENESS_UNROLL}"
+        + f"\nSELECT id, c AS coreness FROM c{rounds}"
     )
 
 
@@ -3476,3 +3477,31 @@ FROM trace"""
 
 ORACLE["densest_subgraph"] = _densest_sql()
 QUERIES["densest_subgraph"] = q_densest_subgraph
+
+
+# ------------------------------------------------ incremental coreness (inserts)
+
+CORE_INS_MOD = 4096  # ~15 batch edges at sf0.01 — the small-delta regime
+
+
+def q_coreness_incremental(spark, sf_dir):
+    """Core maintenance under edge INSERTIONS: warm-start the h-index
+    descent from prior_core + |batch| (the subcore +1-per-insert bound),
+    tightened by new degree inside coreness(). The oracle is the plain
+    cold unrolled decomposition of the FULL edge set, so any invalid
+    warm start (e.g. the delete-side rule pointed at inserts) would
+    hash-mismatch."""
+    from .operators.kcore import coreness, coreness_incremental
+
+    edges = load_edges(spark, sf_dir)
+    pred = (F.col("src") * 31 + F.col("dst")) % CORE_INS_MOD == 0
+    base, batch = edges.filter(~pred), edges.filter(pred)
+    prior = coreness(base)
+    return coreness_incremental(edges, prior, n_inserted=batch.count())
+
+
+# insert-side maintenance runs to CONVERGENCE, so its oracle must be
+# the converged cold decomposition (fixpoint reached by round 16 at
+# sf0.01; 20 gives margin) — NOT the 12-round portable-mode gate
+ORACLE["coreness_incremental"] = _coreness_sql(rounds=20)
+QUERIES["coreness_incremental"] = q_coreness_incremental

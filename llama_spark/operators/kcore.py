@@ -257,3 +257,40 @@ def coreness(
 
     und.unpersist()
     return c.select("id", F.col("c").alias("coreness"))
+
+
+def coreness_incremental(
+    edges: DataFrame,
+    prior: DataFrame,
+    n_inserted: int,
+    rounds: int | None = None,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Core maintenance under edge INSERTIONS — the counterpart of the
+    deletion path (``coreness(initial=prior)``), which is INVALID for
+    inserts because old core numbers are then a LOWER bound and the
+    h-index descent only converges from above.
+
+    The valid insert-side bound: one edge insertion raises any core
+    number by at most 1 (Li, Yu & Mao, TKDE 2014 — the subcore theorem),
+    so a batch of B edges raises it by at most B, making
+    ``old_core + B`` a pointwise upper bound of the new decomposition;
+    ``coreness(initial=)`` additionally tightens it with the new degree
+    and the squeeze c* ≤ Tᵏ(min(deg, old+B)) ≤ Tᵏ(deg) guarantees exact
+    convergence at least as fast as a cold start.
+
+    Tight for the streaming/recrawl case this engine targets — a small
+    delta batch against a huge graph (B below the core spread), where the
+    warm start skips most of the descent; for B past the max degree it
+    degrades gracefully to exactly the cold start. ``n_inserted`` may be
+    any upper bound on the number of distinct inserted undirected edges
+    (overcounting is safe, never wrong)."""
+    if n_inserted < 0:
+        raise ValueError("n_inserted must be >= 0")
+    bumped = prior.select(
+        "id",
+        (F.col(prior.columns[1]).cast("long") + F.lit(int(n_inserted))).alias(
+            "coreness"
+        ),
+    )
+    return coreness(edges, rounds=rounds, max_iter=max_iter, initial=bumped)

@@ -225,3 +225,35 @@ def test_densest_subgraph_empty_graph(spark):
     trace, nodes = densest_subgraph_trace(empty)
     assert trace.count() == 0
     assert nodes.count() == 0
+
+
+def test_coreness_incremental_triangle_completion(spark):
+    """Path a-b-c + insert (a,c): ALL THREE nodes rise 1 -> 2, including b
+    which has no incident inserted edge — the case that invalidates any
+    per-node local bound; the global +B warm start must still converge to
+    the exact new decomposition."""
+    from llama_spark.operators.kcore import coreness, coreness_incremental
+
+    base = edges_df(spark, [(1, 2), (2, 3)])
+    full = edges_df(spark, [(1, 2), (2, 3), (1, 3)])
+    prior = coreness(base)
+    got = {r["id"]: r["coreness"] for r in
+           coreness_incremental(full, prior, n_inserted=1).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_coreness_incremental_new_nodes_and_big_batch(spark):
+    """Nodes absent from the prior fall back to the degree bound; an
+    overcounted batch size (B far above the core spread) still converges
+    to the exact cold answer."""
+    from llama_spark.operators.kcore import coreness, coreness_incremental
+
+    base = edges_df(spark, TWO_CLIQUES)
+    extra = [(20, 21), (21, 22), (22, 20), (0, 20)]
+    full = edges_df(spark, TWO_CLIQUES + extra)
+    prior = coreness(base)
+    got = {r["id"]: r["coreness"] for r in
+           coreness_incremental(full, prior, n_inserted=999).collect()}
+    cold = {r["id"]: r["coreness"] for r in coreness(full).collect()}
+    assert got == cold
+    assert got[20] == 2  # the new triangle

@@ -1382,3 +1382,56 @@ SELECT d.doc_id,
             ELSE 0e0 END AS avg_nll
 FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id"""
 DOCS_QUERIES["bigram_logprob"] = q_bigram_logprob
+
+
+# --- best-fit-decreasing packing ----------------------------------------------
+
+def q_pack_bestfit(spark, sf_dir):
+    """Best-fit-decreasing packing: longest-first, fullest-fitting-bin
+    placement per stream (see functions/text.pack_sequences_bestfit).
+    The oracle replays the walk with a recursive CTE whose state is the
+    per-stream LIST of open-bin loads."""
+    from .functions.text import pack_sequences_bestfit
+
+    return pack_sequences_bestfit(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        budget=PACK_BUDGET,
+        n_groups=PACK_GROUPS,
+    )
+
+
+_BF_BEST = "list_max(list_filter(w.loads, x -> x + b.n_tokens <= {B}))"
+_BF_POS = "list_position(w.loads, " + _BF_BEST + ")"
+DOCS_ORACLE["pack_bestfit"] = rf"""WITH RECURSIVE lt AS (
+  SELECT doc_id, CAST(doc_id % {PACK_GROUPS} AS BIGINT) AS grp,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+base AS (
+  SELECT doc_id, grp, n_tokens,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM lt),
+walk AS (
+  SELECT doc_id, grp, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS "offset",
+         [n_tokens] AS loads
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.doc_id, b.grp, b.n_tokens, b.rn,
+         CASE WHEN {_BF_BEST.format(B=PACK_BUDGET)} IS NULL
+              THEN CAST(len(w.loads) AS BIGINT)
+              ELSE CAST({_BF_POS.format(B=PACK_BUDGET)} - 1 AS BIGINT) END,
+         CASE WHEN {_BF_BEST.format(B=PACK_BUDGET)} IS NULL
+              THEN CAST(0 AS BIGINT)
+              ELSE {_BF_BEST.format(B=PACK_BUDGET)} END,
+         CASE WHEN {_BF_BEST.format(B=PACK_BUDGET)} IS NULL
+              THEN list_append(w.loads, b.n_tokens)
+              ELSE list_concat(list_concat(
+                     list_slice(w.loads, 1, {_BF_POS.format(B=PACK_BUDGET)} - 1),
+                     [{_BF_BEST.format(B=PACK_BUDGET)} + b.n_tokens]),
+                     list_slice(w.loads, {_BF_POS.format(B=PACK_BUDGET)} + 1,
+                                len(w.loads))) END
+  FROM walk w JOIN base b ON b.grp = w.grp AND b.rn = w.rn + 1)
+SELECT doc_id, grp, seq_id, "offset", n_tokens FROM walk"""
+DOCS_QUERIES["pack_bestfit"] = q_pack_bestfit

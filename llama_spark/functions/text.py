@@ -485,3 +485,64 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
     bi.unpersist()
     return out
+
+
+def pack_sequences_bestfit(
+    documents: DataFrame, budget: int = 256, n_groups: int = 8
+) -> DataFrame:
+    """Best-fit-decreasing sequence packing — the tighter offline variant
+    of :func:`pack_sequences`: within each stream, docs are placed
+    LONGEST-FIRST and each doc goes into the FULLEST already-open
+    sequence it still fits (ties → lowest sequence id), else opens a new
+    sequence. BFD wastes ≤ 11/9·OPT + 4 bins (Johnson's bound) vs
+    first-fit-arrival's 1.7·OPT — fewer padded tokens per batch at the
+    cost of losing arrival order inside the stream.
+
+    Same contract and scale shape as ``pack_sequences``: one row per doc
+    [doc_id, grp, seq_id, offset, n_tokens]; streams (grp = doc_id %
+    n_groups) are the parallel unit, each packed by one bounded
+    ``applyInPandas`` task over (doc_id, n_tokens) pairs only.
+    """
+    tc = documents.select(
+        "doc_id",
+        (F.col("doc_id") % n_groups).cast("long").alias("grp"),
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        loads: list[int] = []
+        seqs, offs = [], []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            best_idx, best_load = -1, -1
+            for i, l in enumerate(loads):
+                # strict > keeps the FIRST maximum → lowest seq id on ties
+                if l + t <= budget and l > best_load:
+                    best_idx, best_load = i, l
+            if best_idx < 0:
+                seqs.append(len(loads))
+                offs.append(0)
+                loads.append(t)
+            else:
+                seqs.append(best_idx)
+                offs.append(loads[best_idx])
+                loads[best_idx] += t
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "grp": pdf["grp"],
+                "seq_id": pd.Series(seqs, dtype="int64"),
+                "offset": pd.Series(offs, dtype="int64"),
+                "n_tokens": pdf["n_tokens"],
+            }
+        )
+
+    return tc.groupBy("grp").applyInPandas(
+        pack,
+        schema="doc_id long, grp long, seq_id long, `offset` long, n_tokens long",
+    )

@@ -257,3 +257,38 @@ def test_coreness_incremental_new_nodes_and_big_batch(spark):
     cold = {r["id"]: r["coreness"] for r in coreness(full).collect()}
     assert got == cold
     assert got[20] == 2  # the new triangle
+
+
+def test_pack_bestfit_tighter_than_first_fit(spark):
+    """Classic BFD win: arrival lengths 3,3,4,4,4,3 at budget 7 cost
+    first-fit-arrival 4 bins (it never revisits earlier bins: 6|4|4|7)
+    while best-fit-decreasing packs the optimum 3 (4+3 each). Also: no
+    bin overflows, every doc appears exactly once, offsets tile each bin
+    contiguously."""
+    from llama_spark.functions.text import pack_sequences, pack_sequences_bestfit
+
+    docs = [
+        (0, "a " * 3), (8, "b " * 3), (16, "c " * 4),
+        (24, "d " * 4), (32, "e " * 4), (40, "f " * 3),
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in docs],
+                               "doc_id long, text string")
+    bf = pack_sequences_bestfit(df, budget=7, n_groups=8).collect()
+    ff = pack_sequences(df, budget=7, n_groups=8).collect()
+    assert all(r["grp"] == 0 for r in bf)  # all ids % 8 == 0 -> one stream
+    assert len({r["doc_id"] for r in bf}) == 6
+    n_bins_bf = len({r["seq_id"] for r in bf})
+    n_bins_ff = len({r["seq_id"] for r in ff})
+    assert n_bins_bf == 3 and n_bins_ff == 4
+    # per-bin integrity: loads fit and offsets tile contiguously
+    from collections import defaultdict as dd
+    bins = dd(list)
+    for r in bf:
+        bins[r["seq_id"]].append((r["offset"], r["n_tokens"]))
+    for parts in bins.values():
+        parts.sort()
+        pos = 0
+        for off, t in parts:
+            assert off == pos
+            pos += t
+        assert pos <= 7

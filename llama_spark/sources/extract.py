@@ -84,3 +84,64 @@ def url_domain(url):  # Column -> Column
     from pyspark.sql import functions as F
 
     return F.regexp_extract(url, r"^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1)
+
+
+ANCHOR_RE = re.compile(
+    rb'<a\s+[^>]*href="([^"]+)"[^>]*>(.*?)</a>', re.IGNORECASE | re.DOTALL
+)
+ANCHORS_SCHEMA = "src_url string, dst_url string, anchor string"
+
+
+def extract_anchors_bytes(html: bytes) -> list[tuple[bytes, bytes]]:
+    """(href, visible anchor text) per <a>...</a>, document order — the
+    anchor text goes through the SAME pinned text pipeline as page text,
+    so the byte-identical contract extends to anchors (pure function)."""
+    return [
+        (href, extract_text_bytes(inner))
+        for href, inner in ANCHOR_RE.findall(html)
+    ]
+
+
+def extract_anchor_texts(pages: DataFrame) -> DataFrame:
+    """pages → DataFrame[src_url, dst_url, anchor], one row per anchor.
+
+    The web-native third column of link extraction: anchor text is the
+    linking page's description of the TARGET — per-target aggregation of
+    it is the classic index-side relevance feature (and the standard
+    web-scale label source for target-page classification)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            srcs: list[str] = []
+            dsts: list[str] = []
+            texts: list[str] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for href, anchor in extract_anchors_bytes(bytes(html)):
+                    srcs.append(url)
+                    dsts.append(href.decode("utf-8", errors="replace"))
+                    texts.append(anchor.decode("utf-8", errors="replace"))
+            yield pd.DataFrame({"src_url": srcs, "dst_url": dsts, "anchor": texts})
+
+    return pages.select("url", "html").mapInPandas(batches, schema=ANCHORS_SCHEMA)
+
+
+def anchor_text_summary(anchors: DataFrame, top_k: int = 3) -> DataFrame:
+    """Per-target anchor aggregation:
+    DataFrame[dst_url, anchor, cnt, n_inlinks, rank] — each target's
+    ``top_k`` most frequent anchor strings (ties → lexicographic), with
+    the target's total in-anchor count. Pure Catalyst after extraction:
+    one (dst, anchor) groupBy, one per-dst count, one bounded window
+    (the window partition holds DISTINCT anchor strings per target, not
+    raw in-links — hub targets collapse in the map-side combine)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = anchors.groupBy("dst_url", "anchor").agg(F.count("*").alias("cnt"))
+    inlinks = anchors.groupBy("dst_url").agg(F.count("*").alias("n_inlinks"))
+    w = Window.partitionBy("dst_url").orderBy(F.desc("cnt"), F.asc("anchor"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .join(inlinks, "dst_url")
+        .select("dst_url", "anchor", "cnt", "n_inlinks", "rank")
+    )

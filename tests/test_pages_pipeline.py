@@ -151,3 +151,46 @@ def test_salting(spark, pages):
         .groupBy("dst").agg(F.sum("count").alias("count"))
     )
     assert direct.exceptAll(twostage).count() == 0
+
+
+def test_anchor_extraction_matches_pure_python(spark, pages):
+    """Anchor rows (src, dst, text) must equal a pure-Python replay of the
+    pinned extractor over the collected html — and the anchor text goes
+    through the SAME byte-identical text pipeline."""
+    from llama_spark.sources.extract import (
+        extract_anchor_texts,
+        extract_anchors_bytes,
+    )
+
+    got = sorted(
+        (r["src_url"], r["dst_url"], r["anchor"])
+        for r in extract_anchor_texts(pages).collect()
+    )
+    expect = []
+    for r in pages.select("url", "html").collect():
+        for href, anchor in extract_anchors_bytes(bytes(r["html"])):
+            expect.append((r["url"], href.decode(), anchor.decode()))
+    assert got == sorted(expect)
+    # generator embeds "link {j} from {page_id}" anchors — spot the shape
+    assert all(a.startswith("link ") and " from " in a for _, _, a in expect)
+
+
+def test_anchor_summary_top1_matches_model(spark, pages):
+    from collections import Counter, defaultdict
+
+    from llama_spark.sources.extract import anchor_text_summary, extract_anchor_texts
+
+    anchors = extract_anchor_texts(pages).persist()
+    rows = anchor_text_summary(anchors, top_k=1).collect()
+    model = defaultdict(Counter)
+    total = Counter()
+    for r in anchors.collect():
+        model[r["dst_url"]][r["anchor"]] += 1
+        total[r["dst_url"]] += 1
+    assert len(rows) == len(model)
+    for r in rows:
+        assert r["rank"] == 1
+        assert r["n_inlinks"] == total[r["dst_url"]]
+        best = min(model[r["dst_url"]].items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (r["anchor"], r["cnt"]) == best
+    anchors.unpersist()

@@ -220,6 +220,19 @@ def main() -> None:
         lambda: neighbor_mean_embeddings(edges, emb, dims=8).count(),
     )
 
+    from llama_spark.functions.text import bigram_logprob
+    from llama_spark.operators.densest import densest_subgraph_trace
+    from llama_spark.operators.sparsify import edge_overlap
+    from llama_spark.operators.sweep import ppr_sweep
+
+    timed(
+        "ppr_sweep64",
+        lambda: ppr_sweep(edges, sources=[0], max_iter=6, top_r=64).count(),
+    )
+    timed("edge_overlap", lambda: edge_overlap(edges).count())
+    timed("densest_peel", lambda: densest_subgraph_trace(edges, eps=0.5)[0].count())
+    timed("bigram_nll", lambda: bigram_logprob(docs).count())
+
     def pages_pipeline() -> None:
         from llama_spark.api import GraphSession
         from llama_spark.sources.pages import generate_pages

@@ -3505,3 +3505,80 @@ def q_coreness_incremental(spark, sf_dir):
 # sf0.01; 20 gives margin) — NOT the 12-round portable-mode gate
 ORACLE["coreness_incremental"] = _coreness_sql(rounds=20)
 QUERIES["coreness_incremental"] = q_coreness_incremental
+
+
+# ------------------------------------------- weighted label propagation
+
+WLP_ITERS = 5
+_WQ_MICRO = "CAST(ROUND((1e0 + ((src*31 + dst) % 100)/100e0) * 1000000.0) AS BIGINT)"
+
+
+def q_label_propagation_weighted(spark, sf_dir):
+    """Weighted synchronous LP over the synthetic SQL-portable weights:
+    votes are micro-unit integer weight sums (order-independent on both
+    engines), argmax per node, smallest-label tie-break."""
+    from .graph import with_synthetic_weights
+    from .operators.components import label_propagation_weighted
+
+    return label_propagation_weighted(
+        with_synthetic_weights(load_edges(spark, sf_dir)), max_iter=WLP_ITERS
+    )
+
+
+def _wlp_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        f"""undw AS MATERIALIZED (
+  SELECT src, dst, MAX(w) AS w FROM (
+    SELECT src, dst, {_WQ_MICRO} AS w FROM edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst, {_WQ_MICRO} AS w FROM edges WHERE src <> dst
+  ) GROUP BY src, dst)""",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)",
+    ]
+    for i in range(1, WLP_ITERS + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT p.id, COALESCE(v.label, p.label) AS label
+  FROM l{i-1} p LEFT JOIN (
+    SELECT id, label FROM (
+      SELECT u.dst AS id, q.label, SUM(u.w) AS wcnt,
+             ROW_NUMBER() OVER (PARTITION BY u.dst
+                                ORDER BY SUM(u.w) DESC, q.label ASC) AS rn
+      FROM l{i-1} q JOIN undw u ON u.src = q.id
+      GROUP BY u.dst, q.label
+    ) WHERE rn = 1
+  ) v ON p.id = v.id
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{WLP_ITERS}"
+
+
+ORACLE["label_propagation_weighted"] = _wlp_sql()
+QUERIES["label_propagation_weighted"] = q_label_propagation_weighted
+
+
+# ----------------------------------------------------------- reciprocity
+
+
+def q_reciprocity(spark, sf_dir):
+    """Directed-edge reciprocity: fraction of simple directed edges whose
+    reverse exists."""
+    from .graph import reciprocity
+
+    return reciprocity(load_edges(spark, sf_dir))
+
+
+ORACLE["reciprocity"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+dirs AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+m AS (SELECT COUNT(*) AS n_mutual FROM dirs d
+      WHERE EXISTS (SELECT 1 FROM dirs r WHERE r.src = d.dst AND r.dst = d.src)),
+n AS (SELECT COUNT(*) AS n_directed FROM dirs)
+SELECT CAST(n.n_directed AS BIGINT) AS n_directed,
+       CAST(m.n_mutual AS BIGINT) AS n_mutual,
+       CASE WHEN n.n_directed > 0
+            THEN ROUND(CAST(m.n_mutual AS DOUBLE) / n.n_directed, 6)
+            ELSE 0e0 END AS reciprocity
+FROM n CROSS JOIN m"""
+QUERIES["reciprocity"] = q_reciprocity

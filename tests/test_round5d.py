@@ -292,3 +292,38 @@ def test_pack_bestfit_tighter_than_first_fit(spark):
             assert off == pos
             pos += t
         assert pos <= 7
+
+
+def test_weighted_label_propagation_weights_flip_the_vote(spark):
+    """Node 9 has TWO light edges into clique-ish label 1 and ONE heavy
+    edge to label 2 — unweighted LP follows the count, weighted LP must
+    follow the weight."""
+    from llama_spark.operators.components import (
+        label_propagation,
+        label_propagation_weighted,
+    )
+
+    pairs = [(1, 9, 1.0), (2, 9, 1.0), (3, 9, 5.0)]
+    wdf = edges_df(spark, pairs, weight=True)
+    seeds = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (9, 9)], "id long, label long"
+    )
+    unw = {r["id"]: r["label"] for r in
+           label_propagation(wdf.select("src", "dst"), max_iter=1,
+                             initial_labels=seeds).collect()}
+    wgt = {r["id"]: r["label"] for r in
+           label_propagation_weighted(wdf, max_iter=1,
+                                      initial_labels=seeds).collect()}
+    assert unw[9] == 1   # two votes beat one
+    assert wgt[9] == 2   # 5.0 beats 1.0 + 1.0
+
+
+def test_reciprocity_counts_mutual_pairs(spark):
+    from llama_spark.graph import reciprocity
+
+    # 2 mutual pairs (4 directed edges) + 2 one-way + self-loop + dup row
+    pairs = [(1, 2), (2, 1), (3, 4), (4, 3), (5, 6), (7, 8), (9, 9), (5, 6)]
+    row = reciprocity(edges_df(spark, pairs)).collect()[0]
+    assert row["n_directed"] == 6
+    assert row["n_mutual"] == 4
+    assert row["reciprocity"] == pytest.approx(4 / 6, abs=1e-6)

@@ -1196,7 +1196,7 @@ def q_betweenness(spark, sf_dir):
     return bc.select("id", F.round("bc", 6).alias("bc"))
 
 
-def _bc_sql() -> str:
+def _bc_ctes() -> list:
     ctes = [
         f"edges AS MATERIALIZED ({EDGES_SQL})",
         f"nodes AS MATERIALIZED ({NODES_SQL})",
@@ -1241,6 +1241,11 @@ def _bc_sql() -> str:
 )"""
         )
     # note: delta{d+1} rows carry w.delta but sigma comes from v{d+1} (wv)
+    return ctes
+
+
+def _bc_sql() -> str:
+    ctes = _bc_ctes()
     all_deltas = " UNION ALL ".join(
         f"SELECT root, id, delta FROM delta{d}" for d in range(BC_UNROLL + 1)
     )
@@ -1253,6 +1258,37 @@ SELECT n.id, ROUND(COALESCE(b.bc, 0e0), 6) AS bc
 FROM nodes n LEFT JOIN (
   SELECT id, SUM(delta) AS bc FROM alldelta WHERE id <> root GROUP BY id
 ) b ON n.id = b.id"""
+    )
+
+
+def _ebc_sql() -> str:
+    """Edge-betweenness oracle: the node chain's CTEs plus per-level edge
+    terms sigma_v*(1+delta_w)/sigma_w summed per directed edge."""
+    ctes = _bc_ctes()
+    for d in range(BC_UNROLL):
+        ctes.append(
+            f"""ect{d} AS MATERIALIZED (
+  SELECT v2.root, v2.id AS src, wv.id AS dst,
+         v2.sigma * (1e0 + w.delta) / wv.sigma AS contrib
+  FROM v{d} v2
+  JOIN edges e ON e.src = v2.id
+  JOIN v{d+1} wv ON wv.root = v2.root AND wv.id = e.dst
+  JOIN delta{d+1} w ON w.root = wv.root AND w.id = wv.id
+)"""
+        )
+    all_terms = " UNION ALL ".join(
+        f"SELECT src, dst, contrib FROM ect{d}" for d in range(BC_UNROLL)
+    )
+    ctes.append(f"allterms AS MATERIALIZED ({all_terms})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT de.src, de.dst, ROUND(COALESCE(s.v, 0e0), 6) AS ebc
+FROM (SELECT DISTINCT src, dst FROM edges WHERE src <> dst) de
+LEFT JOIN (
+  SELECT src, dst, SUM(contrib) AS v FROM allterms GROUP BY src, dst
+) s ON s.src = de.src AND s.dst = de.dst"""
     )
 
 
@@ -3582,3 +3618,29 @@ SELECT CAST(n.n_directed AS BIGINT) AS n_directed,
             ELSE 0e0 END AS reciprocity
 FROM n CROSS JOIN m"""
 QUERIES["reciprocity"] = q_reciprocity
+
+
+# --------------------------------------------------- edge betweenness
+
+
+def q_edge_betweenness(spark, sf_dir):
+    """K-root Brandes EDGE betweenness (Girvan–Newman primitive): per
+    directed edge, sigma_v*(1+delta_w)/sigma_w summed over the sampled
+    shortest-path DAGs; 0 for edges on none of them."""
+    from .operators.bc import edge_betweenness
+
+    edges = load_edges(spark, sf_dir)
+    roots = [
+        r["id"]
+        for r in edges.selectExpr("src AS id")
+        .union(edges.selectExpr("dst AS id"))
+        .distinct()
+        .orderBy("id")
+        .limit(BC_ROOTS_K)
+        .collect()
+    ]
+    return edge_betweenness(edges, roots=roots, max_depth=BC_UNROLL)
+
+
+ORACLE["edge_betweenness"] = _ebc_sql()
+QUERIES["edge_betweenness"] = q_edge_betweenness

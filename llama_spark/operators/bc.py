@@ -203,3 +203,157 @@ def betweenness_centrality(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def edge_betweenness(
+    edges: DataFrame,
+    roots: list[int] | None = None,
+    k: int = 8,
+    seed: int = 42,
+    max_depth: int = 64,
+) -> DataFrame:
+    """DataFrame[src, dst, ebc] — K-root Brandes EDGE betweenness (the
+    Girvan–Newman primitive): each shortest-path-DAG "down edge" (v→w)
+    accumulates σ_v·(1+δ_w)/σ_w per root (Brandes 2001 §4 edge form);
+    directed edges never on any sampled shortest path score 0.
+
+    Same forward pass as :func:`betweenness_centrality` (level-synchronous
+    K-keyed BFS with σ counting, per-level checkpointed down-edge cache);
+    the backward sweep joins σ_v in once per level, so NODE δ recursion
+    stays exactly the node kernel's expression shape (σ_v · Σ(1+δ_w)/σ_w)
+    while the per-edge terms fall out of the same cached join — no extra
+    pass over the edge table. 6-dp rounding on output (≤ K float terms
+    per edge)."""
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if roots is None:
+        roots = pick_roots(edges, k, seed)
+
+    e = edges.select(SRC, DST).distinct().repartition(p, SRC).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    e.count()
+
+    roots_df = spark.createDataFrame([(r,) for r in roots], "root long")
+    level0 = (
+        roots_df.select(
+            "root",
+            F.col("root").alias("id"),
+            F.lit(0).alias("depth"),
+            F.lit(1.0).alias("sigma"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    levels: list[DataFrame] = [level0]
+    counts: list[int] = [len(roots)]
+    downs: list[DataFrame | None] = [None]
+    frontier = level0
+    depth = 0
+    while depth < max_depth:
+        visited = levels[0]
+        for lv in levels[1:]:
+            visited = visited.unionByName(lv)
+        fr = frontier.select("root", F.col("id").alias("vid"), "sigma")
+        cand = (
+            _hint(fr, counts[-1])
+            .join(e, fr["vid"] == e[SRC])
+            .select("root", "vid", F.col(DST).alias("id"), "sigma")
+        )
+        stepped = cand.join(
+            _hint(visited.select("root", "id"), sum(counts)),
+            ["root", "id"],
+            "left_anti",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        nxt = (
+            stepped.groupBy("root", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("depth", F.lit(depth + 1))
+            .select("root", "id", "depth", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == 0:
+            stepped.unpersist()
+            break
+        levels.append(nxt)
+        counts.append(n_nxt)
+        downs.append(stepped)
+        frontier = nxt
+        depth += 1
+
+    max_d = len(levels) - 1
+    deltas: list[DataFrame | None] = [None] * (max_d + 1)
+    deltas[max_d] = (
+        levels[max_d]
+        .select("root", "id", F.lit(0.0).alias("delta"))
+        .localCheckpoint(eager=True)
+    )
+    eterms: list[DataFrame] = []
+    joined_frames: list[DataFrame] = []
+    for d in range(max_d - 1, -1, -1):
+        w = (
+            levels[d + 1]
+            .select("root", F.col("id").alias("wid"), F.col("sigma").alias("wsigma"))
+            .join(
+                deltas[d + 1]
+                .withColumnRenamed("id", "wid")
+                .withColumnRenamed("delta", "wdelta"),
+                ["root", "wid"],
+            )
+        )
+        vsig = levels[d].select(
+            "root", F.col("id").alias("vid"), F.col("sigma").alias("vsigma")
+        )
+        joined = (
+            downs[d + 1]
+            .select("root", "vid", F.col("id").alias("wid"))
+            .join(_hint(w, counts[d + 1]), ["root", "wid"])
+            .join(_hint(vsig, counts[d]), ["root", "vid"])
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # node δ recursion keeps the node kernel's exact expression shape
+        acc = joined.groupBy("root", "vid").agg(
+            F.sum((F.lit(1.0) + F.col("wdelta")) / F.col("wsigma")).alias("acc")
+        )
+        deltas[d] = (
+            levels[d]
+            .select("root", "id", "sigma")
+            .join(acc.withColumnRenamed("vid", "id"), ["root", "id"], "left")
+            .select(
+                "root",
+                "id",
+                (F.col("sigma") * F.coalesce("acc", F.lit(0.0))).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        eterms.append(
+            joined.select(
+                F.col("vid").alias(SRC),
+                F.col("wid").alias(DST),
+                (F.col("vsigma") * (F.lit(1.0) + F.col("wdelta")) / F.col("wsigma"))
+                .alias("contrib"),
+            )
+        )
+        joined_frames.append(joined)
+        downs[d + 1].unpersist()
+
+    if eterms:
+        all_terms = eterms[0]
+        for t in eterms[1:]:
+            all_terms = all_terms.unionByName(t)
+        scores = all_terms.groupBy(SRC, DST).agg(F.sum("contrib").alias("_s"))
+    else:
+        scores = spark.createDataFrame([], f"{SRC} long, {DST} long, _s double")
+    out = (
+        e.filter(F.col(SRC) != F.col(DST))
+        .join(scores, [SRC, DST], "left")
+        .select(
+            SRC, DST, F.round(F.coalesce("_s", F.lit(0.0)), 6).alias("ebc")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for jf in joined_frames:
+        jf.unpersist()
+    e.unpersist()
+    return out

@@ -327,3 +327,32 @@ def test_reciprocity_counts_mutual_pairs(spark):
     assert row["n_directed"] == 6
     assert row["n_mutual"] == 4
     assert row["reciprocity"] == pytest.approx(4 / 6, abs=1e-6)
+
+
+def test_edge_betweenness_path_exact(spark):
+    """Directed path 0->1->2->3, all nodes as roots: edge (v,w) carries
+    the number of (root, target) shortest paths through it — 3/4/3."""
+    from llama_spark.operators.bc import edge_betweenness
+
+    rows = edge_betweenness(
+        edges_df(spark, [(0, 1), (1, 2), (2, 3)]), roots=[0, 1, 2, 3]
+    ).collect()
+    got = {(r["src"], r["dst"]): r["ebc"] for r in rows}
+    assert got == {(0, 1): 3.0, (1, 2): 4.0, (2, 3): 3.0}
+
+
+def test_edge_betweenness_bridge_dominates(spark):
+    """In the two-clique fixture (symmetrized) the bridge edge carries all
+    inter-clique shortest paths — it must outscore every in-clique edge,
+    and node/edge scores must be mutually consistent per Brandes:
+    sum_edges ebc = sum over roots of sum_v sigma_v-weighted path counts =
+    sum of (node bc) + (paths-to-target count)."""
+    from llama_spark.operators.bc import betweenness_centrality, edge_betweenness
+
+    und = TWO_CLIQUES + [(b, a) for a, b in TWO_CLIQUES]
+    roots = sorted({x for e in TWO_CLIQUES for x in e})
+    rows = edge_betweenness(edges_df(spark, und), roots=roots).collect()
+    scores = {(r["src"], r["dst"]): r["ebc"] for r in rows}
+    bridge = max(scores[(3, 10)], scores[(10, 3)])
+    others = [v for k, v in scores.items() if k not in {(3, 10), (10, 3)}]
+    assert bridge > max(others)

@@ -1435,3 +1435,119 @@ walk AS (
   FROM walk w JOIN base b ON b.grp = w.grp AND b.rn = w.rn + 1)
 SELECT doc_id, grp, seq_id, "offset", n_tokens FROM walk"""
 DOCS_QUERIES["pack_bestfit"] = q_pack_bestfit
+
+
+# --- product-quantization ADC search ------------------------------------------
+
+PQ_M, PQ_K, PQ_ITERS, PQ_TOPK = 2, 8, 2, 5
+PQ_DIM = 64  # embeddings table dimensionality
+
+
+def q_pq_ann(spark, sf_dir):
+    """PQ-ADC approximate nearest neighbors: per-subspace deterministic
+    Lloyd codebooks, integer micro-unit lookup-table distances, top-k per
+    query (see functions/similarity.pq_ann)."""
+    from .functions.similarity import pq_ann
+
+    return pq_ann(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        m=PQ_M,
+        k_codes=PQ_K,
+        iters=PQ_ITERS,
+        k=PQ_TOPK,
+        n_queries=TOPK_QUERIES,
+    )
+
+
+def _pq_sub_ctes(su: int) -> list[str]:
+    """Per-subspace unrolled Lloyd over dims [su*d+1, (su+1)*d] with
+    prefixed CTE names — mirrors _kmeans_ctes exactly, restricted."""
+    d = PQ_DIM // PQ_M
+    lo, hi = su * d + 1, (su + 1) * d
+    p = f"s{su}_"
+    ctes = [
+        f"""{p}dv AS MATERIALIZED (
+  SELECT vec_id, dim, val FROM dvecs WHERE dim BETWEEN {lo} AND {hi})""",
+        f"""{p}c0 AS MATERIALIZED (
+  SELECT r.cl, d.dim, d.val
+  FROM (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl
+        FROM embeddings ORDER BY vec_id LIMIT {PQ_K}) r
+  JOIN {p}dv d ON d.vec_id = r.vec_id)""",
+    ]
+    for i in range(1, PQ_ITERS + 1):
+        ctes.append(
+            f"""{p}d{i} AS (
+  SELECT v.vec_id, c.cl,
+         ROUND(SUM((v.val - c.val) * (v.val - c.val)), 6) AS dist
+  FROM {p}dv v JOIN {p}c{i-1} c ON c.dim = v.dim
+  GROUP BY v.vec_id, c.cl),
+{p}a{i} AS MATERIALIZED (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM {p}d{i}) t WHERE rn = 1)"""
+        )
+        if i < PQ_ITERS:
+            ctes.append(
+                f"""{p}c{i} AS MATERIALIZED (
+  SELECT a.cl, v.dim, AVG(v.val) AS val
+  FROM {p}a{i} a JOIN {p}dv v ON v.vec_id = a.vec_id
+  GROUP BY a.cl, v.dim)"""
+            )
+    return ctes
+
+
+def _pq_sql() -> str:
+    I = PQ_ITERS
+    ctes = [
+        """dvecs AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings)""",
+    ]
+    for su in range(PQ_M):
+        ctes += _pq_sub_ctes(su)
+    codes = " UNION ALL ".join(
+        f"SELECT vec_id, CAST({su} AS BIGINT) AS sub, CAST(cl AS BIGINT) AS code "
+        f"FROM s{su}_a{I}"
+        for su in range(PQ_M)
+    )
+    ctes.append(f"codes AS MATERIALIZED ({codes})")
+    ctes.append(
+        f"""qids AS (SELECT vec_id AS qid FROM embeddings
+  ORDER BY vec_id LIMIT {TOPK_QUERIES})"""
+    )
+    lut = " UNION ALL ".join(
+        f"""SELECT v.vec_id AS qid, CAST({su} AS BIGINT) AS sub,
+       CAST(c.cl AS BIGINT) AS code,
+       CAST(ROUND(ROUND(SUM((v.val - c.val) * (v.val - c.val)), 6)
+            * 1000000.0) AS BIGINT) AS d_micro
+  FROM s{su}_dv v JOIN s{su}_c{I-1} c ON c.dim = v.dim
+  WHERE v.vec_id IN (SELECT qid FROM qids)
+  GROUP BY v.vec_id, c.cl"""
+        for su in range(PQ_M)
+    )
+    ctes.append(f"lut AS MATERIALIZED ({lut})")
+    ctes.append(
+        """pairs AS (
+  SELECT l.qid, c.vec_id, SUM(l.d_micro) AS adc_micro
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  WHERE c.vec_id <> l.qid
+  GROUP BY l.qid, c.vec_id)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT qid AS query_id, vec_id AS neighbor_id,
+       CAST(adc_micro AS BIGINT) AS adc_micro, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT qid, vec_id, adc_micro,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY adc_micro ASC, vec_id ASC) AS rank
+  FROM pairs) t
+WHERE rank <= {PQ_TOPK}"""
+    )
+
+
+DOCS_ORACLE["pq_ann"] = _pq_sql()
+DOCS_QUERIES["pq_ann"] = q_pq_ann

@@ -483,3 +483,150 @@ def ann_recall(truth: DataFrame, approx: DataFrame) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+def pq_fit_codes(
+    embeddings: DataFrame,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product quantization (Jégou, Douze, Schmid, TPAMI 2011): split each
+    vector into ``m`` contiguous subspaces and vector-quantize each with
+    its own deterministic Lloyd codebook (functions/cluster.kmeans_fit —
+    6-dp-rounded argmin, lowest-cluster tie-break, smallest-vec_id init).
+
+    Returns ``(codes, codebooks)``:
+      codes      DataFrame[vec_id, sub, code] — m rows per vector,
+      codebooks  DataFrame[sub, code, c: array<double>] — ≤ m·k rows.
+
+    The compression step of the production ANN ladder this engine ships
+    (brute cosine → LSH multi-table → IVF-Flat → PQ): N·d doubles become
+    N·m bytes-worth of codes plus a driver-sized codebook."""
+    from .cluster import kmeans_fit
+
+    dim = int(
+        embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    )
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d = dim // m
+    codes = None
+    books = None
+    spark = embeddings.sparkSession
+    for s in range(m):
+        sub = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                s * d + 1,
+                d,
+            ).alias("embedding"),
+        )
+        assign, cents = kmeans_fit(sub, k=k, iters=iters)
+        cpart = assign.select(
+            "vec_id", F.lit(s).cast("long").alias("sub"),
+            F.col("cluster").cast("long").alias("code"),
+        )
+        bpart = cents.select(
+            F.lit(s).cast("long").alias("sub"),
+            F.col("cluster").cast("long").alias("code"),
+            "c",
+        )
+        codes = cpart if codes is None else codes.unionByName(cpart)
+        books = bpart if books is None else books.unionByName(bpart)
+    return codes, books
+
+
+def pq_ann(
+    embeddings: DataFrame,
+    m: int = 2,
+    k_codes: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: queries keep their RAW
+    subvectors; each query builds an m·k_codes lookup table of squared-L2
+    distances to the codebook entries, and a database vector's distance
+    is the SUM of its codes' LUT entries — one broadcast map-side join
+    over the N·m code rows, no vector arithmetic per pair.
+
+    DataFrame[query_id, neighbor_id, adc_micro, rank] — top ``k`` per
+    query by ADC distance. **Engine-exact ranking**: each per-subspace
+    LUT distance is rounded to 6 dp (the gate-proven cross-engine-equal
+    quantity) then quantized to integer micro-units, so the per-pair SUM
+    over subspaces is exact integer arithmetic — ties break on
+    neighbor_id. Queries = the ``n_queries`` smallest vec_ids; the query
+    itself is excluded from its result list."""
+    codes, books = pq_fit_codes(
+        embeddings, m=m, k=k_codes, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    codes = codes.persist()
+    dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    d = dim_row[0]["d"] // m
+
+    q = (
+        embeddings.orderBy(id_col)
+        .limit(n_queries)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+        )
+    )
+    qsubs = q.select(
+        "qid",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).cast("long").alias("sub"),
+                    F.slice("qv", s * d + 1, d).alias("qs"),
+                )
+                for s in range(m)
+            ])
+        ).alias("e"),
+    ).select("qid", F.col("e.sub").alias("sub"), F.col("e.qs").alias("qs"))
+    lut = (
+        qsubs.join(F.broadcast(books), "sub")
+        .select(
+            "qid",
+            "sub",
+            "code",
+            F.round(F.round(_sq_l2(F.col("qs"), F.col("c")), 6) * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("d_micro"),
+        )
+    )
+    pairs = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d_micro").alias("adc_micro"), F.count("*").alias("_m"))
+        .filter(F.col("_m") == m)  # drop pairs missing a subspace (never happens)
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_micro"), F.asc("vec_id"))
+    out = (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_micro",
+            "rank",
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    codes.unpersist()
+    return out
+
+
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

@@ -356,3 +356,32 @@ def test_edge_betweenness_bridge_dominates(spark):
     bridge = max(scores[(3, 10)], scores[(10, 3)])
     others = [v for k, v in scores.items() if k not in {(3, 10), (10, 3)}]
     assert bridge > max(others)
+
+
+def test_pq_ann_recovers_tight_clusters(spark):
+    """Two well-separated clusters: every query's nearest ADC neighbors
+    are its own cluster mates, and same-cluster ADC distances are far
+    below cross-cluster ones."""
+    from llama_spark.functions.similarity import pq_ann, pq_fit_codes
+
+    A = [[0.0, 0.1, 0.0, 0.2], [0.1, 0.0, 0.1, 0.0], [0.2, 0.1, 0.0, 0.1]]
+    B = [[10.0, 9.9, 10.1, 10.0], [9.8, 10.0, 10.0, 10.2], [10.1, 10.1, 9.9, 10.0]]
+    rows = [(i, v) for i, v in enumerate(A + B)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    codes, books = pq_fit_codes(df, m=2, k=2, iters=2)
+    got_codes = codes.collect()
+    assert len(got_codes) == 12  # 6 vectors x 2 subspaces
+    # each subspace's codebook separates the clusters
+    by_sub = {}
+    for r in got_codes:
+        by_sub.setdefault(r["sub"], {})[r["vec_id"]] = r["code"]
+    for sub_codes in by_sub.values():
+        assert len({sub_codes[i] for i in range(3)}) == 1
+        assert len({sub_codes[i] for i in range(3, 6)}) == 1
+        assert sub_codes[0] != sub_codes[3]
+
+    out = pq_ann(df, m=2, k_codes=2, iters=2, k=2, n_queries=6).collect()
+    for r in out:
+        same = (r["query_id"] < 3) == (r["neighbor_id"] < 3)
+        assert same, (r["query_id"], r["neighbor_id"])

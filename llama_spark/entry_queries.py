@@ -3644,3 +3644,346 @@ def q_edge_betweenness(spark, sf_dir):
 
 ORACLE["edge_betweenness"] = _ebc_sql()
 QUERIES["edge_betweenness"] = q_edge_betweenness
+
+
+# --------------------------------------------------- bow-tie decomposition
+
+
+def q_bowtie(spark, sf_dir):
+    """Broder et al. bow-tie census: per-node region relative to the
+    largest SCC (CORE/IN/OUT/TENDRIL/DISCONNECTED)."""
+    from .operators.bowtie import bowtie_decomposition
+
+    return bowtie_decomposition(load_edges(spark, sf_dir))
+
+
+ORACLE["bowtie"] = f"""WITH RECURSIVE edges AS MATERIALIZED ({EDGES_SQL}),
+nodes AS MATERIALIZED ({NODES_SQL}),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+lab AS MATERIALIZED (
+  SELECT n.id, LEAST(n.id, COALESCE(MIN(m.u), n.id)) AS scc
+  FROM nodes n LEFT JOIN mutual m ON m.v = n.id GROUP BY n.id),
+core AS (SELECT scc FROM lab GROUP BY scc ORDER BY COUNT(*) DESC, scc ASC LIMIT 1),
+und AS MATERIALIZED ({UND_SQL}),
+ureach(b) AS (
+  SELECT scc FROM core
+  UNION
+  SELECT u.dst FROM ureach r JOIN und u ON u.src = r.b)
+SELECT l.id,
+  CASE WHEN l.scc = (SELECT scc FROM core) THEN 'CORE'
+       WHEN l.id IN (SELECT a FROM reach WHERE b = (SELECT scc FROM core)) THEN 'IN'
+       WHEN l.id IN (SELECT b FROM reach WHERE a = (SELECT scc FROM core)) THEN 'OUT'
+       WHEN l.id IN (SELECT b FROM ureach) THEN 'TENDRIL'
+       ELSE 'DISCONNECTED' END AS region
+FROM lab l"""
+QUERIES["bowtie"] = q_bowtie
+
+
+# --------------------------------------------------- condensation levels
+
+
+def q_condensation_levels(spark, sf_dir):
+    """Longest-path topological depth of every SCC-condensation component."""
+    from .operators.scc import condensation_levels
+
+    return condensation_levels(load_edges(spark, sf_dir))
+
+
+ORACLE["condensation_levels"] = f"""WITH RECURSIVE edges AS MATERIALIZED ({EDGES_SQL}),
+nodes AS MATERIALIZED ({NODES_SQL}),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+lab AS MATERIALIZED (
+  SELECT n.id, LEAST(n.id, COALESCE(MIN(m.u), n.id)) AS scc
+  FROM nodes n LEFT JOIN mutual m ON m.v = n.id GROUP BY n.id),
+cedges AS MATERIALIZED (
+  SELECT DISTINCT la.scc AS cs, lb.scc AS cd
+  FROM edges e JOIN lab la ON la.id = e.src JOIN lab lb ON lb.id = e.dst
+  WHERE la.scc <> lb.scc),
+comps AS (SELECT DISTINCT scc AS comp FROM lab),
+lev(comp, d) AS (
+  SELECT comp, 0 FROM comps WHERE comp NOT IN (SELECT cd FROM cedges)
+  UNION
+  SELECT c.cd, l.d + 1 FROM lev l JOIN cedges c ON c.cs = l.comp)
+SELECT comp, CAST(MAX(d) AS BIGINT) AS level FROM lev GROUP BY comp"""
+QUERIES["condensation_levels"] = q_condensation_levels
+
+
+# --------------------------------------------------- trustrank / spam mass
+
+TRUST_SEEDS = PPR_SOURCES  # gate pins the trusted set to the PPR gate's seeds
+
+
+def _spam_mass_sql() -> str:
+    srcs = ", ".join(str(s) for s in TRUST_SEEDS)
+    ev = (
+        f"(CASE WHEN nodes.id IN ({srcs}) THEN "
+        f"CAST({1.0 / len(TRUST_SEEDS)!r} AS DOUBLE) ELSE 0e0 END)"
+    )
+    base = repr(1.0 - DAMPING)
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS od FROM edges GROUP BY src)",
+        "pr0 AS MATERIALIZED (SELECT id, 1e0/(SELECT n FROM nn) AS rank FROM nodes)",
+        f"tr0 AS MATERIALIZED (SELECT nodes.id, {ev} AS rank FROM nodes)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""pr{i} AS MATERIALIZED (
+  SELECT nodes.id,
+         CAST({base} AS DOUBLE)/(SELECT n FROM nn)
+         + CAST({DAMPING!r} AS DOUBLE) * COALESCE(c.contrib, 0e0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / d.od) AS contrib
+    FROM pr{i-1} r JOIN edges e ON e.src = r.id JOIN deg d ON d.id = r.id
+    GROUP BY e.dst
+  ) c ON nodes.id = c.id
+)"""
+        )
+        ctes.append(
+            f"""tr{i} AS MATERIALIZED (
+  SELECT nodes.id,
+         CAST({base} AS DOUBLE) * {ev}
+         + CAST({DAMPING!r} AS DOUBLE) * COALESCE(c.contrib, 0e0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / d.od) AS contrib
+    FROM tr{i-1} r JOIN edges e ON e.src = r.id JOIN deg d ON d.id = r.id
+    GROUP BY e.dst
+  ) c ON nodes.id = c.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id, pr_scaled, trust_scaled,
+       ROUND((pr_scaled - trust_scaled) / pr_scaled, 6) AS rel_mass
+FROM (
+  SELECT p.id,
+         ROUND(p.rank * (SELECT n FROM nn), 6) AS pr_scaled,
+         ROUND(t.rank * (SELECT n FROM nn), 6) AS trust_scaled
+  FROM pr{PR_ITERS} p JOIN tr{PR_ITERS} t ON t.id = p.id
+)"""
+    )
+
+
+def q_spam_mass(spark, sf_dir):
+    """TrustRank spam mass: (PR − TR)/PR per node, TR seeded at
+    TRUST_SEEDS (Gyongyi et al. VLDB 2004/2006)."""
+    from .operators.trust import spam_mass
+
+    return spam_mass(
+        load_edges(spark, sf_dir), seeds=TRUST_SEEDS,
+        damping=DAMPING, max_iter=PR_ITERS,
+    )
+
+
+ORACLE["spam_mass"] = _spam_mass_sql()
+QUERIES["spam_mass"] = q_spam_mass
+
+
+# --------------------------------------------------- four-clique count
+
+
+def q_four_cliques(spark, sf_dir):
+    from .operators.triangles import four_clique_count
+
+    return four_clique_count(load_edges(spark, sf_dir))
+
+
+ORACLE["four_cliques"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM edges WHERE src <> dst),
+tri AS (
+  SELECT a.src AS u, a.dst AS v, b.dst AS w
+  FROM e0 a JOIN e0 b ON b.src = a.dst
+  JOIN e0 c ON c.src = a.src AND c.dst = b.dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS four_cliques
+FROM tri t
+JOIN e0 x ON x.src = t.u
+JOIN e0 y ON y.src = t.v AND y.dst = x.dst
+JOIN e0 z ON z.src = t.w AND z.dst = x.dst"""
+QUERIES["four_cliques"] = q_four_cliques
+
+
+# --------------------------------------------------- maximal matching
+
+MATCH_UNROLL = 24
+
+
+def _matching_sql() -> str:
+    def key(r: int) -> str:
+        eid = "(src * 4294967296 + dst)"
+        prio = (
+            f"(({eid} % 1000003) * 2654435761 + {r * 1315423911}"
+            f" + ({eid} % 2147483647)) % 2147483647"
+        )
+        return f"(({prio}) * 4294967296 + (src * 65599 + dst) % 4294967296)"
+
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS src, "
+        "GREATEST(src, dst) AS dst FROM edges WHERE src <> dst)",
+    ]
+    for r in range(1, MATCH_UNROLL + 1):
+        ctes.append(f"k{r} AS (SELECT src, dst, {key(r)} AS k FROM e{r-1})")
+        ctes.append(
+            f"""b{r} AS (
+  SELECT id, MIN(k) AS b FROM (
+    SELECT src AS id, k FROM k{r} UNION ALL SELECT dst AS id, k FROM k{r}
+  ) GROUP BY id)"""
+        )
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM k{r} e
+  JOIN b{r} bu ON bu.id = e.src AND bu.b = e.k
+  JOIN b{r} bv ON bv.id = e.dst AND bv.b = e.k)"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT src, dst FROM e{r-1}
+  WHERE src NOT IN (SELECT src FROM s{r} UNION SELECT dst FROM s{r})
+    AND dst NOT IN (SELECT src FROM s{r} UNION SELECT dst FROM s{r}))"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT src, dst FROM s{r}" for r in range(1, MATCH_UNROLL + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT src, dst FROM ({union})"
+
+
+def q_matching(spark, sf_dir):
+    from .operators.matching import maximal_matching
+
+    return maximal_matching(load_edges(spark, sf_dir))
+
+
+ORACLE["matching"] = _matching_sql()
+QUERIES["matching"] = q_matching
+
+
+# --------------------------------------------------- weighted matching
+
+WMATCH_UNROLL = 32
+
+
+def _weighted_matching_sql() -> str:
+    def key(r: int) -> str:
+        eid = "(src * 4294967296 + dst)"
+        prio = (
+            f"(({eid} % 1000003) * 2654435761 + {r * 1315423911}"
+            f" + ({eid} % 2147483647)) % 2147483647"
+        )
+        return (
+            f"(((100000 - wq) * 2147483648 + ({prio})) * 4096"
+            f" + (src * 65599 + dst) % 4096)"
+        )
+
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "base AS (SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst, "
+        "CAST(ROUND((1e0 + ((src*31 + dst) % 100)/100e0) * 100e0) AS BIGINT) AS wq "
+        "FROM edges WHERE src <> dst)",
+        "e0 AS MATERIALIZED (SELECT src, dst, MAX(wq) AS wq FROM base GROUP BY src, dst)",
+    ]
+    for r in range(1, WMATCH_UNROLL + 1):
+        ctes.append(f"k{r} AS (SELECT src, dst, wq, {key(r)} AS k FROM e{r-1})")
+        ctes.append(
+            f"""b{r} AS (
+  SELECT id, MIN(k) AS b FROM (
+    SELECT src AS id, k FROM k{r} UNION ALL SELECT dst AS id, k FROM k{r}
+  ) GROUP BY id)"""
+        )
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.wq FROM k{r} e
+  JOIN b{r} bu ON bu.id = e.src AND bu.b = e.k
+  JOIN b{r} bv ON bv.id = e.dst AND bv.b = e.k)"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT src, dst, wq FROM e{r-1}
+  WHERE src NOT IN (SELECT src FROM s{r} UNION SELECT dst FROM s{r})
+    AND dst NOT IN (SELECT src FROM s{r} UNION SELECT dst FROM s{r}))"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT src, dst, wq FROM s{r}" for r in range(1, WMATCH_UNROLL + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT src, dst, wq FROM ({union})"
+
+
+def q_weighted_matching(spark, sf_dir):
+    """Greedy locally-heaviest maximal matching (½-approx max-weight) on
+    the synthetic-weight graph."""
+    from .graph import with_synthetic_weights
+    from .operators.matching import maximal_weight_matching
+
+    return maximal_weight_matching(
+        with_synthetic_weights(load_edges(spark, sf_dir)), resolution=100
+    )
+
+
+ORACLE["weighted_matching"] = _weighted_matching_sql()
+QUERIES["weighted_matching"] = q_weighted_matching
+
+
+# --------------------------------------------------- event analytics
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_counts(spark, sf_dir):
+    """Strictly-ordered first-touch funnel over the events stream."""
+    from .functions.funnel import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(ev, FUNNEL_STEPS)
+
+
+def _funnel_sql() -> str:
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+f1 AS (SELECT user_id, MIN(t) AS t0 FROM ev WHERE event_type = '{s1}' GROUP BY user_id),
+f2 AS (SELECT e.user_id, MIN(e.t) AS t0 FROM ev e JOIN f1 ON f1.user_id = e.user_id
+       WHERE e.event_type = '{s2}' AND e.t > f1.t0 GROUP BY e.user_id),
+f3 AS (SELECT e.user_id, MIN(e.t) AS t0 FROM ev e JOIN f2 ON f2.user_id = e.user_id
+       WHERE e.event_type = '{s3}' AND e.t > f2.t0 GROUP BY e.user_id)
+SELECT CAST(1 AS BIGINT) AS step_no, '{s1}' AS step, COUNT(*) AS n_users FROM f1
+UNION ALL
+SELECT CAST(2 AS BIGINT), '{s2}', COUNT(*) FROM f2
+UNION ALL
+SELECT CAST(3 AS BIGINT), '{s3}', COUNT(*) FROM f3"""
+
+
+ORACLE["funnel_counts"] = _funnel_sql()
+QUERIES["funnel_counts"] = q_funnel_counts
+
+
+def q_daily_retention(spark, sf_dir):
+    """Cohort (first-event epoch-day) × day-offset retention triangle."""
+    from .functions.funnel import daily_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return daily_retention(ev)
+
+
+ORACLE["daily_retention"] = """WITH ev AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+frst AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+grid AS (
+  SELECT f.cohort_day, e.day - f.cohort_day AS day_offset, COUNT(*) AS n_users
+  FROM ev e JOIN frst f ON f.user_id = e.user_id GROUP BY 1, 2),
+sizes AS (SELECT cohort_day, n_users AS sz FROM grid WHERE day_offset = 0)
+SELECT g.cohort_day, g.day_offset, CAST(g.n_users AS BIGINT) AS n_users,
+       ROUND(g.n_users / CAST(s.sz AS DOUBLE), 6) AS retention
+FROM grid g JOIN sizes s ON s.cohort_day = g.cohort_day"""
+QUERIES["daily_retention"] = q_daily_retention

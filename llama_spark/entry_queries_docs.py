@@ -1551,3 +1551,39 @@ WHERE rank <= {PQ_TOPK}"""
 
 DOCS_ORACLE["pq_ann"] = _pq_sql()
 DOCS_QUERIES["pq_ann"] = q_pq_ann
+
+
+# --------------------------------------------------- token entropy
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy of the token distribution (micro-nat
+    integer quantization — order-independent, see functions/text.py)."""
+    from .functions.text import token_entropy
+
+    return token_entropy(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+DOCS_ORACLE["token_entropy"] = r"""WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+tot AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS dt FROM cnt GROUP BY doc_id),
+micro AS (
+  SELECT c.doc_id, t.n, t.dt,
+         CAST(ROUND((LN(CAST(t.n AS DOUBLE)) - LN(CAST(c.c AS DOUBLE)))
+                    * CAST(c.c AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+  FROM cnt c JOIN tot t ON t.doc_id = c.doc_id),
+per AS (
+  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+         CAST(MAX(dt) AS BIGINT) AS distinct_tokens,
+         ROUND(SUM(m) / (MAX(n) * 1000000.0), 6) AS entropy_nats
+  FROM micro GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.distinct_tokens, 0) AS distinct_tokens,
+       COALESCE(p.entropy_nats, 0e0) AS entropy_nats
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id"""
+DOCS_QUERIES["token_entropy"] = q_token_entropy

@@ -546,3 +546,72 @@ def pack_sequences_bestfit(
         pack,
         schema="doc_id long, grp long, seq_id long, `offset` long, n_tokens long",
     )
+
+
+def token_entropy(documents: DataFrame) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution —
+    DataFrame[doc_id, n_tokens, distinct_tokens, entropy_nats]:
+    H = Σ_t (c_t/n)·ln(n/c_t) over the doc's token counts. The classic
+    gibberish/boilerplate detector band: templated or single-phrase spam
+    scores near 0, natural prose near ln(distinct); used alongside
+    ``repetition_ratios`` in every web-corpus quality stack (Gopher /
+    CCNet style rules).
+
+    Order-independent float contract (the unigram/bigram-logprob trick):
+    each distinct token's contribution c·(ln n − ln c) is quantized ONCE
+    to integer micro-nats — a pure function of the two ints (c, n) — so
+    the per-doc sum is exact integer arithmetic in any aggregation order
+    on any engine; one float division per doc at the end, rounded to
+    6 dp. Docs with zero tokens surface with entropy 0.
+
+    Plan: tokenize → (doc, token) count aggregate (map-side combined) →
+    per-doc n via a second aggregate reused from the counts (no second
+    corpus pass) → integer sum per doc. A partition never holds more
+    than one doc's distinct-token rows for the window-free aggregates;
+    everything is JVM expressions.
+    """
+    cnt = (
+        tokenize(documents)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("distinct_tokens")
+    )
+    per_doc = (
+        cnt.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n",
+            "distinct_tokens",
+            F.round(
+                (F.log(F.col("n").cast("double")) - F.log(F.col("c").cast("double")))
+                * F.col("c").cast("double")
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("micro"),
+        )
+        .groupBy("doc_id", "n", "distinct_tokens")
+        .agg(F.sum("micro").alias("s"))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("distinct_tokens").cast("long").alias("distinct_tokens"),
+            F.round(F.col("s") / (F.col("n") * F.lit(1_000_000.0)), 6).alias(
+                "entropy_nats"
+            ),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("distinct_tokens", F.lit(0)).cast("long").alias(
+                "distinct_tokens"
+            ),
+            F.coalesce("entropy_nats", F.lit(0.0)).alias("entropy_nats"),
+        )
+    )

@@ -257,3 +257,86 @@ def strongly_connected_components(
     if stats is not None:
         stats.update(_stats)
     return out
+
+
+def condensation_levels(edges: DataFrame, max_iter: int = 200) -> DataFrame:
+    """DataFrame[comp, level] — topological LONGEST-PATH depth of every
+    component of the SCC condensation DAG: level(C) = 0 for components
+    with no incoming condensation edge, else 1 + max over predecessors.
+    The standard "how deep is the web's dependency structure" census and
+    the scheduling order for any per-SCC sequential pass (Tarjan's output
+    order in the reference is one linearization of exactly this DAG —
+    tarjan_scc.h settles an SCC only after everything it reaches).
+
+    Plan: one SCC run, one E-row double label join to contract edges to
+    the component graph (distinct — multi-edges collapse), then a
+    Bellman-Ford-style max-relaxation over the C-row level table: each
+    sweep is one join + max aggregate over the contracted edge set, and a
+    DAG converges in ≤ depth sweeps. The contracted table is persisted;
+    sweeps observe their changed-count on the checkpoint job. At web
+    scale the condensation is tiny next to the graph (the giant SCC
+    swallows most mass), so every sweep is a small-table fixpoint."""
+    from ..graph import materialize
+
+    spark = edges.sparkSession
+    labels = strongly_connected_components(edges).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    labels.count()
+    ls = labels.select(F.col("id").alias(SRC), F.col("scc").alias("cs"))
+    ld = labels.select(F.col("id").alias(DST), F.col("scc").alias("cd"))
+    cedges = (
+        edges.select(SRC, DST)
+        .join(ls, SRC)
+        .join(ld, DST)
+        .filter(F.col("cs") != F.col("cd"))
+        .select("cs", "cd")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cedges.count()
+
+    lev = materialize(
+        labels.select(F.col("scc").alias("comp")).distinct().select(
+            "comp", F.lit(0).cast("long").alias("level")
+        )
+    )
+    for _sweep in range(max_iter):
+        cand = (
+            lev.join(cedges, lev["comp"] == cedges["cs"])
+            .groupBy(F.col("cd").alias("comp"))
+            .agg((F.max("level") + F.lit(1)).alias("in_level"))
+        )
+        obs = Observation(f"cond_{_sweep}")
+        prev = lev
+        nxt = materialize(
+            lev.join(cand, "comp", "left")
+            .select(
+                "comp",
+                F.col("level").alias("_old"),
+                F.greatest(
+                    "level", F.coalesce("in_level", F.lit(0).cast("long"))
+                ).alias("level"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("level") != F.col("_old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .select("comp", "level"),
+            observed=True,
+        )
+        lev = nxt
+        prev.unpersist()
+        if int(obs.get["changed"] or 0) == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"condensation_levels did not converge in max_iter={max_iter} "
+            "sweeps — the condensation must be a DAG (is the SCC output "
+            "consistent?)"
+        )
+    labels.unpersist()
+    cedges.unpersist()
+    return lev

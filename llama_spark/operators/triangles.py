@@ -279,3 +279,54 @@ def four_cycle_count(edges: DataFrame, hub_cap: int | None = None) -> DataFrame:
         .select(F.expr("CAST(_s DIV 4 AS BIGINT)").alias("four_cycles"))
         .localCheckpoint(eager=True)
     )
+
+
+def four_clique_count(edges: DataFrame, orient: str = "degree") -> DataFrame:
+    """DataFrame[four_cliques: long] — exact count of K4 subgraphs.
+
+    Orientation extends the triangle trick one level: under the acyclic
+    low→high total order (degree or id — counts identical), every
+    4-clique {a<b<c<d} contains exactly one oriented triangle (a,b,c)
+    with all three corners pointing at the unique top vertex d — so the
+    count is: oriented triangles ⨝ E(a→d), then two semi-joins proving
+    E(b→d) and E(c→d). With degree orientation a hub's out-degree is
+    bounded by the degeneracy-style argument that bounds the wedge join,
+    so the d-candidate join is skew-safe for the same reason the triangle
+    join is. Oracle mirrors with id-orientation
+    (entry_queries._four_cliques_sql)."""
+    e = oriented_edges(edges, orient=orient).persist(StorageLevel.MEMORY_AND_DISK)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e1.src") == F.col("e3.src"))
+            & (F.col("e2.dst") == F.col("e3.dst")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    e4, e5, e6 = e.alias("e4"), e.alias("e5"), e.alias("e6")
+    quads = (
+        tri.join(e4, F.col("a") == F.col("e4.src"))
+        .withColumn("d", F.col("e4.dst"))
+        .join(
+            e5,
+            (F.col("b") == F.col("e5.src")) & (F.col("d") == F.col("e5.dst")),
+            "left_semi",
+        )
+        .join(
+            e6,
+            (F.col("c") == F.col("e6.src")) & (F.col("d") == F.col("e6.dst")),
+            "left_semi",
+        )
+    )
+    out = quads.agg(F.count("*").cast("long").alias("four_cliques")).localCheckpoint(
+        eager=True
+    )
+    e.unpersist()
+    return out

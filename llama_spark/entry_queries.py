@@ -3987,3 +3987,96 @@ SELECT g.cohort_day, g.day_offset, CAST(g.n_users AS BIGINT) AS n_users,
        ROUND(g.n_users / CAST(s.sz AS DOUBLE), 6) AS retention
 FROM grid g JOIN sizes s ON s.cohort_day = g.cohort_day"""
 QUERIES["daily_retention"] = q_daily_retention
+
+
+# --------------------------------------------------- triad census
+
+
+def q_triad_census(spark, sf_dir):
+    """Holland-Leinhardt 16-class MAN triad census."""
+    from .operators.triads import triad_census
+
+    return triad_census(load_edges(spark, sf_dir))
+
+
+ORACLE["triad_census"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+dy AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) = 1 AS fwd,
+         MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) = 1 AS rev
+  FROM edges GROUP BY 1, 2),
+nodes AS MATERIALIZED ({NODES_SQL}),
+nn AS (SELECT COUNT(*) AS v FROM nodes),
+nb AS (SELECT a AS m, b AS o, fwd AS mo, rev AS om FROM dy
+       UNION ALL SELECT b, a, rev, fwd FROM dy),
+wedges AS MATERIALIZED (
+  SELECT n1.m, n1.o AS x, n2.o AS y,
+         n1.mo AS mx, n1.om AS xm, n2.mo AS my, n2.om AS ym
+  FROM nb n1 JOIN nb n2 ON n1.m = n2.m AND n1.o < n2.o),
+cm AS (SELECT x, y, COUNT(*) AS cn FROM wedges GROUP BY x, y),
+paths AS (SELECT w.* FROM wedges w LEFT JOIN dy ON dy.a = w.x AND dy.b = w.y
+          WHERE dy.a IS NULL),
+pclass AS (
+  SELECT CASE
+    WHEN (mx AND xm) AND (my AND ym) THEN '201'
+    WHEN (mx AND xm) OR (my AND ym) THEN
+      CASE WHEN (CASE WHEN mx AND xm THEN my ELSE mx END)
+           THEN '111U' ELSE '111D' END
+    WHEN CAST(mx AS INT) + CAST(my AS INT) = 2 THEN '021D'
+    WHEN CAST(mx AS INT) + CAST(my AS INT) = 0 THEN '021U'
+    ELSE '021C' END AS triad_type
+  FROM paths),
+tri0 AS (
+  SELECT ab.fwd AS abf, ab.rev AS abr, bc.fwd AS bcf, bc.rev AS bcr,
+         ac.fwd AS acf, ac.rev AS acr
+  FROM dy ab JOIN dy bc ON bc.a = ab.b
+  JOIN dy ac ON ac.a = ab.a AND ac.b = bc.b),
+tri1 AS (
+  SELECT *,
+    CAST(abf AND abr AS INT) + CAST(bcf AND bcr AS INT)
+      + CAST(acf AND acr AS INT) AS m3,
+    CASE WHEN abf AND abr THEN CAST(bcr AS INT) + CAST(acr AS INT)
+         WHEN bcf AND bcr THEN CAST(abf AS INT) + CAST(acf AS INT)
+         ELSE CAST(abr AS INT) + CAST(bcf AS INT) END AS tout,
+    CASE WHEN abf AND abr THEN CAST(bcf AS INT) + CAST(acf AS INT)
+         WHEN bcf AND bcr THEN CAST(abr AS INT) + CAST(acr AS INT)
+         ELSE CAST(abf AS INT) + CAST(bcr AS INT) END AS tin,
+    CAST(abf AS INT) + CAST(acf AS INT) AS oa,
+    CAST(abr AS INT) + CAST(bcf AS INT) AS ob,
+    CAST(bcr AS INT) + CAST(acr AS INT) AS oc
+  FROM tri0),
+tclass AS (
+  SELECT CASE
+    WHEN m3 = 3 THEN '300'
+    WHEN m3 = 2 THEN '210'
+    WHEN m3 = 1 THEN CASE WHEN tout = 2 THEN '120D'
+                          WHEN tin = 2 THEN '120U' ELSE '120C' END
+    WHEN GREATEST(oa, ob, oc) = 2 THEN '030T' ELSE '030C' END AS triad_type
+  FROM tri1),
+conn AS (SELECT triad_type, COUNT(*) AS n FROM (
+  SELECT triad_type FROM pclass UNION ALL SELECT triad_type FROM tclass)
+  GROUP BY 1),
+udeg AS (SELECT m AS id, COUNT(*) AS ud FROM nb GROUP BY m),
+dyx AS (
+  SELECT (dy.fwd AND dy.rev) AS is_m,
+         (SELECT v FROM nn) - 2 - (ua.ud - 1) - (ub.ud - 1)
+           + COALESCE(cm.cn, 0) AS iso
+  FROM dy JOIN udeg ua ON ua.id = dy.a JOIN udeg ub ON ub.id = dy.b
+  LEFT JOIN cm ON cm.x = dy.a AND cm.y = dy.b),
+lone AS (
+  SELECT COALESCE(SUM(CASE WHEN is_m THEN iso END), 0) AS n102,
+         COALESCE(SUM(CASE WHEN NOT is_m THEN iso END), 0) AS n012
+  FROM dyx)
+SELECT t.triad_type,
+  CAST(CASE t.triad_type
+    WHEN '102' THEN (SELECT n102 FROM lone)
+    WHEN '012' THEN (SELECT n012 FROM lone)
+    WHEN '003' THEN (SELECT (v * (v-1) * (v-2)) // 6 FROM nn)
+                    - (SELECT COALESCE(SUM(n), 0) FROM conn)
+                    - (SELECT n102 + n012 FROM lone)
+    ELSE COALESCE(c.n, 0) END AS BIGINT) AS n
+FROM (VALUES ('003'),('012'),('102'),('021D'),('021U'),('021C'),('111D'),
+             ('111U'),('030T'),('030C'),('201'),('120D'),('120U'),('120C'),
+             ('210'),('300')) AS t(triad_type)
+LEFT JOIN conn c ON c.triad_type = t.triad_type"""
+QUERIES["triad_census"] = q_triad_census

@@ -1587,3 +1587,64 @@ SELECT d.doc_id,
        COALESCE(p.entropy_nats, 0e0) AS entropy_nats
 FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id"""
 DOCS_QUERIES["token_entropy"] = q_token_entropy
+
+
+# --------------------------------------------------- kmeans inertia
+
+
+def q_kmeans_inertia(spark, sf_dir):
+    """Per-cluster within-cluster sum of squared distances (k-means
+    objective) for the gate quantizer."""
+    from .functions.cluster import kmeans_inertia
+
+    # gate operating point: 2 Lloyd iterations (the inertia math is
+    # iteration-count-agnostic; the kmeans gate already pins 4-iter parity)
+    return kmeans_inertia(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        k=KMEANS_SQL_K, iters=2,
+    )
+
+
+DOCS_ORACLE["kmeans_inertia"] = (
+    "WITH "
+    + ",\n".join(_kmeans_ctes(iters=2))
+    + """
+SELECT CAST(a.cl AS BIGINT) AS cluster,
+       COUNT(*) AS n_vectors,
+       ROUND(SUM(CAST(ROUND(d.dist * 1000000.0) AS BIGINT)) / 1000000.0, 6)
+         AS inertia
+FROM a2 a
+JOIN d2 d ON d.vec_id = a.vec_id AND d.cl = a.cl
+GROUP BY a.cl"""
+)
+DOCS_QUERIES["kmeans_inertia"] = q_kmeans_inertia
+
+
+# --------------------------------------------------- token power law
+
+ZIPF_CMIN = 4
+
+
+def q_token_powerlaw(spark, sf_dir):
+    """Hill estimate of the corpus token-frequency (Zipf) tail exponent."""
+    from .functions.text import token_powerlaw
+
+    return token_powerlaw(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), c_min=ZIPF_CMIN
+    )
+
+
+DOCS_ORACLE["token_powerlaw"] = rf"""WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+hist AS (SELECT c, COUNT(*) AS m FROM cnt WHERE c >= {ZIPF_CMIN} GROUP BY c),
+aggd AS (
+  SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n,
+         SUM(m * ln(CAST(c AS DOUBLE) / {float(ZIPF_CMIN)!r})) AS lm
+  FROM hist)
+SELECT CAST({ZIPF_CMIN} AS BIGINT) AS c_min, n AS n_tail,
+       CASE WHEN lm > 0e0 THEN ROUND(1e0 + CAST(n AS DOUBLE) / lm, 6) END AS alpha
+FROM aggd"""
+DOCS_QUERIES["token_powerlaw"] = q_token_powerlaw

@@ -174,3 +174,46 @@ def dataset_splits(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def kmeans_inertia(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame[cluster, n_vectors, inertia] — per-cluster within-cluster
+    sum of squared distances to the assigned centroid (the k-means quality
+    objective; the elbow-curve quantity). "Measure, don't guess" for the
+    clustering family: the quantizer the IVF/PQ indexes build on gets a
+    gated quality number, like ann_recall for the retrieval family.
+
+    Cross-engine float contract: each vector's squared distance is the
+    SAME 6-dp-rounded quantity the assignment argmin used, quantized to
+    integer micro-units and summed exactly — one double divide per
+    cluster at the end (the adc_micro convention)."""
+    assign, cents = kmeans_fit(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    return (
+        assign.join(vecs, "vec_id")
+        .join(F.broadcast(cents), "cluster")
+        .select(
+            "cluster",
+            F.round(F.round(_sqdist(F.col("v"), F.col("c")), 6) * F.lit(1e6))
+            .cast("long")
+            .alias("micro"),
+        )
+        .groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("n_vectors"), F.sum("micro").alias("_s"))
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_vectors",
+            F.round(F.col("_s") / F.lit(1e6), 6).alias("inertia"),
+        )
+    )

@@ -615,3 +615,44 @@ def token_entropy(documents: DataFrame) -> DataFrame:
             F.coalesce("entropy_nats", F.lit(0.0)).alias("entropy_nats"),
         )
     )
+
+
+def token_powerlaw(documents: DataFrame, c_min: int = 4) -> DataFrame:
+    """ONE row [c_min, n_tail, alpha] — Hill maximum-likelihood power-law
+    exponent of the corpus token-frequency tail (the Zipf-law diagnostic
+    for web text, same estimator as graph.degree_powerlaw pointed at the
+    vocabulary):
+
+        α = 1 + n / Σ_{c_t ≥ c_min} ln(c_t / c_min)
+
+    Natural prose sits near the Zipf α ≈ 2; template/boilerplate corpora
+    deviate hard — a cheap corpus-level health metric next to the per-doc
+    entropy/repetition scores.
+
+    Plan: one corpus token-count aggregate, collapsed to the
+    DISTINCT-frequency histogram before any float enters (ln once per
+    distinct count, weighted by an exact BIGINT), exactly the
+    degree_powerlaw shape. α is NULL when the tail has zero log-mass."""
+    cnt = tokenize(documents).groupBy("tok").agg(F.count("*").alias("c"))
+    hist = cnt.filter(F.col("c") >= c_min).groupBy("c").agg(
+        F.count("*").alias("m")
+    )
+    return (
+        hist.agg(
+            F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("_n"),
+            F.sum(
+                F.col("m") * F.log(F.col("c").cast("double") / F.lit(float(c_min)))
+            ).alias("_lm"),
+        )
+        .select(
+            F.lit(c_min).cast("long").alias("c_min"),
+            F.col("_n").alias("n_tail"),
+            F.round(
+                F.when(
+                    F.col("_lm") > 0.0,
+                    F.lit(1.0) + F.col("_n").cast("double") / F.col("_lm"),
+                ),
+                6,
+            ).alias("alpha"),
+        )
+    )

@@ -310,3 +310,39 @@ def test_daily_retention_triangle(spark):
     assert got[(d0 % 100000, 1)] == (1, 0.5)
     assert got[(d0 % 100000, 2)] == (2, 1.0)
     assert got[((d0 + 1) % 100000, 0)] == (1, 1.0)
+
+
+# ---- kmeans inertia / token powerlaw ----
+
+
+def test_kmeans_inertia_manual(spark):
+    from llama_spark.functions.cluster import kmeans_inertia
+
+    # two tight blobs: k=2, 1 iter → seeds are the two smallest ids (one
+    # per blob by construction); inertia = sum of squared dists to seeds
+    rows = [
+        (0, [0.0, 0.0]), (2, [0.1, 0.0]), (4, [0.0, 0.2]),
+        (1, [5.0, 5.0]), (3, [5.3, 5.0]), (5, [5.0, 5.4]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["cluster"]: r for r in kmeans_inertia(emb, k=2, iters=1).collect()}
+    # seeds: vec 0 -> cluster 0 at (0,0); vec 1 -> cluster 1 at (5,5)
+    assert got[0]["n_vectors"] == 3 and got[1]["n_vectors"] == 3
+    assert abs(got[0]["inertia"] - (0.0 + 0.01 + 0.04)) < 1e-9
+    assert abs(got[1]["inertia"] - (0.0 + 0.09 + 0.16)) < 1e-9
+
+
+def test_token_powerlaw_hill(spark):
+    import math
+
+    from llama_spark.functions.text import token_powerlaw
+
+    # corpus where token frequencies are known: a x8, b x4, c x2, d x1
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a a a b b"), (2, "b b c c d")],
+        "doc_id long, text string",
+    )
+    row = token_powerlaw(docs, c_min=4).collect()[0]
+    # tail = {a: 8, b: 4}; alpha = 1 + 2 / (ln(8/4) + ln(4/4))
+    assert row["n_tail"] == 2
+    assert abs(row["alpha"] - round(1 + 2 / math.log(2.0), 6)) < 1e-9

@@ -4080,3 +4080,75 @@ FROM (VALUES ('003'),('012'),('102'),('021D'),('021U'),('021C'),('111D'),
              ('210'),('300')) AS t(triad_type)
 LEFT JOIN conn c ON c.triad_type = t.triad_type"""
 QUERIES["triad_census"] = q_triad_census
+
+
+# --------------------------------------------------- attack percolation
+
+ATTACK_CC_UNROLL = 48  # hub removal can stretch the surviving diameter
+ATTACK_PCT = 5
+
+
+def q_attack_percolation(spark, sf_dir):
+    """Albert-Jeong-Barabasi targeted attack: drop the top 5% of nodes by
+    undirected degree, census the surviving components."""
+    from .operators.percolation import attack_percolation
+
+    return attack_percolation(load_edges(spark, sf_dir), frac=ATTACK_PCT / 100.0)
+
+
+def _attack_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "nn AS (SELECT COUNT(*) AS v FROM nodes)",
+        f"und0 AS MATERIALIZED ({UND_SQL})",
+        "udeg AS (SELECT src AS id, COUNT(*) AS ud FROM und0 GROUP BY src)",
+        """ranked AS (
+  SELECT n.id, ROW_NUMBER() OVER (ORDER BY COALESCE(u.ud, 0) DESC, n.id ASC) AS rn
+  FROM nodes n LEFT JOIN udeg u ON u.id = n.id)""",
+        f"kk AS (SELECT ((SELECT v FROM nn) * {ATTACK_PCT}) // 100 AS k)",
+        "removed AS MATERIALIZED (SELECT id FROM ranked WHERE rn <= (SELECT k FROM kk))",
+        """kept AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edges e
+  WHERE e.src NOT IN (SELECT id FROM removed)
+    AND e.dst NOT IN (SELECT id FROM removed))""",
+        """knodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM kept UNION ALL SELECT dst FROM kept))""",
+        """kund AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM kept UNION ALL SELECT dst AS src, src AS dst FROM kept)
+  WHERE src <> dst)""",
+        "c0 AS MATERIALIZED (SELECT id, id AS component FROM knodes)",
+    ]
+    for i in range(1, ATTACK_CC_UNROLL + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN m.nmin IS NOT NULL AND m.nmin < c.component
+              THEN m.nmin ELSE c.component END AS component
+  FROM c{i-1} c LEFT JOIN (
+    SELECT u.dst AS id, MIN(p.component) AS nmin
+    FROM c{i-1} p JOIN kund u ON u.src = p.id
+    GROUP BY u.dst
+  ) m ON c.id = m.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+sizes AS (SELECT component, COUNT(*) AS sz FROM c{ATTACK_CC_UNROLL} GROUP BY component),
+stats AS (SELECT COALESCE(MAX(sz), 0) AS giant_e, COUNT(*) AS ncc,
+                 COALESCE(SUM(sz), 0) AS incc FROM sizes),
+surv AS (SELECT COUNT(*) AS ns FROM nodes
+         WHERE id NOT IN (SELECT id FROM removed))
+SELECT CAST((SELECT k FROM kk) AS BIGINT) AS n_removed,
+       CAST((SELECT ns FROM surv) AS BIGINT) AS n_remaining,
+       CAST(GREATEST((SELECT giant_e FROM stats),
+                     CASE WHEN (SELECT ns FROM surv) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS giant_size,
+       CAST((SELECT ncc FROM stats) + (SELECT ns FROM surv)
+            - (SELECT incc FROM stats) AS BIGINT) AS n_components"""
+    )
+
+
+ORACLE["attack_percolation"] = _attack_sql()
+QUERIES["attack_percolation"] = q_attack_percolation

@@ -1,0 +1,105 @@
+"""Targeted-attack percolation — the Albert–Jeong–Barabási robustness
+census ("Error and attack tolerance of complex networks", Nature 2000):
+remove the top fraction of nodes by degree (the hubs a targeted attack
+takes out first) and measure what is left of the giant component. Web
+link graphs are famously robust to random failure and fragile to this.
+
+Output is the one-row summary the percolation curve is built from at a
+given removal fraction:
+
+    [n_removed, n_remaining, giant_size, n_components]
+
+n_components counts isolated survivors as singleton components, so the
+row is a complete partition census of the surviving node set.
+
+Scale shape: one degree aggregate; the top-k cut goes through the
+degree HISTOGRAM (≤ max-degree rows, driver-bounded) to find the
+threshold degree, with only the id-ordered ties at the threshold passing
+through a distributed TakeOrdered — no global sort window ever sees the
+V-row table. Two semi-joins drop attacked endpoints, then the existing
+hash-min CC kernel runs on the surviving edges. Nothing new shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC, drop_self_loops, nodes_of
+
+
+def attack_percolation(edges: DataFrame, frac: float = 0.05) -> DataFrame:
+    """DataFrame[n_removed, n_remaining, giant_size, n_components] after
+    removing floor(frac·V) nodes in (undirected-degree DESC, id ASC)
+    order. Deterministic; frac=0 degenerates to a plain CC census."""
+    from .components import connected_components
+
+    e = drop_self_loops(edges.select(SRC, DST)).distinct()
+    und = e.unionByName(
+        e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    ).distinct()
+    nodes = nodes_of(e)
+    n_nodes = nodes.count()
+    k = int(n_nodes * frac)
+
+    udeg = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("ud"))
+    ranked = nodes.join(udeg, "id", "left").select(
+        "id", F.coalesce("ud", F.lit(0)).alias("ud")
+    )
+    # top-k cut WITHOUT a global row_number window (which would sort all V
+    # rows in one task): the degree histogram (≤ max-degree rows, driver-
+    # bounded like degree_distribution) gives the threshold degree t and
+    # how many id-ordered ties at t fill the quota; ties resolve through
+    # orderBy().limit() — Spark's distributed TakeOrdered, never a
+    # single-partition sort
+    hist = sorted(
+        (
+            (r["ud"], r["c"])
+            for r in ranked.groupBy("ud").agg(F.count("*").alias("c")).collect()
+        ),
+        reverse=True,
+    )
+    need, t, r_ties = k, None, 0
+    for d, c in hist:
+        if need <= 0:
+            break
+        t, r_ties = d, min(need, c)
+        need -= c
+    if t is None:
+        removed = ranked.filter(F.lit(False)).select("id")
+    else:
+        hi = ranked.filter(F.col("ud") > t).select("id")
+        ties = (
+            ranked.filter(F.col("ud") == t)
+            .select("id")
+            .orderBy("id")
+            .limit(r_ties)
+        )
+        removed = hi.unionByName(ties)
+    survivors = nodes.join(removed, "id", "left_anti")
+    kept = e.join(
+        removed.withColumnRenamed("id", SRC), SRC, "left_anti"
+    ).join(removed.withColumnRenamed("id", DST), DST, "left_anti")
+
+    cc = connected_components(kept)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("sz"))
+    stats = sizes.agg(
+        F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("giant_edgeful"),
+        F.count("*").cast("long").alias("n_cc"),
+        F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("n_in_cc"),
+    ).collect()[0]
+    n_surv = survivors.count()
+    n_isolated = n_surv - int(stats["n_in_cc"])
+    giant = max(int(stats["giant_edgeful"]), 1 if n_surv > 0 else 0)
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                k,
+                n_surv,
+                giant,
+                int(stats["n_cc"]) + n_isolated,
+            )
+        ],
+        "n_removed long, n_remaining long, giant_size long, n_components long",
+    )

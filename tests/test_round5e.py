@@ -346,3 +346,22 @@ def test_token_powerlaw_hill(spark):
     # tail = {a: 8, b: 4}; alpha = 1 + 2 / (ln(8/4) + ln(4/4))
     assert row["n_tail"] == 2
     assert abs(row["alpha"] - round(1 + 2 / math.log(2.0), 6)) < 1e-9
+
+
+# ---- attack percolation ----
+
+
+def test_attack_percolation_star_plus_path(spark):
+    from llama_spark.operators.percolation import attack_percolation
+
+    # hub 0 with 10 spokes, plus a separate path 20-21-22; V=14, 5% → k=0
+    edges = [(0, i) for i in range(1, 11)] + [(20, 21), (21, 22)]
+    row = attack_percolation(edges_df(spark, edges), frac=0.05).collect()[0]
+    assert row["n_removed"] == 0
+    assert row["giant_size"] == 11 and row["n_components"] == 2
+    # 20% → k=2: hub 0 and node 21 (both degree-heavy) removed; the star
+    # shatters into 10 singletons and the path into {20}, {22}
+    row = attack_percolation(edges_df(spark, edges), frac=0.2).collect()[0]
+    assert row["n_removed"] == 2
+    assert row["n_remaining"] == 12
+    assert row["giant_size"] == 1 and row["n_components"] == 12

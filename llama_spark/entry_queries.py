@@ -4152,3 +4152,44 @@ SELECT CAST((SELECT k FROM kk) AS BIGINT) AS n_removed,
 
 ORACLE["attack_percolation"] = _attack_sql()
 QUERIES["attack_percolation"] = q_attack_percolation
+
+
+# --------------------------------------------------- community conductance
+
+
+def q_community_conductance(spark, sf_dir):
+    """Per-community conductance of the label-propagation communities."""
+    from .operators.components import community_conductance, label_propagation
+
+    edges = load_edges(spark, sf_dir)
+    return community_conductance(edges, label_propagation(edges, max_iter=LP_ITERS))
+
+
+ORACLE["community_conductance"] = f"""WITH lp AS MATERIALIZED ({_lp_sql()}),
+cund AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM ({EDGES_SQL}) WHERE src <> dst),
+mm AS (SELECT COUNT(*) AS m FROM cund),
+lab AS MATERIALIZED (
+  SELECT u.src, u.dst, la.label AS la, lb.label AS lb
+  FROM cund u JOIN lp la ON la.id = u.src JOIN lp lb ON lb.id = u.dst),
+intra AS (SELECT la AS community, COUNT(*) AS i FROM lab WHERE la = lb GROUP BY la),
+cut AS (SELECT community, COUNT(*) AS c FROM (
+  SELECT la AS community FROM lab WHERE la <> lb
+  UNION ALL SELECT lb FROM lab WHERE la <> lb) GROUP BY community),
+sizes AS (SELECT label AS community, COUNT(*) AS n_nodes FROM lp GROUP BY label)
+SELECT s.community, CAST(s.n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(c.c, 0) AS BIGINT) AS cut,
+       CAST(2 * COALESCE(i.i, 0) + COALESCE(c.c, 0) AS BIGINT) AS vol,
+       CASE WHEN LEAST(2 * COALESCE(i.i, 0) + COALESCE(c.c, 0),
+                       2 * (SELECT m FROM mm)
+                       - (2 * COALESCE(i.i, 0) + COALESCE(c.c, 0))) > 0
+            THEN ROUND(COALESCE(c.c, 0)
+                       / CAST(LEAST(2 * COALESCE(i.i, 0) + COALESCE(c.c, 0),
+                                    2 * (SELECT m FROM mm)
+                                    - (2 * COALESCE(i.i, 0) + COALESCE(c.c, 0)))
+                              AS DOUBLE), 6) END AS conductance
+FROM sizes s
+LEFT JOIN intra i ON i.community = s.community
+LEFT JOIN cut c ON c.community = s.community"""
+QUERIES["community_conductance"] = q_community_conductance

@@ -1648,3 +1648,38 @@ SELECT CAST({ZIPF_CMIN} AS BIGINT) AS c_min, n AS n_tail,
        CASE WHEN lm > 0e0 THEN ROUND(1e0 + CAST(n AS DOUBLE) / lm, 6) END AS alpha
 FROM aggd"""
 DOCS_QUERIES["token_powerlaw"] = q_token_powerlaw
+
+
+# --------------------------------------------------- langid confusion
+
+
+def q_langid_confusion(spark, sf_dir):
+    """Marker-heuristic language-ID confusion matrix vs the labeled lang
+    column."""
+    from .functions.text import langid_confusion
+
+    return langid_confusion(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+DOCS_ORACLE["langid_confusion"] = f"""
+WITH toks AS MATERIALIZED ({TOKS_SQL}),
+markers(cand_lang, marker) AS (VALUES {_lang_markers_values()}),
+hits AS (
+  SELECT t.doc_id, m.cand_lang, COUNT(*) AS hits
+  FROM toks t JOIN markers m ON t.tok = m.marker
+  GROUP BY t.doc_id, m.cand_lang),
+ranked AS (
+  SELECT doc_id, cand_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang ASC) AS rn
+  FROM hits),
+pred AS (
+  SELECT d.doc_id, d.lang, COALESCE(r.cand_lang, 'und') AS lang_pred
+  FROM documents d LEFT JOIN (SELECT doc_id, cand_lang FROM ranked WHERE rn = 1) r
+    ON d.doc_id = r.doc_id),
+grid AS (
+  SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY lang, lang_pred),
+tot AS (SELECT lang, SUM(n) AS t FROM grid GROUP BY lang)
+SELECT g.lang, g.lang_pred, CAST(g.n AS BIGINT) AS n,
+       ROUND(g.n / CAST(t.t AS DOUBLE), 6) AS share
+FROM grid g JOIN tot t ON t.lang = g.lang"""
+DOCS_QUERIES["langid_confusion"] = q_langid_confusion

@@ -656,3 +656,29 @@ def token_powerlaw(documents: DataFrame, c_min: int = 4) -> DataFrame:
             ).alias("alpha"),
         )
     )
+
+
+def langid_confusion(documents: DataFrame) -> DataFrame:
+    """Confusion matrix of the marker-word language heuristic against the
+    corpus's labeled ``lang`` column — DataFrame[lang, lang_pred, n,
+    share]: per true label, how the classifier's predictions distribute
+    (share = n / label total, 6 dp from exact counts). The evaluation
+    gate for :func:`language_id` — classifier quality becomes a measured
+    number like ann_recall / kmeans_inertia, not a docstring claim.
+
+    Plan: the language_id plan plus one (lang, pred) count aggregate and
+    a per-label total join — both over V-row tables."""
+    pred = language_id(documents)
+    truth = documents.select("doc_id", "lang")
+    grid = (
+        truth.join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = grid.groupBy("lang").agg(F.sum("n").alias("_t"))
+    return grid.join(tot, "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.col("_t").cast("double"), 6).alias("share"),
+    )

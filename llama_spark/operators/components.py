@@ -906,3 +906,74 @@ def label_propagation_weighted(
     und.unpersist()
     nodes.unpersist()
     return result.state
+
+
+def community_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """DataFrame[community, n_nodes, cut, vol, conductance] — per-community
+    conductance φ(S) = cut(S) / min(vol(S), 2m − vol(S)) over the simple
+    undirected graph (cut = boundary edges, vol = Σ degree = 2·internal +
+    cut). THE community-quality metric next to modularity: modularity
+    rewards density, conductance exposes leaky boundaries — a community
+    that scores well on both is real. NULL conductance for communities
+    with zero volume on one side (singletons in an empty graph, or S =
+    the whole graph).
+
+    ``labels`` is any DataFrame[id, <label col>] — the gate feeds
+    label-propagation output; Louvain / CC labels plug in unchanged.
+
+    Plan: one canonical-edge double label join (E rows), two
+    map-side-combinable count aggregates, one label-size aggregate, all
+    integer-exact; the φ division happens once per community on exact
+    BIGINTs."""
+    lab_col = [c for c in labels.columns if c != "id"][0]
+    lp = labels.select("id", F.col(lab_col).alias("_l"))
+    und = (
+        drop_self_loops(edges.select(SRC, DST))
+        .select(F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST))
+        .distinct()
+    )
+    m = und.count()
+    la = lp.select(F.col("id").alias(SRC), F.col("_l").alias("la"))
+    lb = lp.select(F.col("id").alias(DST), F.col("_l").alias("lb"))
+    e2 = und.join(la, SRC).join(lb, DST).persist(StorageLevel.MEMORY_AND_DISK)
+    internal = (
+        e2.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count("*").alias("i"))
+    )
+    cut = (
+        e2.filter(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("community"))
+        .unionByName(
+            e2.filter(F.col("la") != F.col("lb")).select(
+                F.col("lb").alias("community")
+            )
+        )
+        .groupBy("community")
+        .agg(F.count("*").alias("c"))
+    )
+    sizes = lp.groupBy(F.col("_l").alias("community")).agg(
+        F.count("*").alias("n_nodes")
+    )
+    vol = F.lit(2) * F.coalesce("i", F.lit(0)) + F.coalesce("c", F.lit(0))
+    small_side = F.least(vol, F.lit(2 * m) - vol)
+    out = (
+        sizes.join(internal, "community", "left")
+        .join(cut, "community", "left")
+        .select(
+            "community",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("cut"),
+            vol.cast("long").alias("vol"),
+            F.round(
+                F.when(
+                    small_side > 0,
+                    F.coalesce("c", F.lit(0)) / small_side.cast("double"),
+                ),
+                6,
+            ).alias("conductance"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    e2.unpersist()
+    return out

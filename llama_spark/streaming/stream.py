@@ -192,3 +192,23 @@ def stream_edges_to_store(
         .foreachBatch(sink)
         .start()
     )
+
+
+def dedup_stream(
+    events_stream: DataFrame,
+    key_cols: list[str],
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps only the first occurrence of
+    each key within the watermark horizon, and evicts key state older
+    than (max event time − watermark) — the streaming counterpart of the
+    batch exact-dedup stage (functions/dedup.exact_duplicates). Unbounded
+    ``dropDuplicates`` on a stream grows state forever; the watermark
+    variant is the only shape that survives an unbounded ingest at
+    100 TB/day (duplicates further apart than the horizon pass — that is
+    the documented, bounded-memory trade)."""
+    return events_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -136,3 +136,43 @@ def test_sessionize_stream_multi_chunk_group_sorted_once(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert (r["session_no"], r["n_events"], r["start_s"], r["end_s"]) == (1, 3, 0, 200)
+
+
+def test_dedup_stream_drops_repeats_keeps_state_bounded(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: repeats inside the horizon are
+    dropped (across batches — state persists), and a repeat far beyond
+    the watermark horizon passes (its key state was evicted)."""
+    from llama_spark.streaming.stream import dedup_stream
+
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [(1, 1000, "click", 1.0), (1, 1000, "click", 1.0),
+                              (2, 1010, "view", 2.0)])
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    out = dedup_stream(stream, ["user_id", "event_type"], watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # same key again in a second batch, still inside the horizon → dropped
+        _write_batch(spark, src, [(1, 1200, "click", 9.0), (3, 1210, "view", 3.0)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT user_id, event_type FROM dedup_sink").collect()
+        got = sorted((r["user_id"], r["event_type"]) for r in rows)
+        assert got == [(1, "click"), (2, "view"), (3, "view")]
+        # advance event time far past the horizon, then repeat user 1:
+        # the evicted key passes again (bounded-state semantics)
+        _write_batch(spark, src, [(9, 99000, "tick", 0.0)])
+        q.processAllAvailable()
+        _write_batch(spark, src, [(1, 99010, "click", 5.0)])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, event_type FROM dedup_sink WHERE user_id = 1"
+        ).collect()
+        assert len(rows) == 2  # original + post-eviction repeat
+    finally:
+        q.stop()

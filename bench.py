@@ -242,6 +242,18 @@ def main() -> None:
         extras["pages_pipeline_edges"] = g.edges.count()
         g.pagerank(max_iter=3).count()
 
+    from llama_spark.operators.bowtie import bowtie_census
+    from llama_spark.operators.matching import maximal_matching
+    from llama_spark.operators.percolation import attack_percolation
+    from llama_spark.operators.triads import triad_census
+    from llama_spark.operators.trust import spam_mass
+
+    timed("triad_census", lambda: triad_census(edges).count())
+    timed("bowtie", lambda: bowtie_census(edges).count())
+    timed("matching", lambda: maximal_matching(edges).count())
+    timed("spam_mass", lambda: spam_mass(edges, seeds=[0, 42, 1234]).count())
+    timed("attack_5pct", lambda: attack_percolation(edges, frac=0.05).count())
+
     timed("pages_extract_pagerank", pages_pipeline)
 
     # ---- execution: whole-list passes, then a retry pass for cheap rows ----

@@ -4193,3 +4193,38 @@ FROM sizes s
 LEFT JOIN intra i ON i.community = s.community
 LEFT JOIN cut c ON c.community = s.community"""
 QUERIES["community_conductance"] = q_community_conductance
+
+
+# --------------------------------------------------- pagerank trace
+
+
+def q_pagerank_trace(spark, sf_dir):
+    """Per-iteration L1 convergence residuals of the plain PageRank
+    recurrence (micro-unit exact)."""
+    from .operators.pagerank import pagerank_trace
+
+    return pagerank_trace(load_edges(spark, sf_dir), damping=DAMPING, iters=PR_ITERS)
+
+
+def _pagerank_trace_sql() -> str:
+    # reuse the gate chain r0..r{PR_ITERS}; residual_i from the rounded
+    # scaled vectors, quantized to micro-units, exact integer sums
+    chain = _pagerank_sql()
+    body = chain[: chain.rindex("\nSELECT id, ROUND")]
+    def micro(alias: str) -> str:
+        return (
+            f"CAST(ROUND(ROUND({alias}.rank * (SELECT n FROM nn), 6)"
+            f" * 1000000.0) AS BIGINT)"
+        )
+    selects = [
+        f"""SELECT CAST({i} AS BIGINT) AS iter,
+       COALESCE(SUM(ABS({micro('a')} - {micro('b')})), 0) / 1000000.0
+         AS l1_residual
+FROM r{i} a JOIN r{i-1} b ON b.id = a.id"""
+        for i in range(1, PR_ITERS + 1)
+    ]
+    return body + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLE["pagerank_trace"] = _pagerank_trace_sql()
+QUERIES["pagerank_trace"] = q_pagerank_trace

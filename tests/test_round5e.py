@@ -365,3 +365,22 @@ def test_attack_percolation_star_plus_path(spark):
     assert row["n_removed"] == 2
     assert row["n_remaining"] == 12
     assert row["giant_size"] == 1 and row["n_components"] == 12
+
+
+# ---- pagerank trace ----
+
+
+def test_pagerank_trace_geometric_decay(spark):
+    from llama_spark.operators.pagerank import pagerank_trace
+
+    # NOT a permutation graph (a 1-regular graph has uniform PageRank
+    # and identically-zero residuals): quadratic dst skews in-degrees
+    edges = [((i * 7 + 1) % 25, (i * i + 3) % 25) for i in range(200)]
+    edges = [e for e in edges if e[0] != e[1]]
+    rows = {r["iter"]: r["l1_residual"] for r in pagerank_trace(
+        edges_df(spark, edges), iters=6
+    ).collect()}
+    assert set(rows) == set(range(1, 7))
+    # residual decays and is bounded by damping-rate contraction overall
+    assert rows[6] < rows[1]
+    assert rows[6] < rows[3] < rows[1]

@@ -1683,3 +1683,36 @@ SELECT g.lang, g.lang_pred, CAST(g.n AS BIGINT) AS n,
        ROUND(g.n / CAST(t.t AS DOUBLE), 6) AS share
 FROM grid g JOIN tot t ON t.lang = g.lang"""
 DOCS_QUERIES["langid_confusion"] = q_langid_confusion
+
+
+# --------------------------------------------------- random projection
+
+RP_OUT_DIMS = 8
+
+
+def q_random_projection(spark, sf_dir):
+    """JL random projection 64->8 over the shared closed-form plane
+    stream (long format)."""
+    from .functions.similarity import random_projection
+
+    return random_projection(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), out_dims=RP_OUT_DIMS
+    )
+
+
+DOCS_ORACLE["random_projection"] = """WITH vecs AS ({VECS}),
+planes(dim, pw) AS (VALUES
+    (0, [-0.3116302490234375, -0.005279541015625, 0.3010711669921875, -0.392578125, -0.0862274169921875, 0.220123291015625, -0.4735260009765625, -0.16717529296875, 0.1391754150390625, 0.445526123046875, -0.2481231689453125, 0.0582275390625, 0.3645782470703125, -0.329071044921875, -0.0227203369140625, 0.28363037109375, -0.4100189208984375, -0.103668212890625, 0.2026824951171875, -0.490966796875, -0.1846160888671875, 0.121734619140625, 0.4280853271484375, -0.26556396484375, 0.0407867431640625, 0.347137451171875, -0.3465118408203125, -0.0401611328125, 0.2661895751953125, -0.427459716796875, -0.1211090087890625, 0.18524169921875, 0.4915924072265625, -0.202056884765625, 0.1042938232421875, 0.41064453125, -0.2830047607421875, 0.023345947265625, 0.3296966552734375, -0.36395263671875, -0.0576019287109375, 0.248748779296875, -0.4449005126953125, -0.1385498046875, 0.1678009033203125, 0.474151611328125, -0.2194976806640625, 0.08685302734375, 0.3932037353515625, -0.300445556640625, 0.0059051513671875, 0.312255859375, -0.3813934326171875, -0.075042724609375, 0.2313079833984375, -0.46234130859375, -0.1559906005859375, 0.150360107421875, 0.4567108154296875, -0.2369384765625, 0.0694122314453125, 0.375762939453125, -0.3178863525390625, -0.01153564453125]),
+    (1, [0.2948150634765625, -0.398834228515625, -0.0924835205078125, 0.2138671875, -0.4797821044921875, -0.173431396484375, 0.1329193115234375, 0.43927001953125, -0.2543792724609375, 0.051971435546875, 0.3583221435546875, -0.3353271484375, -0.0289764404296875, 0.277374267578125, -0.4162750244140625, -0.10992431640625, 0.1964263916015625, -0.497222900390625, -0.1908721923828125, 0.115478515625, 0.4218292236328125, -0.271820068359375, 0.0345306396484375, 0.34088134765625, -0.3527679443359375, -0.046417236328125, 0.2599334716796875, -0.4337158203125, -0.1273651123046875, 0.178985595703125, 0.4853363037109375, -0.20831298828125, 0.0980377197265625, 0.404388427734375, -0.2892608642578125, 0.01708984375, 0.3234405517578125, -0.370208740234375, -0.0638580322265625, 0.24249267578125, -0.4511566162109375, -0.144805908203125, 0.1615447998046875, 0.4678955078125, -0.2257537841796875, 0.080596923828125, 0.3869476318359375, -0.30670166015625, -0.0003509521484375, 0.305999755859375, -0.3876495361328125, -0.081298828125, 0.2250518798828125, -0.468597412109375, -0.1622467041015625, 0.14410400390625, 0.4504547119140625, -0.243194580078125, 0.0631561279296875, 0.3695068359375, -0.3241424560546875, -0.017791748046875, 0.2885589599609375, -0.40509033203125]),
+    (2, [-0.0987396240234375, 0.207611083984375, -0.4860382080078125, -0.1796875, 0.1266632080078125, 0.433013916015625, -0.2606353759765625, 0.04571533203125, 0.3520660400390625, -0.341583251953125, -0.0352325439453125, 0.2711181640625, -0.4225311279296875, -0.116180419921875, 0.1901702880859375, 0.49652099609375, -0.1971282958984375, 0.109222412109375, 0.4155731201171875, -0.278076171875, 0.0282745361328125, 0.334625244140625, -0.3590240478515625, -0.05267333984375, 0.2536773681640625, -0.439971923828125, -0.1336212158203125, 0.1727294921875, 0.4790802001953125, -0.214569091796875, 0.0917816162109375, 0.39813232421875, -0.2955169677734375, 0.010833740234375, 0.3171844482421875, -0.37646484375, -0.0701141357421875, 0.236236572265625, -0.4574127197265625, -0.15106201171875, 0.1552886962890625, 0.461639404296875, -0.2320098876953125, 0.0743408203125, 0.3806915283203125, -0.312957763671875, -0.0066070556640625, 0.29974365234375, -0.3939056396484375, -0.087554931640625, 0.2187957763671875, -0.474853515625, -0.1685028076171875, 0.137847900390625, 0.4441986083984375, -0.24945068359375, 0.0569000244140625, 0.363250732421875, -0.3303985595703125, -0.0240478515625, 0.2823028564453125, -0.411346435546875, -0.1049957275390625, 0.20135498046875]),
+    (3, [-0.4922943115234375, -0.185943603515625, 0.1204071044921875, 0.4267578125, -0.2668914794921875, 0.039459228515625, 0.3458099365234375, -0.34783935546875, -0.0414886474609375, 0.264862060546875, -0.4287872314453125, -0.1224365234375, 0.1839141845703125, 0.490264892578125, -0.2033843994140625, 0.10296630859375, 0.4093170166015625, -0.284332275390625, 0.0220184326171875, 0.328369140625, -0.3652801513671875, -0.058929443359375, 0.2474212646484375, -0.44622802734375, -0.1398773193359375, 0.166473388671875, 0.4728240966796875, -0.2208251953125, 0.0855255126953125, 0.391876220703125, -0.3017730712890625, 0.00457763671875, 0.3109283447265625, -0.382720947265625, -0.0763702392578125, 0.22998046875, -0.4636688232421875, -0.157318115234375, 0.1490325927734375, 0.45538330078125, -0.2382659912109375, 0.068084716796875, 0.3744354248046875, -0.3192138671875, -0.0128631591796875, 0.293487548828125, -0.4001617431640625, -0.09381103515625, 0.2125396728515625, -0.481109619140625, -0.1747589111328125, 0.131591796875, 0.4379425048828125, -0.255706787109375, 0.0506439208984375, 0.35699462890625, -0.3366546630859375, -0.030303955078125, 0.2760467529296875, -0.4176025390625, -0.1112518310546875, 0.195098876953125, -0.4985504150390625, -0.19219970703125]),
+    (4, [0.1141510009765625, 0.420501708984375, -0.2731475830078125, 0.033203125, 0.3395538330078125, -0.354095458984375, -0.0477447509765625, 0.25860595703125, -0.4350433349609375, -0.128692626953125, 0.1776580810546875, 0.4840087890625, -0.2096405029296875, 0.096710205078125, 0.4030609130859375, -0.29058837890625, 0.0157623291015625, 0.322113037109375, -0.3715362548828125, -0.065185546875, 0.2411651611328125, -0.452484130859375, -0.1461334228515625, 0.16021728515625, 0.4665679931640625, -0.227081298828125, 0.0792694091796875, 0.3856201171875, -0.3080291748046875, -0.001678466796875, 0.3046722412109375, -0.38897705078125, -0.0826263427734375, 0.223724365234375, -0.4699249267578125, -0.16357421875, 0.1427764892578125, 0.449127197265625, -0.2445220947265625, 0.06182861328125, 0.3681793212890625, -0.325469970703125, -0.0191192626953125, 0.2872314453125, -0.4064178466796875, -0.100067138671875, 0.2062835693359375, -0.48736572265625, -0.1810150146484375, 0.125335693359375, 0.4316864013671875, -0.261962890625, 0.0443878173828125, 0.350738525390625, -0.3429107666015625, -0.03656005859375, 0.2697906494140625, -0.423858642578125, -0.1175079345703125, 0.1888427734375, 0.4951934814453125, -0.198455810546875, 0.1078948974609375, 0.41424560546875]),
+    (5, [-0.2794036865234375, 0.026947021484375, 0.3332977294921875, -0.3603515625, -0.0540008544921875, 0.252349853515625, -0.4412994384765625, -0.13494873046875, 0.1714019775390625, 0.477752685546875, -0.2158966064453125, 0.0904541015625, 0.3968048095703125, -0.296844482421875, 0.0095062255859375, 0.31585693359375, -0.3777923583984375, -0.071441650390625, 0.2349090576171875, -0.458740234375, -0.1523895263671875, 0.153961181640625, 0.4603118896484375, -0.23333740234375, 0.0730133056640625, 0.379364013671875, -0.3142852783203125, -0.0079345703125, 0.2984161376953125, -0.395233154296875, -0.0888824462890625, 0.21746826171875, -0.4761810302734375, -0.169830322265625, 0.1365203857421875, 0.44287109375, -0.2507781982421875, 0.055572509765625, 0.3619232177734375, -0.33172607421875, -0.0253753662109375, 0.280975341796875, -0.4126739501953125, -0.1063232421875, 0.2000274658203125, -0.493621826171875, -0.1872711181640625, 0.11907958984375, 0.4254302978515625, -0.268218994140625, 0.0381317138671875, 0.344482421875, -0.3491668701171875, -0.042816162109375, 0.2635345458984375, -0.43011474609375, -0.1237640380859375, 0.182586669921875, 0.4889373779296875, -0.2047119140625, 0.1016387939453125, 0.407989501953125, -0.2856597900390625, 0.02069091796875]),
+    (6, [0.3270416259765625, -0.366607666015625, -0.0602569580078125, 0.24609375, -0.4475555419921875, -0.141204833984375, 0.1651458740234375, 0.47149658203125, -0.2221527099609375, 0.084197998046875, 0.3905487060546875, -0.3031005859375, 0.0032501220703125, 0.309600830078125, -0.3840484619140625, -0.07769775390625, 0.2286529541015625, -0.464996337890625, -0.1586456298828125, 0.147705078125, 0.4540557861328125, -0.239593505859375, 0.0667572021484375, 0.37310791015625, -0.3205413818359375, -0.014190673828125, 0.2921600341796875, -0.4014892578125, -0.0951385498046875, 0.211212158203125, -0.4824371337890625, -0.17608642578125, 0.1302642822265625, 0.436614990234375, -0.2570343017578125, 0.04931640625, 0.3556671142578125, -0.337982177734375, -0.0316314697265625, 0.27471923828125, -0.4189300537109375, -0.112579345703125, 0.1937713623046875, -0.4998779296875, -0.1935272216796875, 0.112823486328125, 0.4191741943359375, -0.27447509765625, 0.0318756103515625, 0.338226318359375, -0.3554229736328125, -0.049072265625, 0.2572784423828125, -0.436370849609375, -0.1300201416015625, 0.17633056640625, 0.4826812744140625, -0.210968017578125, 0.0953826904296875, 0.4017333984375, -0.2919158935546875, 0.014434814453125, 0.3207855224609375, -0.37286376953125]),
+    (7, [-0.0665130615234375, 0.239837646484375, -0.4538116455078125, -0.1474609375, 0.1588897705078125, 0.465240478515625, -0.2284088134765625, 0.07794189453125, 0.3842926025390625, -0.309356689453125, -0.0030059814453125, 0.3033447265625, -0.3903045654296875, -0.083953857421875, 0.2223968505859375, -0.47125244140625, -0.1649017333984375, 0.141448974609375, 0.4477996826171875, -0.245849609375, 0.0605010986328125, 0.366851806640625, -0.3267974853515625, -0.02044677734375, 0.2859039306640625, -0.407745361328125, -0.1013946533203125, 0.2049560546875, -0.4886932373046875, -0.182342529296875, 0.1240081787109375, 0.43035888671875, -0.2632904052734375, 0.043060302734375, 0.3494110107421875, -0.34423828125, -0.0378875732421875, 0.268463134765625, -0.4251861572265625, -0.11883544921875, 0.1875152587890625, 0.493865966796875, -0.1997833251953125, 0.1065673828125, 0.4129180908203125, -0.280731201171875, 0.0256195068359375, 0.33197021484375, -0.3616790771484375, -0.055328369140625, 0.2510223388671875, -0.442626953125, -0.1362762451171875, 0.170074462890625, 0.4764251708984375, -0.21722412109375, 0.0891265869140625, 0.395477294921875, -0.2981719970703125, 0.0081787109375, 0.3145294189453125, -0.379119873046875, -0.0727691650390625, 0.23358154296875])
+)
+SELECT v.vec_id, CAST(p.dim AS BIGINT) AS dim,
+       ROUND(list_sum(list_transform(list_zip(v.v, p.pw), r -> r[1]*r[2])), 6)
+         AS val
+FROM vecs v CROSS JOIN planes p""".replace("{VECS}", VECS_SQL)
+DOCS_QUERIES["random_projection"] = q_random_projection

@@ -630,3 +630,31 @@ def _sq_l2(a, b):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_offset: int = 0,
+) -> DataFrame:
+    """Johnson–Lindenstrauss-style random projection to ``out_dims``
+    components — DataFrame[vec_id, dim, val] (long format, val rounded to
+    6 dp): val(p) = ⟨v, w_p⟩ over the same closed-form plane-weight
+    stream the LSH index hashes with (``plane_weights``), so Spark and
+    any SQL mirror build identical projections with no RNG state. The
+    production pre-step for cheap filtering / visualization / coarse ANN:
+    at 10^12 rows a 64→8 projection cuts every downstream distance pass
+    8×, and JL says pairwise geometry survives up to (1±ε).
+
+    One map-side pass (transform + posexplode), no shuffle, no UDF."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    w = F.lit(plane_weights(dim, out_dims, plane_offset))
+    v = _as_double(F.col(vec_col))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.transform(w, lambda pw: F.round(_dot(v, pw), 6))
+        ).alias("dim", "val"),
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "val")

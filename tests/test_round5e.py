@@ -384,3 +384,19 @@ def test_pagerank_trace_geometric_decay(spark):
     # residual decays and is bounded by damping-rate contraction overall
     assert rows[6] < rows[1]
     assert rows[6] < rows[3] < rows[1]
+
+
+# ---- random projection ----
+
+
+def test_random_projection_manual(spark):
+    from llama_spark.functions.similarity import plane_weights, random_projection
+
+    emb = spark.createDataFrame(
+        [(7, [1.0, 0.0, 2.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    w = plane_weights(4, 3)
+    got = {r["dim"]: r["val"] for r in random_projection(emb, out_dims=3).collect()}
+    for p in range(3):
+        want = round(1.0 * w[p][0] + 2.0 * w[p][2], 6)
+        assert abs(got[p] - want) < 1e-9

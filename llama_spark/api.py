@@ -339,6 +339,58 @@ class GraphSession:
 
     # ---- url-level conveniences ------------------------------------------
 
+    def bowtie(self, **kw) -> DataFrame:
+        """Broder bow-tie census → [region, n_nodes, share] (operators.bowtie)."""
+        from .operators.bowtie import bowtie_census
+
+        return bowtie_census(self._e(), **kw)
+
+    def condensation_levels(self, **kw) -> DataFrame:
+        """SCC-condensation longest-path depths (scc.condensation_levels)."""
+        from .operators.scc import condensation_levels
+
+        return condensation_levels(self._e(), **kw)
+
+    def spam_mass(self, seeds: list[int], **kw) -> DataFrame:
+        """TrustRank relative spam mass per node (operators.trust)."""
+        from .operators.trust import spam_mass
+
+        return spam_mass(self._e(), seeds=seeds, **kw)
+
+    def matching(self, weighted: bool = False, **kw) -> DataFrame:
+        """Maximal matching; weighted=True runs the locally-heaviest
+        greedy over kw['weight_col'] (operators.matching)."""
+        from .operators.matching import maximal_matching, maximal_weight_matching
+
+        if weighted:
+            return maximal_weight_matching(self._e(), **kw)
+        return maximal_matching(self._e(), **kw)
+
+    def triad_census(self) -> DataFrame:
+        """Holland-Leinhardt 16-class MAN census (operators.triads)."""
+        from .operators.triads import triad_census
+
+        return triad_census(self._e())
+
+    def attack_percolation(self, frac: float = 0.05) -> DataFrame:
+        """Targeted hub-removal robustness census (operators.percolation)."""
+        from .operators.percolation import attack_percolation
+
+        return attack_percolation(self._e(), frac=frac)
+
+    def conductance(self, communities: DataFrame) -> DataFrame:
+        """Per-community conductance of any [id, label] table
+        (components.community_conductance)."""
+        from .operators.components import community_conductance
+
+        return community_conductance(self._e(), communities)
+
+    def pagerank_trace(self, **kw) -> DataFrame:
+        """Per-iteration L1 convergence residuals (pagerank.pagerank_trace)."""
+        from .operators.pagerank import pagerank_trace
+
+        return pagerank_trace(self._e(), **kw)
+
     def top_pages(self, k: int = 10, **kw) -> DataFrame:
         """Top-k urls by PageRank (flagship query: llama-pagerank.cc:253-270)."""
         ranks = self.pagerank(**kw)

@@ -400,3 +400,27 @@ def test_random_projection_manual(spark):
     for p in range(3):
         want = round(1.0 * w[p][0] + 2.0 * w[p][2], 6)
         assert abs(got[p] - want) < 1e-9
+
+
+# ---- facade round-trip for the batch-2 surface ----
+
+
+def test_graphsession_batch2_facade(spark):
+    from llama_spark.api import GraphSession
+
+    g = GraphSession(spark).from_edges(
+        edges_df(spark, BOWTIE_EDGES)
+    )
+    regions = {r["region"] for r in g.bowtie().collect()}
+    assert "CORE" in regions
+    assert g.triad_census().count() == 16
+    assert g.matching().count() >= 1
+    assert g.attack_percolation(frac=0.1).count() == 1
+    assert g.condensation_levels().count() >= 1
+    assert g.spam_mass(seeds=[0]).count() >= 1
+    lab = g.label_propagation(max_iter=2)
+    assert set(g.conductance(lab).columns) == {
+        "community", "n_nodes", "cut", "vol", "conductance",
+    }
+    tr = {r["iter"] for r in g.pagerank_trace(iters=3).collect()}
+    assert tr == {1, 2, 3}

@@ -8,22 +8,30 @@ M-A-N + orientation: 003, 012, 102, 021D, 021U, 021C, 111D, 111U,
 030T, 030C, 201, 120D, 120U, 120C, 210, 300 (counts of Mutual /
 Asymmetric / Null dyads, then Down/Up/Cyclic/Transitive orientation).
 
-Scale shape (the classic Batagelj–Mrvar decomposition): only CONNECTED
-triads are enumerated —
+Scale shape — the full Batagelj–Mrvar closed-form decomposition
+("A subquadratic triad census algorithm", Social Networks 2001):
+NOTHING quadratic is ever materialized:
 
-* path-skeleton triads: one wedge join over the linked-pair adjacency
-  (two linked dyads sharing a center, third pair NOT linked), classified
-  from the two dyad codes;
-* triangle-skeleton triads: the canonical a<b<c linked-triangle join,
-  classified from the three dyad codes;
+* per-vertex arc-type counts mu/ao/ai (mutual / out-only / in-only
+  linked neighbors) give every PATH-skeleton class count as a
+  combinatorial aggregate — Σ C(mu,2) → 201, Σ mu·ao → 111U,
+  Σ C(ao,2) → 021D, … — computed in one V-row pass;
+* the only enumeration is the triangle listing (degree-oriented, the
+  skew-safe triangle-counting join), which serves three duties: the
+  triangle-skeleton classes directly, the per-class wedge corrections
+  subtracted from the combinatorial path counts (a wedge whose outer
+  pair is linked belongs to exactly one triangle), and the
+  common-neighbor sums for the disconnected-class arithmetic;
+* the disconnected classes are pure algebra: n_102 = M·V − Σ_v
+  udeg(v)·mu(v) + Σ_tri m3, n_012 the asymmetric analog, 003 = C(V,3)
+  minus everything else.
 
-and the three DISCONNECTED classes come from arithmetic, never
-enumeration: for each linked dyad, the number of isolated third nodes is
-(V−2) − |N(a)∪N(b)∖{a,b}| (inclusion–exclusion with the wedge-count
-common-neighbor table), summed per dyad type → 012 / 102; 003 is
-C(V,3) minus everything else. Total work is one wedge join + one
-triangle join + degree/count aggregates — the same envelope as triangle
-counting; nothing ever touches the O(V³) triple space.
+So total work is one E-row dyad build, one V-row aggregate, one
+triangle enumeration — the same envelope as triangle counting. An
+earlier revision materialized every wedge (Σ deg² rows — a 10k-degree
+hub alone contributes 50M); this formulation replaces that with
+per-vertex arithmetic, which is what makes the census viable on a
+power-law web graph at 100×.
 
 Reference parity: the reference ships the wedge/triangle iterators this
 builds on (triangle_counting.h common-neighbor iteration); the census is
@@ -43,12 +51,33 @@ TRIAD_TYPES = [
     "030T", "030C", "201", "120D", "120U", "120C", "210", "300",
 ]
 
+_PATH_CLASSES = ["201", "111U", "111D", "021D", "021U", "021C"]
+
+
+def _wedge_class(mo_x, om_x, mo_y, om_y):
+    """Path-rule class of a wedge at a center with arcs (mo_x, om_x) to
+    neighbor x and (mo_y, om_y) to neighbor y — mo = center→neighbor."""
+    mx_m = mo_x & om_x
+    my_m = mo_y & om_y
+    m_cnt = mx_m.cast("int") + my_m.cast("int")
+    out_c = mo_x.cast("int") + mo_y.cast("int")
+    away = F.when(mx_m, mo_y).otherwise(mo_x)
+    return (
+        F.when(m_cnt == 2, F.lit("201"))
+        .when(m_cnt == 1, F.when(away, F.lit("111U")).otherwise(F.lit("111D")))
+        .when(out_c == 2, F.lit("021D"))
+        .when(out_c == 0, F.lit("021U"))
+        .otherwise(F.lit("021C"))
+    )
+
 
 def triad_census(edges: DataFrame) -> DataFrame:
     """DataFrame[triad_type, n] — one row per MAN class (all 16, zero
     rows included), n = exact count of unordered node triples of that
     class. Nodes = endpoints of at least one edge (the graph's node
     set); self-loops dropped."""
+    from .triangles import oriented_edges
+
     spark = edges.sparkSession
     e = drop_self_loops(edges.select(SRC, DST)).distinct()
 
@@ -65,62 +94,72 @@ def triad_census(edges: DataFrame) -> DataFrame:
     )
     n_nodes = nodes_of(e).count()
 
-    # doubled adjacency: center m → linked other o with arc flags
-    nb = dy.select(
-        F.col("a").alias("m"), F.col("b").alias("o"),
-        F.col("fwd").alias("mo"), F.col("rev").alias("om"),
+    # ---- per-vertex arc-type counts → combinatorial path-class sums ----
+    ends = dy.select(
+        F.col("a").alias("v"), F.col("fwd").alias("mo"), F.col("rev").alias("om")
     ).unionByName(
         dy.select(
-            F.col("b").alias("m"), F.col("a").alias("o"),
-            F.col("rev").alias("mo"), F.col("fwd").alias("om"),
+            F.col("b").alias("v"), F.col("rev").alias("mo"), F.col("fwd").alias("om")
         )
     )
-    n1, n2 = nb.alias("n1"), nb.alias("n2")
-    wedges = (
-        n1.join(n2, (F.col("n1.m") == F.col("n2.m")) & (F.col("n1.o") < F.col("n2.o")))
-        .select(
-            F.col("n1.m").alias("m"),
-            F.col("n1.o").alias("x"), F.col("n2.o").alias("y"),
-            F.col("n1.mo").alias("mx"), F.col("n1.om").alias("xm"),
-            F.col("n2.mo").alias("my"), F.col("n2.om").alias("ym"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    pv = ends.groupBy("v").agg(
+        F.sum((F.col("mo") & F.col("om")).cast("long")).alias("mu"),
+        F.sum((F.col("mo") & ~F.col("om")).cast("long")).alias("ao"),
+        F.sum((~F.col("mo") & F.col("om")).cast("long")).alias("ai"),
+        F.count("*").alias("ud"),
     )
+    comb = pv.agg(
+        F.sum(F.col("mu") * (F.col("mu") - 1)).alias("s201x2"),
+        F.sum(F.col("mu") * F.col("ao")).alias("s111U"),
+        F.sum(F.col("mu") * F.col("ai")).alias("s111D"),
+        F.sum(F.col("ao") * (F.col("ao") - 1)).alias("s021Dx2"),
+        F.sum(F.col("ai") * (F.col("ai") - 1)).alias("s021Ux2"),
+        F.sum(F.col("ao") * F.col("ai")).alias("s021C"),
+        F.sum(F.col("ud") * F.col("mu")).alias("deg_mu"),
+        F.sum(F.col("ud") * (F.col("ao") + F.col("ai"))).alias("deg_a"),
+    ).collect()[0]
 
-    # common-neighbor count per linked (x<y) pair — also closes triangles
-    common = wedges.groupBy("x", "y").agg(F.count("*").alias("cn"))
+    dyad = dy.agg(
+        F.sum((F.col("fwd") & F.col("rev")).cast("long")).alias("m_dyads"),
+        F.sum((F.col("fwd") != F.col("rev")).cast("long")).alias("a_dyads"),
+    ).collect()[0]
 
-    # ---- path-skeleton triads: wedge whose outer pair is NOT linked ----
-    paths = wedges.join(
-        dy.select(F.col("a").alias("x"), F.col("b").alias("y")),
-        ["x", "y"],
-        "left_anti",
-    )
-    mx_m = F.col("mx") & F.col("xm")
-    my_m = F.col("my") & F.col("ym")
-    m_cnt = mx_m.cast("int") + my_m.cast("int")
-    out_c = F.col("mx").cast("int") + F.col("my").cast("int")
-    # with one mutual dyad, the asymmetric arc's direction relative to the
-    # center (a mutual-pair member) decides D (into the pair) vs U (out)
-    away = F.when(mx_m, F.col("my")).otherwise(F.col("mx"))
-    path_type = (
-        F.when(m_cnt == 2, F.lit("201"))
-        .when(m_cnt == 1, F.when(away, F.lit("111U")).otherwise(F.lit("111D")))
-        .when(out_c == 2, F.lit("021D"))
-        .when(out_c == 0, F.lit("021U"))
-        .otherwise(F.lit("021C"))
-    )
-    path_counts = paths.select(path_type.alias("triad_type")).groupBy(
-        "triad_type"
-    ).agg(F.count("*").alias("n"))
-
-    # ---- triangle-skeleton triads: canonical a<b<c linked triangle ----
-    ab, bc, ac = dy.alias("ab"), dy.alias("bc"), dy.alias("ac")
-    tri = (
-        ab.join(bc, F.col("ab.b") == F.col("bc.a"))
+    # ---- triangle enumeration (degree-oriented, each und triangle once) ----
+    o = oriented_edges(e, orient="degree").persist(StorageLevel.MEMORY_AND_DISK)
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    tset = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(
-            ac,
-            (F.col("ac.a") == F.col("ab.a")) & (F.col("ac.b") == F.col("bc.b")),
+            e3,
+            (F.col("e1.src") == F.col("e3.src"))
+            & (F.col("e2.dst") == F.col("e3.dst")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.src").alias("u"),
+            F.col("e1.dst").alias("v"),
+            F.col("e2.dst").alias("w"),
+        )
+    )
+    canon = tset.select(
+        F.least("u", "v", "w").alias("a"),
+        (F.col("u") + F.col("v") + F.col("w"))
+        .__sub__(F.least("u", "v", "w"))
+        .__sub__(F.greatest("u", "v", "w"))
+        .alias("b"),
+        F.greatest("u", "v", "w").alias("c"),
+    )
+    ab, bc, ac = dy.alias("ab"), dy.alias("bc"), dy.alias("ac")
+    cn = canon.alias("cn")
+    tri = (
+        cn.join(
+            ab, (F.col("cn.a") == F.col("ab.a")) & (F.col("cn.b") == F.col("ab.b"))
+        )
+        .join(
+            bc, (F.col("cn.b") == F.col("bc.a")) & (F.col("cn.c") == F.col("bc.b"))
+        )
+        .join(
+            ac, (F.col("cn.a") == F.col("ac.a")) & (F.col("cn.c") == F.col("ac.b"))
         )
         .select(
             F.col("ab.fwd").alias("abf"), F.col("ab.rev").alias("abr"),
@@ -128,30 +167,29 @@ def triad_census(edges: DataFrame) -> DataFrame:
             F.col("ac.fwd").alias("acf"), F.col("ac.rev").alias("acr"),
         )
     )
+
     m_ab = F.col("abf") & F.col("abr")
     m_bc = F.col("bcf") & F.col("bcr")
     m_ac = F.col("acf") & F.col("acr")
-    tm = m_ab.cast("int") + m_bc.cast("int") + m_ac.cast("int")
-    # one mutual dyad → third node's arc directions to the pair members
+    m3 = m_ab.cast("int") + m_bc.cast("int") + m_ac.cast("int")
     third_out = (
-        F.when(m_ab, F.col("bcr").cast("int") + F.col("acr").cast("int"))  # third=c
-        .when(m_bc, F.col("abf").cast("int") + F.col("acf").cast("int"))   # third=a
-        .otherwise(F.col("abr").cast("int") + F.col("bcf").cast("int"))    # third=b
+        F.when(m_ab, F.col("bcr").cast("int") + F.col("acr").cast("int"))
+        .when(m_bc, F.col("abf").cast("int") + F.col("acf").cast("int"))
+        .otherwise(F.col("abr").cast("int") + F.col("bcf").cast("int"))
     )
     third_in = (
         F.when(m_ab, F.col("bcf").cast("int") + F.col("acf").cast("int"))
         .when(m_bc, F.col("abr").cast("int") + F.col("acr").cast("int"))
         .otherwise(F.col("abf").cast("int") + F.col("bcr").cast("int"))
     )
-    # zero mutual dyads → per-node out-degrees inside the triad
     out_a = F.col("abf").cast("int") + F.col("acf").cast("int")
     out_b = F.col("abr").cast("int") + F.col("bcf").cast("int")
     out_c3 = F.col("bcr").cast("int") + F.col("acr").cast("int")
     tri_type = (
-        F.when(tm == 3, F.lit("300"))
-        .when(tm == 2, F.lit("210"))
+        F.when(m3 == 3, F.lit("300"))
+        .when(m3 == 2, F.lit("210"))
         .when(
-            tm == 1,
+            m3 == 1,
             F.when(third_out == 2, F.lit("120D"))
             .when(third_in == 2, F.lit("120U"))
             .otherwise(F.lit("120C")),
@@ -162,43 +200,52 @@ def triad_census(edges: DataFrame) -> DataFrame:
             ).otherwise(F.lit("030C"))
         )
     )
-    tri_counts = tri.select(tri_type.alias("triad_type")).groupBy(
-        "triad_type"
-    ).agg(F.count("*").alias("n"))
+    # the triangle's three wedges (center a / b / c), classified by the
+    # same path rule — these are the linked-outer-pair wedges to subtract
+    # from the combinatorial path-class sums
+    wc_a = _wedge_class(F.col("abf"), F.col("abr"), F.col("acf"), F.col("acr"))
+    wc_b = _wedge_class(F.col("abr"), F.col("abf"), F.col("bcf"), F.col("bcr"))
+    wc_c = _wedge_class(F.col("acr"), F.col("acf"), F.col("bcr"), F.col("bcf"))
 
-    # ---- disconnected classes by arithmetic (never enumerated) ----
-    udeg = nb.groupBy(F.col("m").alias("id")).agg(F.count("*").alias("ud"))
-    dyx = (
-        dy.join(udeg.withColumnRenamed("id", "a").withColumnRenamed("ud", "uda"), "a")
-        .join(udeg.withColumnRenamed("id", "b").withColumnRenamed("ud", "udb"), "b")
-        .join(common.withColumnRenamed("x", "a").withColumnRenamed("y", "b"), ["a", "b"], "left")
-        .select(
-            (F.col("fwd") & F.col("rev")).alias("is_m"),
-            (
-                F.lit(n_nodes - 2)
-                - (F.col("uda") - 1)
-                - (F.col("udb") - 1)
-                + F.coalesce("cn", F.lit(0))
-            ).alias("iso_third"),
+    aggs = [
+        F.count("*").alias("n_tri"),
+        F.sum(m3.cast("long")).alias("m3_sum"),
+    ]
+    for t in ("300", "210", "120D", "120U", "120C", "030T", "030C"):
+        aggs.append(F.sum((tri_type == t).cast("long")).alias(f"t_{t}"))
+    for cl in _PATH_CLASSES:
+        aggs.append(
+            F.sum(
+                (wc_a == cl).cast("long")
+                + (wc_b == cl).cast("long")
+                + (wc_c == cl).cast("long")
+            ).alias(f"w_{cl}")
         )
-    )
-    lone = dyx.agg(
-        F.sum(F.when(F.col("is_m"), F.col("iso_third")).otherwise(0)).alias("n102"),
-        F.sum(F.when(~F.col("is_m"), F.col("iso_third")).otherwise(0)).alias("n012"),
-    ).collect()[0]
-    n_102 = int(lone["n102"] or 0)
-    n_012 = int(lone["n012"] or 0)
+    trow = tri.agg(*aggs).collect()[0]
 
-    counts = {
-        r["triad_type"]: r["n"]
-        for r in path_counts.unionByName(tri_counts).collect()
-    }
-    counts["102"] = n_102
-    counts["012"] = n_012
+    def _z(x) -> int:
+        return int(x or 0)
+
+    n_tri = _z(trow["n_tri"])
+    counts: dict[str, int] = {}
+    counts["201"] = _z(comb["s201x2"]) // 2 - _z(trow["w_201"])
+    counts["111U"] = _z(comb["s111U"]) - _z(trow["w_111U"])
+    counts["111D"] = _z(comb["s111D"]) - _z(trow["w_111D"])
+    counts["021D"] = _z(comb["s021Dx2"]) // 2 - _z(trow["w_021D"])
+    counts["021U"] = _z(comb["s021Ux2"]) // 2 - _z(trow["w_021U"])
+    counts["021C"] = _z(comb["s021C"]) - _z(trow["w_021C"])
+    for t in ("300", "210", "120D", "120U", "120C", "030T", "030C"):
+        counts[t] = _z(trow[f"t_{t}"])
+
+    m_dyads, a_dyads = _z(dyad["m_dyads"]), _z(dyad["a_dyads"])
+    m3_sum = _z(trow["m3_sum"])
+    a3_sum = 3 * n_tri - m3_sum
+    counts["102"] = m_dyads * n_nodes - _z(comb["deg_mu"]) + m3_sum
+    counts["012"] = a_dyads * n_nodes - _z(comb["deg_a"]) + a3_sum
     total = n_nodes * (n_nodes - 1) * (n_nodes - 2) // 6
     counts["003"] = total - sum(counts.values())
 
-    wedges.unpersist()
+    o.unpersist()
     dy.unpersist()
     rows = [(t, int(counts.get(t, 0))) for t in TRIAD_TYPES]
     return spark.createDataFrame(rows, "triad_type string, n long")

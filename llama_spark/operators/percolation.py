@@ -32,7 +32,7 @@ def attack_percolation(edges: DataFrame, frac: float = 0.05) -> DataFrame:
     """DataFrame[n_removed, n_remaining, giant_size, n_components] after
     removing floor(frac·V) nodes in (undirected-degree DESC, id ASC)
     order. Deterministic; frac=0 degenerates to a plain CC census."""
-    from .components import connected_components
+    from .components import connected_components_alternating
 
     e = drop_self_loops(edges.select(SRC, DST)).distinct()
     und = e.unionByName(
@@ -81,7 +81,13 @@ def attack_percolation(edges: DataFrame, frac: float = 0.05) -> DataFrame:
         removed.withColumnRenamed("id", SRC), SRC, "left_anti"
     ).join(removed.withColumnRenamed("id", DST), DST, "left_anti")
 
-    cc = connected_components(kept)
+    # alternating large-star/small-star CC, NOT hash-min: stripping the
+    # hubs stretches the surviving graph's diameter (the exact regime
+    # hash-min's O(diameter) rounds degrade in), while star contraction
+    # stays O(log^2 n) — measured 33.9s -> 23.0s same-window at sf0.1.
+    # Labels are identical (min member id; the cc_alternating gate proves
+    # the equivalence), so the oracle is unaffected.
+    cc = connected_components_alternating(kept)
     sizes = cc.groupBy("component").agg(F.count("*").alias("sz"))
     stats = sizes.agg(
         F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("giant_edgeful"),

@@ -28,11 +28,16 @@ from pyspark.sql import functions as F
 from ..graph import DST, SRC, drop_self_loops, nodes_of
 
 
-def attack_percolation(edges: DataFrame, frac: float = 0.05) -> DataFrame:
+def attack_percolation(
+    edges: DataFrame, frac: float = 0.05, cc: str = "hashmin"
+) -> DataFrame:
     """DataFrame[n_removed, n_remaining, giant_size, n_components] after
     removing floor(frac·V) nodes in (undirected-degree DESC, id ASC)
     order. Deterministic; frac=0 degenerates to a plain CC census."""
-    from .components import connected_components_alternating
+    from .components import (
+        connected_components,
+        connected_components_alternating,
+    )
 
     e = drop_self_loops(edges.select(SRC, DST)).distinct()
     und = e.unionByName(
@@ -81,13 +86,18 @@ def attack_percolation(edges: DataFrame, frac: float = 0.05) -> DataFrame:
         removed.withColumnRenamed("id", SRC), SRC, "left_anti"
     ).join(removed.withColumnRenamed("id", DST), DST, "left_anti")
 
-    # alternating large-star/small-star CC, NOT hash-min: stripping the
-    # hubs stretches the surviving graph's diameter (the exact regime
-    # hash-min's O(diameter) rounds degrade in), while star contraction
-    # stays O(log^2 n) — measured 33.9s -> 23.0s same-window at sf0.1.
-    # Labels are identical (min member id; the cc_alternating gate proves
-    # the equivalence), so the oracle is unaffected.
-    cc = connected_components_alternating(kept)
+    # cc="hashmin" (default) vs "star": labels identical (min member id;
+    # the cc_alternating gate proves the equivalence) so either satisfies
+    # the oracle. A quiet-window phase profile at sf0.1 measured hash-min
+    # FASTER on this gate graph's survivors (4.1s vs 6.6s — stripping 5%
+    # of a dense mod-derived graph barely stretches its diameter), so it
+    # stays the default; choose "star" when the attack genuinely shatters
+    # the graph into long filaments (the O(diameter)-rounds regime where
+    # star contraction's O(log^2 n) wins).
+    cc_fn = (
+        connected_components_alternating if cc == "star" else connected_components
+    )
+    cc = cc_fn(kept)
     sizes = cc.groupBy("component").agg(F.count("*").alias("sz"))
     stats = sizes.agg(
         F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("giant_edgeful"),

@@ -4228,3 +4228,30 @@ FROM r{i} a JOIN r{i-1} b ON b.id = a.id"""
 
 ORACLE["pagerank_trace"] = _pagerank_trace_sql()
 QUERIES["pagerank_trace"] = q_pagerank_trace
+
+
+# --------------------------------------------------- event transitions
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition table of the event stream."""
+    from .functions.funnel import event_transitions
+
+    return event_transitions(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+ORACLE["event_transitions"] = """WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+           AS to_type
+  FROM ev),
+grid AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, SUM(n) AS t FROM grid GROUP BY from_type)
+SELECT g.from_type, g.to_type, CAST(g.n AS BIGINT) AS n,
+       ROUND(g.n / CAST(t.t AS DOUBLE), 6) AS prob
+FROM grid g JOIN tot t ON t.from_type = g.from_type"""
+QUERIES["event_transitions"] = q_event_transitions

@@ -1716,3 +1716,70 @@ SELECT v.vec_id, CAST(p.dim AS BIGINT) AS dim,
          AS val
 FROM vecs v CROSS JOIN planes p""".replace("{VECS}", VECS_SQL)
 DOCS_QUERIES["random_projection"] = q_random_projection
+
+
+# --------------------------------------------------- substring dup spans
+
+SUBSTR_W = 8
+
+
+def q_substring_dup_spans(spark, sf_dir):
+    """Lee et al. ExactSubstr duplication scores at 8-token windows."""
+    from .functions.dedup import substring_dup_spans
+
+    return substring_dup_spans(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), window=SUBSTR_W
+    )
+
+
+def _substr_sql() -> str:
+    terms = " + ".join(
+        f"{3**k} * COALESCE(lead(h, {k}) OVER w, 0)" for k in range(SUBSTR_W)
+    )
+    return f"""WITH toks AS MATERIALIZED ({TOKS_SQL}),
+h AS (SELECT doc_id, pos, {HASH.format('tok')} % {P31} AS h FROM toks),
+grams AS (
+  SELECT doc_id, ({terms}) % {P31} AS gh,
+         lead(h, {SUBSTR_W - 1}) OVER w AS tail
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+full_g AS (SELECT doc_id, gh FROM grams WHERE tail IS NOT NULL),
+cnt AS (SELECT gh, COUNT(*) AS c FROM full_g GROUP BY gh),
+per AS (
+  SELECT g.doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS dup_windows
+  FROM full_g g JOIN cnt c ON c.gh = g.gh GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+       ROUND(CASE WHEN COALESCE(p.n_windows, 0) > 0
+                  THEN COALESCE(p.dup_windows, 0)
+                       / CAST(p.n_windows AS DOUBLE)
+                  ELSE 0e0 END, 6) AS dup_fraction
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id"""
+
+
+DOCS_ORACLE["substring_dup_spans"] = _substr_sql()
+DOCS_QUERIES["substring_dup_spans"] = q_substring_dup_spans
+
+
+# --------------------------------------------------- embedding stats
+
+
+def q_embedding_stats(spark, sf_dir):
+    """Per-dimension mean/std of the embedding corpus (micro-int exact)."""
+    from .functions.cluster import embedding_stats
+
+    return embedding_stats(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+DOCS_ORACLE["embedding_stats"] = """WITH comp AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM embeddings),
+agg AS (
+  SELECT dim, COUNT(*) AS n, SUM(q) AS s, SUM(q * q) AS s2 FROM comp GROUP BY dim)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+       ROUND(s / (n * 1000000.0), 6) AS mean,
+       ROUND(sqrt(CAST(n * s2 - s * s AS DOUBLE)) / (n * 1000000.0), 6) AS std
+FROM agg"""
+DOCS_QUERIES["embedding_stats"] = q_embedding_stats

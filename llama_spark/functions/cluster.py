@@ -217,3 +217,50 @@ def kmeans_inertia(
             F.round(F.col("_s") / F.lit(1e6), 6).alias("inertia"),
         )
     )
+
+
+def embedding_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    resolution: float = 1e6,
+) -> DataFrame:
+    """Per-dimension corpus statistics — DataFrame[dim, n, mean, std] —
+    the feature-standardization pre-step (whitening inputs before
+    k-means / PQ / projection). Exact-integer contract: each component is
+    quantized once to micro-units, so Σq and Σq² are exact BIGINTs in any
+    aggregation order; mean and the variance numerator n·Σq² − (Σq)² are
+    exact integer arithmetic with ONE sqrt + divide at the end (IEEE
+    sqrt is correctly rounded — identical in every engine). The BIGINT
+    headroom bounds n·Σq² < 2^63: fine up to ~10^8 unit-scale vectors at
+    micro resolution; drop ``resolution`` for more rows."""
+    comp = embeddings.select(
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("dim", "val")
+    ).select(
+        "dim",
+        F.round(F.col("val") * F.lit(resolution)).cast("long").alias("q"),
+    )
+    return (
+        comp.groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("q").alias("s"),
+            F.sum(F.col("q") * F.col("q")).alias("s2"),
+        )
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "n",
+            F.round(F.col("s") / (F.col("n") * F.lit(resolution)), 6).alias("mean"),
+            F.round(
+                F.sqrt(
+                    (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast(
+                        "double"
+                    )
+                )
+                / (F.col("n") * F.lit(resolution)),
+                6,
+            ).alias("std"),
+        )
+    )

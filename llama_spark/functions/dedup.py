@@ -639,3 +639,71 @@ def minhash_estimate_error(
         F.round(F.avg("_e"), 6).alias("mae"),
         F.round(F.max("_e"), 6).alias("max_err"),
     )
+
+
+def substring_dup_spans(
+    documents: DataFrame, window: int = 8
+) -> DataFrame:
+    """Exact-substring duplication scores (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the ExactSubstr
+    criterion at token-window granularity): for every doc,
+
+        [doc_id, n_windows, dup_windows, dup_fraction]
+
+    where n_windows counts the doc's FULL ``window``-token Karp–Rabin
+    grams (the fingerprints hash family) and dup_windows counts those
+    whose gram occurs more than once in the ENTIRE corpus (including
+    elsewhere in the same doc — the paper's criterion). dup_fraction =
+    dup_windows / n_windows (6 dp; 0 for docs shorter than the window).
+    The removal policy (cut the duplicated spans / drop the doc above a
+    threshold) composes downstream; this operator is the measurement.
+
+    Plan: one tokenize + per-doc lead-window gram (window bounded by doc
+    length, partition = one doc), one corpus-wide gram-count aggregate
+    (map-side combined), one equi-join of the doc's grams against the
+    count table, one per-doc count aggregate. The gram-count table is the
+    only corpus-sized intermediate and it is count-reduced before the
+    join — the boilerplate gram that appears 10^9 times is ONE row here.
+    """
+    toks = tokenize(documents).withColumn(
+        "h", token_hash(F.col("tok")) % P31
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.lit(0)
+    for k in range(window):
+        gram = gram + F.coalesce(F.lead("h", k).over(w), F.lit(0)) * (3**k)
+    grams = (
+        toks.select(
+            "doc_id",
+            (gram % P31).alias("gh"),
+            F.lead("h", window - 1).over(w).alias("_full"),
+        )
+        .filter(F.col("_full").isNotNull())
+        .drop("_full")
+    )
+    cnt = grams.groupBy("gh").agg(F.count("*").alias("c"))
+    per_doc = (
+        grams.join(cnt, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum((F.col("c") > 1).cast("long")).alias("dup_windows"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            F.round(
+                F.when(
+                    F.coalesce("n_windows", F.lit(0)) > 0,
+                    F.coalesce("dup_windows", F.lit(0))
+                    / F.col("n_windows").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

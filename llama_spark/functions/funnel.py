@@ -111,3 +111,38 @@ def daily_retention(events: DataFrame) -> DataFrame:
             "retention"
         ),
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition table of the event stream —
+    DataFrame[from_type, to_type, n, prob]: for each user's time-ordered
+    event sequence, count consecutive (type → next type) pairs; prob is
+    row-normalized per from_type (6 dp from exact counts). The behavioral
+    model behind session analysis: anomalous mass on an (error → retry)
+    cell is the kind of shift this table surfaces.
+
+    Plan: one per-user lead window (a partition is one user's events),
+    one (from,to) count aggregate, one per-from total join — nothing
+    bigger than the distinct type-pair table after the first aggregate."""
+    from pyspark.sql import Window
+
+    ev = events.select(
+        "user_id", "event_type", _micros(F.col("ts")).alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("_t"))
+    return pairs.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("_t").cast("double"), 6).alias("prob"),
+    )

@@ -424,3 +424,58 @@ def test_graphsession_batch2_facade(spark):
     }
     tr = {r["iter"] for r in g.pagerank_trace(iters=3).collect()}
     assert tr == {1, 2, 3}
+
+
+# ---- substring dup spans / transitions / embedding stats ----
+
+
+def test_substring_dup_spans_planted(spark):
+    from llama_spark.functions.dedup import substring_dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique one two three"),
+            (2, "prefix words here " + shared),
+            (3, "totally different text with no overlap at all ok"),
+            (4, "short doc"),  # < window → 0 windows
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in substring_dup_spans(docs, window=8).collect()}
+    # docs 1 and 2 share the 8-token run → each has ≥1 dup window
+    assert got[1]["dup_windows"] >= 1 and got[2]["dup_windows"] >= 1
+    assert got[3]["dup_windows"] == 0 and got[3]["n_windows"] > 0
+    assert got[4]["n_windows"] == 0 and got[4]["dup_fraction"] == 0.0
+    assert got[1]["n_windows"] == 12 - 8 + 1  # 12 tokens → 5 full windows
+
+
+def test_event_transitions_manual(spark):
+    from llama_spark.functions.funnel import event_transitions
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "a"),
+        (2, 1, "2024-01-01 10:01:00", "b"),
+        (3, 1, "2024-01-01 10:02:00", "a"),
+        (4, 2, "2024-01-01 09:00:00", "a"),
+        (5, 2, "2024-01-01 09:01:00", "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    )
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["prob"])
+           for r in event_transitions(ev).collect()}
+    assert got[("a", "b")] == (2, round(2 / 2, 6))
+    assert got[("b", "a")] == (1, 1.0)
+
+
+def test_embedding_stats_manual(spark):
+    from llama_spark.functions.cluster import embedding_stats
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 10.0]), (2, [3.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["dim"]: r for r in embedding_stats(emb).collect()}
+    assert got[0]["mean"] == 2.0 and abs(got[0]["std"] - 1.0) < 1e-9
+    assert got[1]["mean"] == 10.0 and got[1]["std"] == 0.0

@@ -4096,16 +4096,23 @@ def q_attack_percolation(spark, sf_dir):
     return attack_percolation(load_edges(spark, sf_dir), frac=ATTACK_PCT / 100.0)
 
 
-def _attack_sql() -> str:
+def _perc_sql(ranked_cte: str, need_udeg: bool = False) -> str:
+    """Shared percolation-census oracle: ``ranked_cte`` supplies the
+    removal order (rn = 1..V); the rest — exact-k cut, survivor edges,
+    unrolled hash-min CC, singleton folding — is identical for the attack
+    and random variants."""
     ctes = [
         f"edges AS MATERIALIZED ({EDGES_SQL})",
         f"nodes AS MATERIALIZED ({NODES_SQL})",
         "nn AS (SELECT COUNT(*) AS v FROM nodes)",
-        f"und0 AS MATERIALIZED ({UND_SQL})",
-        "udeg AS (SELECT src AS id, COUNT(*) AS ud FROM und0 GROUP BY src)",
-        """ranked AS (
-  SELECT n.id, ROW_NUMBER() OVER (ORDER BY COALESCE(u.ud, 0) DESC, n.id ASC) AS rn
-  FROM nodes n LEFT JOIN udeg u ON u.id = n.id)""",
+    ]
+    if need_udeg:
+        ctes += [
+            f"und0 AS MATERIALIZED ({UND_SQL})",
+            "udeg AS (SELECT src AS id, COUNT(*) AS ud FROM und0 GROUP BY src)",
+        ]
+    ctes += [
+        ranked_cte,
         f"kk AS (SELECT ((SELECT v FROM nn) * {ATTACK_PCT}) // 100 AS k)",
         "removed AS MATERIALIZED (SELECT id FROM ranked WHERE rn <= (SELECT k FROM kk))",
         """kept AS MATERIALIZED (
@@ -4150,8 +4157,30 @@ SELECT CAST((SELECT k FROM kk) AS BIGINT) AS n_removed,
     )
 
 
-ORACLE["attack_percolation"] = _attack_sql()
+ATTACK_RANKED_CTE = """ranked AS (
+  SELECT n.id, ROW_NUMBER() OVER (ORDER BY COALESCE(u.ud, 0) DESC, n.id ASC) AS rn
+  FROM nodes n LEFT JOIN udeg u ON u.id = n.id)"""
+
+ORACLE["attack_percolation"] = _perc_sql(ATTACK_RANKED_CTE, need_udeg=True)
 QUERIES["attack_percolation"] = q_attack_percolation
+
+
+def q_random_percolation(spark, sf_dir):
+    """Albert-Jeong-Barabasi RANDOM-failure census: drop a deterministic
+    pseudo-random 5% of nodes (LCG rank), census the survivors — the
+    error-tolerance twin of attack_percolation at the same fraction."""
+    from .operators.percolation import random_percolation
+
+    return random_percolation(load_edges(spark, sf_dir), frac=ATTACK_PCT / 100.0)
+
+
+RANDOM_RANKED_CTE = """ranked AS (
+  SELECT id, ROW_NUMBER() OVER (
+    ORDER BY (1103515245 * id + 12345) % 65536 ASC, id ASC) AS rn
+  FROM nodes)"""
+
+ORACLE["random_percolation"] = _perc_sql(RANDOM_RANKED_CTE)
+QUERIES["random_percolation"] = q_random_percolation
 
 
 # --------------------------------------------------- community conductance
@@ -4255,3 +4284,64 @@ SELECT g.from_type, g.to_type, CAST(g.n AS BIGINT) AS n,
        ROUND(g.n / CAST(t.t AS DOUBLE), 6) AS prob
 FROM grid g JOIN tot t ON t.from_type = g.from_type"""
 QUERIES["event_transitions"] = q_event_transitions
+
+
+# --------------------------------------------------- TPC-H Q18
+
+
+Q18_QTY = 300  # the spec's large-volume threshold
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the HAVING-subquery
+    pattern. The qualifying-orderkey set (sum(l_quantity) > 300) comes
+    from a map-side-combinable lineitem rollup and is TINY by the spec's
+    selectivity at every scale, so it broadcasts into a semi-join that
+    prunes lineitem BEFORE the orders/customer joins — the plan a
+    100-TB run wants (never join the full fact tables first). Ordering
+    key (o_totalprice DESC, o_orderkey ASC) is replicated exactly in the
+    oracle so the LIMIT cut is deterministic; sum(l_quantity) is an
+    integer-valued double → exact, cast to long."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > Q18_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate_s"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+ORACLE["tpch_q18"] = f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > {Q18_QTY})
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS o_orderdate_s,
+       o.o_totalprice,
+       CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+FROM lineitem l
+JOIN big b ON l.l_orderkey = b.l_orderkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 100"""
+QUERIES["tpch_q18"] = q_tpch_q18

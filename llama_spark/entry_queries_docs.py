@@ -1783,3 +1783,41 @@ SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
        ROUND(sqrt(CAST(n * s2 - s * s AS DOUBLE)) / (n * 1000000.0), 6) AS std
 FROM agg"""
 DOCS_QUERIES["embedding_stats"] = q_embedding_stats
+
+
+# --------------------------------------------------- per-source profile
+
+
+def q_source_profile(spark, sf_dir):
+    """Per-source corpus census (doc counts, char/token means, lang
+    spread, within-source exact-dup burden) — first use of the `source`
+    column as a curation dimension."""
+    from .functions.text import source_profile
+
+    return source_profile(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+DOCS_ORACLE["source_profile"] = r"""WITH d AS (
+  SELECT source, lang, CAST(n_chars AS BIGINT) AS nc,
+         md5(text) AS h,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS nt
+  FROM documents),
+dups AS (
+  SELECT source,
+         COALESCE(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS dup_docs
+  FROM (SELECT source, h, COUNT(*) AS c FROM d GROUP BY 1, 2)
+  GROUP BY source),
+prof AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(nc) AS total_chars,
+         ROUND(AVG(CAST(nc AS DOUBLE)), 4) AS avg_chars,
+         COUNT(DISTINCT lang) AS n_langs,
+         ROUND(AVG(CAST(nt AS DOUBLE)), 4) AS avg_tokens
+  FROM d GROUP BY source)
+SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs,
+       CAST(p.total_chars AS BIGINT) AS total_chars,
+       p.avg_chars, CAST(p.n_langs AS BIGINT) AS n_langs, p.avg_tokens,
+       CAST(dd.dup_docs AS BIGINT) AS dup_docs,
+       ROUND(dd.dup_docs / CAST(p.n_docs AS DOUBLE), 6) AS dup_ratio
+FROM prof p JOIN dups dd ON dd.source = p.source"""
+DOCS_QUERIES["source_profile"] = q_source_profile

@@ -682,3 +682,60 @@ def langid_confusion(documents: DataFrame) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("_t").cast("double"), 6).alias("share"),
     )
+
+
+def source_profile(documents: DataFrame) -> DataFrame:
+    """Per-SOURCE corpus profile — the first-look table a curation run
+    prints before deciding per-source sampling weights (the C4/RefinedWeb
+    "where does my corpus come from" census):
+
+        DataFrame[source, n_docs, total_chars, avg_chars, n_langs,
+                  avg_tokens, dup_docs, dup_ratio]
+
+    - avg_chars / avg_tokens rounded to 4dp (cross-engine mean stability);
+    - dup_docs counts documents whose EXACT text (md5) appears ≥2 times
+      within the same source — the within-source duplicate burden that
+      decides which sources need the expensive near-dup pass;
+    - dup_ratio = dup_docs / n_docs, rounded to 6dp.
+
+    Scale shape: one (source, md5) groupBy (map-side combinable; the hash
+    spreads every source's docs across partitions, so a giant source is
+    not a skewed reduce key), one source-level rollup of that, one
+    source-level rollup of the doc table, and a broadcast-sized join of
+    the two profiles (#sources rows). No windows, no UDFs."""
+    d = documents.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.md5(F.col("text")).alias("h"),
+        F.size(tokens_col()).cast("long").alias("nt"),
+    )
+    dups = (
+        d.groupBy("source", "h")
+        .agg(F.count("*").alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("dup_docs")
+        )
+    )
+    prof = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nc").alias("total_chars"),
+        F.round(F.avg(F.col("nc").cast("double")), 4).alias("avg_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(F.avg(F.col("nt").cast("double")), 4).alias("avg_tokens"),
+    )
+    return prof.join(dups, "source").select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "avg_chars",
+        "n_langs",
+        "avg_tokens",
+        "dup_docs",
+        F.round(F.col("dup_docs") / F.col("n_docs").cast("double"), 6).alias(
+            "dup_ratio"
+        ),
+    )

@@ -1,8 +1,15 @@
-"""Targeted-attack percolation — the Albert–Jeong–Barabási robustness
-census ("Error and attack tolerance of complex networks", Nature 2000):
-remove the top fraction of nodes by degree (the hubs a targeted attack
-takes out first) and measure what is left of the giant component. Web
-link graphs are famously robust to random failure and fragile to this.
+"""Percolation robustness census — the Albert–Jeong–Barabási experiment
+("Error and attack tolerance of complex networks", Nature 2000), BOTH
+halves:
+
+- ``attack_percolation``   — remove the top fraction of nodes by degree
+  (the hubs a targeted attack takes out first);
+- ``random_percolation``   — remove the same fraction chosen by a
+  deterministic pseudo-random rank (the error-tolerance twin).
+
+Web link graphs are famously robust to random failure and fragile to
+targeted attack; the pair of gates makes that contrast a measured number
+(giant_size under each removal at the same fraction).
 
 Output is the one-row summary the percolation curve is built from at a
 given removal fraction:
@@ -34,11 +41,6 @@ def attack_percolation(
     """DataFrame[n_removed, n_remaining, giant_size, n_components] after
     removing floor(frac·V) nodes in (undirected-degree DESC, id ASC)
     order. Deterministic; frac=0 degenerates to a plain CC census."""
-    from .components import (
-        connected_components,
-        connected_components_alternating,
-    )
-
     e = drop_self_loops(edges.select(SRC, DST)).distinct()
     und = e.unionByName(
         e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
@@ -81,6 +83,66 @@ def attack_percolation(
             .limit(r_ties)
         )
         removed = hi.unionByName(ties)
+    return _survivor_census(e, nodes, removed, k, cc)
+
+
+def random_percolation(
+    edges: DataFrame, frac: float = 0.05, seed: int = 0, cc: str = "hashmin"
+) -> DataFrame:
+    """DataFrame[n_removed, n_remaining, giant_size, n_components] after
+    removing floor(frac·V) nodes in (LCG-rank ASC, id ASC) order — the
+    RANDOM-failure half of the AJB census, deterministic via the repo's
+    closed-form LCG: rv(id) = (1103515245·(id+seed) + 12345) mod 65536.
+
+    Scale shape mirrors the attack variant: the exact-k cut goes through
+    the rv HISTOGRAM — ≤65536 rows at ANY graph scale (the modulus bounds
+    it, unlike a degree histogram which is merely max-degree-bounded) —
+    and only the id-ordered ties in the threshold bucket pass through a
+    distributed TakeOrdered (≈ V/65536 rows, spread across partitions).
+    No global sort window ever sees the V-row node table."""
+    e = drop_self_loops(edges.select(SRC, DST)).distinct()
+    nodes = nodes_of(e)
+    n_nodes = nodes.count()
+    k = int(n_nodes * frac)
+
+    ranked = nodes.select(
+        "id",
+        ((F.lit(1103515245) * (F.col("id") + F.lit(seed)) + F.lit(12345)) % 65536).alias(
+            "rv"
+        ),
+    )
+    hist = sorted(
+        (r["rv"], r["c"])
+        for r in ranked.groupBy("rv").agg(F.count("*").alias("c")).collect()
+    )
+    need, t, r_ties = k, None, 0
+    for v, c in hist:
+        if need <= 0:
+            break
+        t, r_ties = v, min(need, c)
+        need -= c
+    if t is None:
+        removed = ranked.filter(F.lit(False)).select("id")
+    else:
+        lo = ranked.filter(F.col("rv") < t).select("id")
+        ties = (
+            ranked.filter(F.col("rv") == t).select("id").orderBy("id").limit(r_ties)
+        )
+        removed = lo.unionByName(ties)
+    return _survivor_census(e, nodes, removed, k, cc)
+
+
+def _survivor_census(
+    e: DataFrame, nodes: DataFrame, removed: DataFrame, k: int, cc: str
+) -> DataFrame:
+    """Shared tail of both percolation variants: drop attacked endpoints
+    (two semi-joins), run the CC kernel on the surviving edges, and fold
+    isolated survivors into the component count as singletons."""
+    from .components import (
+        connected_components,
+        connected_components_alternating,
+    )
+
     survivors = nodes.join(removed, "id", "left_anti")
     kept = e.join(
         removed.withColumnRenamed("id", SRC), SRC, "left_anti"
@@ -107,7 +169,7 @@ def attack_percolation(
     n_surv = survivors.count()
     n_isolated = n_surv - int(stats["n_in_cc"])
     giant = max(int(stats["giant_edgeful"]), 1 if n_surv > 0 else 0)
-    spark = edges.sparkSession
+    spark = e.sparkSession
     return spark.createDataFrame(
         [
             (

@@ -4345,3 +4345,65 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1, 2, 3, 4, 5
 ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 100"""
 QUERIES["tpch_q18"] = q_tpch_q18
+
+
+# --------------------------------------------------- TPC-H Q13
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): the LEFT
+    OUTER join with a residual predicate on the inner side, then a
+    distribution-of-counts rollup. The priority filter prunes orders
+    BEFORE the join (Catalyst pushes it to the scan); the per-customer
+    count is map-side combinable after the custkey shuffle; the final
+    histogram is ≤ max-orders-per-customer rows."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count("*").alias("custdist")).select(
+        F.col("c_count").cast("long").alias("c_count"), "custdist"
+    )
+
+
+ORACLE["tpch_q13"] = """
+WITH per AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
+FROM per GROUP BY c_count"""
+QUERIES["tpch_q13"] = q_tpch_q13
+
+
+# --------------------------------------------------- degree correlation
+
+
+def q_avg_neighbor_degree(spark, sf_dir):
+    """knn(k) degree-correlation curve (Pastor-Satorras et al. 2001)."""
+    from .graph import avg_neighbor_degree
+
+    return avg_neighbor_degree(load_edges(spark, sf_dir))
+
+
+ORACLE["avg_neighbor_degree"] = f"""
+WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED ({UND_SQL}),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+ends AS (SELECT u.src, dg.d AS dk FROM und u JOIN deg dg ON dg.id = u.dst),
+pn AS (SELECT src, SUM(dk) AS s, COUNT(*) AS c FROM ends GROUP BY src),
+micro AS (
+  SELECT c AS k,
+         CAST(ROUND(ROUND(s / CAST(c AS DOUBLE), 6) * 1000000.0) AS BIGINT) AS m
+  FROM pn)
+SELECT CAST(k AS BIGINT) AS k, COUNT(*) AS n_nodes,
+       ROUND((SUM(m) / CAST(COUNT(*) AS DOUBLE)) / 1000000.0, 6) AS knn
+FROM micro GROUP BY k"""
+QUERIES["avg_neighbor_degree"] = q_avg_neighbor_degree

@@ -1821,3 +1821,65 @@ SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs,
        ROUND(dd.dup_docs / CAST(p.n_docs AS DOUBLE), 6) AS dup_ratio
 FROM prof p JOIN dups dd ON dd.source = p.source"""
 DOCS_QUERIES["source_profile"] = q_source_profile
+
+
+# --------------------------------------------------- source-weighted sample
+
+SAMPLE_RATES_BP = {"src0": 2500, "src3": 5000, "src7": 0}
+SAMPLE_DEFAULT_BP = 1000
+SAMPLE_SEED = 42
+
+
+def q_source_sample(spark, sf_dir):
+    """Deterministic per-source acceptance sampling (source reweighting)."""
+    from .functions.sample import source_weighted_sample
+
+    return source_weighted_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        rates_bp=SAMPLE_RATES_BP,
+        default_bp=SAMPLE_DEFAULT_BP,
+        seed=SAMPLE_SEED,
+    )
+
+
+def _source_sample_sql() -> str:
+    vals = ", ".join(f"('{s}', {bp})" for s, bp in sorted(SAMPLE_RATES_BP.items()))
+    h = HASH.format(f"d.doc_id || ':sample:{SAMPLE_SEED}'")
+    return f"""WITH r(source, bp) AS (SELECT * FROM (VALUES {vals}))
+SELECT d.doc_id, d.source
+FROM documents d LEFT JOIN r ON r.source = d.source
+WHERE {h} % 10000 < COALESCE(r.bp, {SAMPLE_DEFAULT_BP})"""
+
+
+DOCS_ORACLE["source_sample"] = _source_sample_sql()
+DOCS_QUERIES["source_sample"] = q_source_sample
+
+
+# --------------------------------------------------- exact length quantiles
+
+QUANTILE_BPS = (1000, 2500, 5000, 7500, 9000, 9900)
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact discrete quantiles of document length via the bounded value
+    histogram (never approx_percentile — engine-private merge buffers)."""
+    from .functions.sketch import exact_quantiles
+
+    return exact_quantiles(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        "n_chars",
+        qs_bp=QUANTILE_BPS,
+    )
+
+
+DOCS_ORACLE["length_quantiles"] = f"""WITH hist AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c FROM documents GROUP BY 1),
+cum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+tot AS (SELECT SUM(c) AS n FROM hist),
+qs(q_bp) AS (SELECT * FROM (VALUES {", ".join(f"({q})" for q in QUANTILE_BPS)})),
+ranks AS (SELECT q_bp, (q_bp * n + 9999) // 10000 AS rank FROM qs, tot)
+SELECT CAST(r.q_bp AS BIGINT) AS q_bp, CAST(r.rank AS BIGINT) AS rank,
+       CAST(MIN(c.v) AS BIGINT) AS value
+FROM ranks r JOIN cum c ON c.cum >= r.rank GROUP BY 1, 2"""
+DOCS_QUERIES["length_quantiles"] = q_length_quantiles

@@ -60,3 +60,48 @@ def top_tokens(documents: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(k)
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs_bp: tuple[int, ...] = (1000, 2500, 5000, 7500, 9000, 9900),
+) -> DataFrame:
+    """EXACT discrete quantiles of an integer-valued column —
+    DataFrame[q_bp, rank, value]: for each q (BASIS POINTS), the value of
+    the rank-⌈q·n/10000⌉ row in sorted order. Integer q and an
+    integer-exact ceiling ((q·n + 9999) DIV 10000) on purpose: no float
+    threshold ever sits ambiguously on a rank boundary, so Spark and any
+    SQL mirror cut identical ranks.
+
+    The scale-safe exact-quantile plan (vs approx_percentile, whose merge
+    buffers are engine-private and gate-unfriendly): the VALUE histogram
+    (groupBy value → count) is bounded by #distinct values, the cumulative
+    sum runs over THAT bounded table (the degree_distribution precedent —
+    the window never sees the row-level table), and each quantile is a
+    min() over the qualifying suffix. Works whenever the value domain is
+    materially smaller than the row count — doc lengths, degrees, token
+    counts; for unbounded domains bucket first."""
+    hist = df.groupBy(F.col(value_col).cast("long").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.agg(F.sum("c").alias("n"))
+    qdf = df.sparkSession.createDataFrame(
+        [(int(q),) for q in sorted(qs_bp)], "q_bp long"
+    )
+    # integer ceiling — double division would lose exactness past 2^53
+    # (q_bp·n ≈ 10^16 at 10^12 rows)
+    ranks = qdf.crossJoin(tot).select(
+        "q_bp", F.expr("(q_bp * n + 9999) DIV 10000").cast("long").alias("rank")
+    )
+    return (
+        F.broadcast(ranks)
+        .join(cum, cum["cum"] >= ranks["rank"])
+        .groupBy("q_bp", "rank")
+        .agg(F.min("v").alias("value"))
+        .select("q_bp", "rank", "value")
+    )

@@ -369,3 +369,53 @@ def reciprocity(edges: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("reciprocity"),
     )
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """knn(k) — the degree-correlation function (Pastor-Satorras, Vázquez
+    & Vespignani 2001): for each undirected-degree class k, the mean over
+    nodes of degree k of their neighbors' mean degree. THE standard
+    web-graph mixing curve (a falling knn(k) is the disassortativity the
+    one-number ``assortativity`` r < 0 summarizes).
+
+    DataFrame[k, n_nodes, knn] — knn rounded to 6 dp. Per-node neighbor
+    means are exact rationals (BIGINT sum / count) rounded to 6 dp then
+    carried as micro-unit BIGINTs, so the per-class mean is one exact
+    integer sum and ONE float division — engine-order-proof (the
+    neighbor_features precedent).
+
+    Scale: two E-row joins against the V-row degree table (shuffle-hash —
+    the E side streams), two map-side-combinable aggregates; the output
+    is ≤ max-degree rows. No windows."""
+    und = symmetrize(edges)
+    deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("d"))
+    ends = und.join(
+        deg.select(F.col("id").alias(DST), F.col("d").alias("dk")).hint(
+            "shuffle_hash"
+        ),
+        DST,
+    )
+    per_node = ends.groupBy(SRC).agg(
+        F.sum("dk").alias("s"), F.count("*").alias("c")
+    )
+    micro = per_node.select(
+        F.col(SRC).alias("id"),
+        F.col("c").alias("k"),  # c == undirected degree of the node
+        F.round(F.round(F.col("s") / F.col("c"), 6) * 1000000.0)
+        .cast("long")
+        .alias("knn_micro"),
+    )
+    return (
+        micro.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("knn_micro").alias("_s"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_nodes",
+            F.round(
+                (F.col("_s") / F.col("n_nodes").cast("double")) / 1000000.0, 6
+            ).alias("knn"),
+        )
+    )

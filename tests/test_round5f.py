@@ -114,3 +114,111 @@ def test_source_profile_counts_and_dups(spark):
     assert a["avg_tokens"] == round((2 + 2 + 3) / 3, 4)
     assert b["n_docs"] == 2 and b["dup_docs"] == 0 and b["n_langs"] == 2
     assert b["avg_chars"] == 17.0
+
+
+# ---- TPC-H Q13 ----
+
+
+def test_tpch_q13_left_join_zero_bucket(spark):
+    """Customers with no (non-urgent) orders must land in the c_count=0
+    bucket — the left-join semantic Q13 exists to test."""
+    import duckdb
+
+    from llama_spark.entry_queries import ORACLE, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["c_count"]: r["custdist"] for r in QUERIES["tpch_q13"](spark, sf).collect()}
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = dict(con.execute(ORACLE["tpch_q13"]).fetchall())
+    assert got == want
+    n_cust = con.execute("SELECT COUNT(*) FROM customer").fetchone()[0]
+    assert sum(got.values()) == n_cust  # every customer in exactly one bucket
+
+
+# ---- degree correlation knn(k) ----
+
+
+def test_avg_neighbor_degree_star(spark):
+    from llama_spark.graph import avg_neighbor_degree
+
+    star = [(0, i) for i in range(1, 5)]  # hub deg 4, spokes deg 1
+    got = {r["k"]: (r["n_nodes"], r["knn"]) for r in
+           avg_neighbor_degree(edges_df(spark, star)).collect()}
+    # hub's neighbors all have degree 1; each spoke's neighbor (hub) has 4
+    assert got == {4: (1, 1.0), 1: (4, 4.0)}
+
+
+def test_avg_neighbor_degree_path(spark):
+    from llama_spark.graph import avg_neighbor_degree
+
+    path = [(0, 1), (1, 2), (2, 3)]  # degrees 1,2,2,1
+    got = {r["k"]: (r["n_nodes"], r["knn"]) for r in
+           avg_neighbor_degree(edges_df(spark, path)).collect()}
+    # deg-1 nodes (0,3): neighbor mean 2.0 each → knn(1)=2.0
+    # deg-2 nodes: node1 nbrs deg (1,2) → 1.5; node2 nbrs deg (2,1) → 1.5
+    assert got == {1: (2, 2.0), 2: (2, 1.5)}
+
+
+# ---- source-weighted sampling ----
+
+
+def test_source_weighted_sample_rates_and_determinism(spark):
+    from llama_spark.functions.sample import source_weighted_sample
+
+    rows = [(i, "A" if i % 2 == 0 else "B") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_weighted_sample(
+        docs, rates_bp={"A": 5000, "B": 0}, default_bp=10000
+    )
+    got = out.collect()
+    assert all(r["source"] == "A" for r in got)  # B rate 0 → none kept
+    # ~50% of the 1000 A docs (hash-uniform; generous tolerance)
+    assert 400 < len(got) < 600
+    # pure function of the id: rerun is identical
+    again = source_weighted_sample(
+        docs, rates_bp={"A": 5000, "B": 0}, default_bp=10000
+    ).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
+    # appending docs never reselects existing ones
+    more = spark.createDataFrame(
+        rows + [(i, "A") for i in range(2000, 2500)],
+        "doc_id long, source string",
+    )
+    sup = source_weighted_sample(
+        more, rates_bp={"A": 5000, "B": 0}, default_bp=10000
+    ).collect()
+    kept_old = {r["doc_id"] for r in sup if r["doc_id"] < 2000}
+    assert kept_old == {r["doc_id"] for r in got}
+
+
+def test_source_weighted_sample_validates(spark):
+    import pytest
+
+    from llama_spark.functions.sample import source_weighted_sample
+
+    docs = spark.createDataFrame([(0, "A")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        source_weighted_sample(docs, rates_bp={"A": 10001})
+    with pytest.raises(ValueError):
+        source_weighted_sample(docs, rates_bp={}, default_bp=-1)
+
+
+# ---- exact quantiles ----
+
+
+def test_exact_quantiles_matches_sorted_cut(spark):
+    from llama_spark.functions.sketch import exact_quantiles
+
+    vals = [5, 1, 9, 3, 3, 7, 7, 7, 2, 10]  # n=10
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r["q_bp"]: (r["rank"], r["value"]) for r in
+           exact_quantiles(df, "x", qs_bp=(1000, 5000, 9000, 10000)).collect()}
+    s = sorted(vals)
+    for bp, (rank, value) in got.items():
+        want_rank = (bp * len(vals) + 9999) // 10000
+        assert rank == want_rank
+        assert value == s[want_rank - 1]
+    assert got[10000] == (10, 10)  # the max
+    assert got[5000] == (5, 5)     # the lower median

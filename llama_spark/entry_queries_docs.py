@@ -1883,3 +1883,67 @@ SELECT CAST(r.q_bp AS BIGINT) AS q_bp, CAST(r.rank AS BIGINT) AS rank,
        CAST(MIN(c.v) AS BIGINT) AS value
 FROM ranks r JOIN cum c ON c.cum >= r.rank GROUP BY 1, 2"""
 DOCS_QUERIES["length_quantiles"] = q_length_quantiles
+
+
+# --------------------------------------------------- standardized embeddings
+
+STD_DIMS = 16
+
+
+def q_standardized_embeddings(spark, sf_dir):
+    """Exact z-score whitening (micro-int algebra; the n·10⁶ factors of
+    mean and std cancel, so z is exact BIGINTs → one sqrt + divide)."""
+    from .functions.cluster import standardize_embeddings
+
+    return standardize_embeddings(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), dims=STD_DIMS
+    )
+
+
+DOCS_ORACLE["standardized_embeddings"] = f"""WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM embeddings),
+c AS (SELECT * FROM comp WHERE dim < {STD_DIMS}),
+d AS (SELECT dim, COUNT(*) AS n, SUM(q) AS s, SUM(q * q) AS s2
+      FROM c GROUP BY dim)
+SELECT c.vec_id, CAST(c.dim AS BIGINT) AS dim,
+       CASE WHEN CAST(d.n * d.s2 - d.s * d.s AS DOUBLE) > 0
+            THEN ROUND(CAST(c.q * d.n - d.s AS DOUBLE)
+                       / sqrt(CAST(d.n * d.s2 - d.s * d.s AS DOUBLE)), 6)
+            ELSE 0e0 END AS z
+FROM c JOIN d ON d.dim = c.dim"""
+DOCS_QUERIES["standardized_embeddings"] = q_standardized_embeddings
+
+
+# --------------------------------------------------- embedding covariance
+
+COV_DIMS = 16
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """Upper-triangular covariance via per-partition numpy Gram partials
+    (mapInPandas — the Arrow-vectorized scale path; partitioning-invariant
+    exact int64 partials)."""
+    from .functions.cluster import embedding_covariance
+
+    return embedding_covariance(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), dims=COV_DIMS
+    )
+
+
+DOCS_ORACLE["embedding_covariance"] = f"""WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM embeddings),
+c AS (SELECT * FROM comp WHERE dim < {COV_DIMS}),
+pairs AS (
+  SELECT a.dim AS i, b.dim AS j, SUM(a.q * b.q) AS sqq
+  FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2),
+d AS (SELECT dim, COUNT(*) AS n, SUM(q) AS s FROM c GROUP BY dim)
+SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+       ROUND((p.sqq / da.n - (da.s / da.n) * (db.s / db.n))
+             / 1000000000000.0, 6) AS cov
+FROM pairs p JOIN d da ON da.dim = p.i JOIN d db ON db.dim = p.j"""
+DOCS_QUERIES["embedding_covariance"] = q_embedding_covariance

@@ -264,3 +264,144 @@ def embedding_stats(
             ).alias("std"),
         )
     )
+
+
+def standardize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """Z-score standardization (the whitening step ``embedding_stats``
+    exists to feed) — DataFrame[vec_id, dim, z] in long format, z rounded
+    to 6 dp; zero-variance dims map to z = 0.
+
+    Engine-exact by construction: with q the micro-unit quantized
+    component, z = (q·n − Σq) / √(n·Σq² − (Σq)²) — the n·10⁶ factors of
+    mean and std cancel algebraically, so the whole computation is exact
+    BIGINT arithmetic until one IEEE sqrt and one division (both
+    correctly rounded, identical everywhere). Same BIGINT-headroom regime
+    as embedding_stats (n·Σq² < 2^63).
+
+    Plan: one posexplode pass, one map-side-combinable per-dim aggregate
+    (D rows), one broadcast join back — no windows, no UDFs."""
+    comp = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("dim", "val"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("val") * F.lit(1e6)).cast("long").alias("q"),
+    )
+    if dims is not None:
+        comp = comp.filter(F.col("dim") < dims)
+    d = comp.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    var_num = (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+    return comp.join(F.broadcast(d), "dim").select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.when(
+            var_num > 0,
+            F.round(
+                (F.col("q") * F.col("n") - F.col("s")).cast("double")
+                / F.sqrt(var_num),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+
+
+def embedding_covariance(
+    embeddings: DataFrame,
+    dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Upper-triangular covariance matrix of the first ``dims`` embedding
+    components — DataFrame[i, j, cov] (i ≤ j, cov rounded to 6 dp). The
+    PCA/whitening pre-step: at 10¹² rows the D×D Gram matrix is the ONLY
+    thing that has to leave the executors.
+
+    Plan — the vectorized-Arrow-UDF scale path, NOT an explode: each
+    partition quantizes its batch to micro-unit int64 and computes the
+    partial Gram Qᵀ Q with one numpy matmul (exact int64 accumulation),
+    emitting D(D+1)/2 triangular rows per partition; a groupBy(i, j) sum
+    (≤ P·D² rows total) and a D-row moment join finish it. A pair-explode
+    plan would move N·D(D+1)/2 rows through the shuffle — 136× the corpus
+    at D=16; here the shuffle carries partition-count-bounded partials
+    only. Integer contract: partial sums are exact (per-partition q²·rows
+    ≪ 2^63), their total is partitioning-invariant, and the final
+    cov = (Σqq/n − (Σqᵢ/n)(Σqⱼ/n))/10¹² is the same double in any engine.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tri_i, tri_j = [], []
+    for a in range(dims):
+        for b in range(a, dims):
+            tri_i.append(a)
+            tri_j.append(b)
+
+    def gram(batches):
+        total = np.zeros((dims, dims), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([v[:dims] for v in pdf["v"]], dtype=np.float64) * 1e6
+            # half-AWAY rounding (np.rint is half-even; Spark/DuckDB ROUND
+            # are half-away — keep the partials on the gate contract)
+            q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+            total += q.T @ q
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "i": np.array(tri_i, dtype=np.int64),
+                    "j": np.array(tri_j, dtype=np.int64),
+                    "sqq": total[tri_i, tri_j],
+                }
+            )
+
+    base = embeddings.select(
+        F.slice(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")), 1, dims
+        ).alias("v")
+    )
+    pairs = (
+        base.mapInPandas(gram, "i long, j long, sqq long")
+        .groupBy("i", "j")
+        .agg(F.sum("sqq").alias("sqq"))
+    )
+    comp = base.select(F.posexplode("v").alias("dim", "val")).select(
+        "dim", F.round(F.col("val") * F.lit(1e6)).cast("long").alias("q")
+    )
+    d = comp.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"), F.sum("q").alias("s")
+    )
+    da = d.select(F.col("dim").alias("i"), F.col("n"), F.col("s").alias("si"))
+    db = d.select(F.col("dim").alias("j"), F.col("s").alias("sj"))
+    return (
+        pairs.join(F.broadcast(da), "i")
+        .join(F.broadcast(db), "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.round(
+                (
+                    F.col("sqq") / F.col("n")
+                    - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
+                )
+                / F.lit(1e12),
+                6,
+            ).alias("cov"),
+        )
+    )

@@ -222,3 +222,53 @@ def test_exact_quantiles_matches_sorted_cut(spark):
         assert value == s[want_rank - 1]
     assert got[10000] == (10, 10)  # the max
     assert got[5000] == (5, 5)     # the lower median
+
+
+# ---- embedding whitening ----
+
+
+def test_standardize_embeddings_exact(spark):
+    from llama_spark.functions.cluster import standardize_embeddings
+
+    rows = [(0, [0.0, 5.0]), (1, [2.0, 5.0]), (2, [4.0, 5.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["vec_id"], r["dim"]): r["z"] for r in
+           standardize_embeddings(emb).collect()}
+    # dim 0: mean 2, pop-std sqrt(8/3)... z = (x-2)/sqrt(8/3)
+    import math
+    s = math.sqrt(8 / 3)
+    assert got[(0, 0)] == round(-2 / s, 6)
+    assert got[(1, 0)] == 0.0
+    assert got[(2, 0)] == round(2 / s, 6)
+    # dim 1 is constant → zero variance → z = 0 convention
+    assert got[(0, 1)] == got[(1, 1)] == got[(2, 1)] == 0.0
+
+
+def test_embedding_covariance_partition_invariant(spark):
+    """The numpy Gram partials must sum to the same exact integers no
+    matter how rows are partitioned — the partitioning-invariance the
+    int64 contract guarantees."""
+    import random
+
+    from llama_spark.functions.cluster import embedding_covariance
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {(r["i"], r["j"]): r["cov"]
+         for r in embedding_covariance(emb, dims=4).collect()}
+    b = {(r["i"], r["j"]): r["cov"]
+         for r in embedding_covariance(emb.repartition(13), dims=4).collect()}
+    assert a == b
+    assert len(a) == 10  # 4*5/2 triangular entries
+    # diagonal of a uniform(-1,1) sample sits near 1/3
+    for i in range(4):
+        assert 0.2 < a[(i, i)] < 0.5
+    # cross-check one entry against plain python (micro-int replica)
+    q = [[round(v * 1e6) for v in vec] for _, vec in rows]
+    n = len(q)
+    sqq = sum(r[0] * r[1] for r in q)
+    s0 = sum(r[0] for r in q)
+    s1 = sum(r[1] for r in q)
+    want = round((sqq / n - (s0 / n) * (s1 / n)) / 1e12, 6)
+    assert a[(0, 1)] == want

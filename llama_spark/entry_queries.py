@@ -4407,3 +4407,53 @@ SELECT CAST(k AS BIGINT) AS k, COUNT(*) AS n_nodes,
        ROUND((SUM(m) / CAST(COUNT(*) AS DOUBLE)) / 1000000.0, 6) AS knn
 FROM micro GROUP BY k"""
 QUERIES["avg_neighbor_degree"] = q_avg_neighbor_degree
+
+
+# --------------------------------------------------- widest (bottleneck) path
+
+
+def q_widest_path(spark, sf_dir):
+    """Max-bottleneck path width from the min node over the synthetic
+    capacity column — the (max, min) semiring twin of sssp_weighted."""
+    from .graph import with_synthetic_weights
+    from .operators.traversal import widest_paths
+
+    edges = with_synthetic_weights(load_edges(spark, sf_dir))
+    root = edges.agg(F.min(F.least("src", "dst")).alias("r")).collect()[0]["r"]
+    d = widest_paths(edges, root=root, weight_col="weight", max_iter=BFS_UNROLL)
+    return d.select("id", F.round("width", 6).alias("width"))
+
+
+def _widest_sql() -> str:
+    ctes = [
+        f"edges_raw AS MATERIALIZED ({EDGES_SQL})",
+        "edges AS MATERIALIZED (SELECT src, dst,"
+        " 1e0 + ((src*31 + dst) % 100)/100e0 AS w FROM edges_raw)",
+        "nodes AS (SELECT DISTINCT id FROM ("
+        "SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges))",
+        "root AS (SELECT MIN(id) AS r FROM nodes)",
+        "d0 AS MATERIALIZED (SELECT id,"
+        " CASE WHEN id = (SELECT r FROM root) THEN 999.0 END AS width FROM nodes)",
+    ]
+    for i in range(1, BFS_UNROLL + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT p.id,
+         CASE WHEN c.cand IS NULL THEN p.width
+              WHEN p.width IS NULL OR c.cand > p.width THEN c.cand
+              ELSE p.width END AS width
+  FROM d{i-1} p LEFT JOIN (
+    SELECT e.dst AS id, MAX(LEAST(q.width, e.w)) AS cand
+    FROM d{i-1} q JOIN edges e ON e.src = q.id
+    WHERE q.width IS NOT NULL GROUP BY e.dst
+  ) c ON p.id = c.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(width, 6) AS width FROM d{BFS_UNROLL}"
+    )
+
+
+ORACLE["widest_path"] = _widest_sql()
+QUERIES["widest_path"] = q_widest_path

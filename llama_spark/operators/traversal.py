@@ -387,3 +387,72 @@ def weighted_closeness_centrality(
             ).alias("closeness"),
         )
     )
+
+
+def widest_paths(
+    edges: DataFrame,
+    root: int = 0,
+    weight_col: str = "weight",
+    max_iter: int = 100,
+    source_width: float = 999.0,
+) -> DataFrame:
+    """DataFrame[id, width] — maximum-bottleneck path width from root
+    (width of a path = its MINIMUM edge capacity; take the MAX over
+    paths). The (max, min) semiring on the same delta-iteration template
+    as ``sssp``'s (min, +) — the classic max-capacity-route kernel.
+    NULL = unreachable; the root carries ``source_width``, a finite
+    sentinel documented greater than every edge capacity (keeps the
+    output hash-stable where an IEEE infinity would be engine-fragile).
+
+    Scale shape identical to sssp: the capacity table is hash(src)
+    partitioned and persisted once; only the changed frontier joins it
+    each round; Bellman-Ford-style monotone convergence (width only ever
+    increases) in ≤ V-1 rounds, far fewer on small-diameter web graphs."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..graph import nodes_of
+    from ..plans.fixpoint import iterate
+
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rel = (
+        edges.select(SRC, DST, F.col(weight_col).cast("double").alias("w"))
+        .repartition(p, SRC)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    m_edges = rel.count()
+    nodes = nodes_of(edges)
+    init = nodes.select(
+        "id",
+        F.when(F.col("id") == root, F.lit(float(source_width)))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("width"),
+        (F.col("id") == root).alias("changed"),
+    )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        frontier = state.filter(F.col("changed")).select("id", "width")
+        cand = (
+            frontier.join(rel, frontier["id"] == rel[SRC])
+            .groupBy(F.col(DST).alias("id"))
+            .agg(F.max(F.least(F.col("width"), F.col("w"))).alias("cand"))
+        )
+        improved = F.col("cand").isNotNull() & (
+            F.col("width").isNull() | (F.col("cand") > F.col("width"))
+        )
+        return state.join(cand, "id", "left").select(
+            "id",
+            F.when(improved, F.col("cand")).otherwise(F.col("width")).alias("width"),
+            improved.alias("changed"),
+        )
+
+    res = iterate(
+        init,
+        step,
+        max_iter=max_iter,
+        updated_metric=F.sum(F.col("changed").cast("long")),
+        truncate_every=1 if m_edges <= 100_000 else 4,
+        name="widest_paths",
+    )
+    rel.unpersist()
+    return res.state.select("id", "width")

@@ -272,3 +272,33 @@ def test_embedding_covariance_partition_invariant(spark):
     s1 = sum(r[1] for r in q)
     want = round((sqq / n - (s0 / n) * (s1 / n)) / 1e12, 6)
     assert a[(0, 1)] == want
+
+
+# ---- widest (max-bottleneck) paths ----
+
+
+def test_widest_paths_picks_fat_route(spark):
+    from llama_spark.operators.traversal import widest_paths
+
+    # two routes 0→3: thin direct chain (min cap 1) vs fat detour (min 5)
+    rows = [
+        (0, 1, 10.0), (1, 3, 1.0),          # thin: width 1
+        (0, 2, 6.0), (2, 3, 5.0),           # fat: width 5
+        (3, 4, 2.0),                         # extends the best route
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    got = {r["id"]: r["width"] for r in
+           widest_paths(edges, root=0, weight_col="weight").collect()}
+    assert got[0] == 999.0  # source sentinel
+    assert got[1] == 10.0
+    assert got[2] == 6.0
+    assert got[3] == 5.0    # max over {min(10,1)=1, min(6,5)=5}
+    assert got[4] == 2.0    # min(5, 2)
+    # unreachable node stays NULL
+    rows2 = rows + [(9, 8, 7.0)]
+    edges2 = spark.createDataFrame(rows2, "src long, dst long, weight double")
+    got2 = {r["id"]: r["width"] for r in
+            widest_paths(edges2, root=0, weight_col="weight").collect()}
+    assert got2[8] == 7.0 or got2[8] is None  # 8 only reachable from 9
+    assert got2[9] is None
+    assert got2[8] is None  # 0 cannot reach 9→8

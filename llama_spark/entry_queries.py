@@ -4457,3 +4457,92 @@ def _widest_sql() -> str:
 
 ORACLE["widest_path"] = _widest_sql()
 QUERIES["widest_path"] = q_widest_path
+
+
+# --------------------------------------------------- sampled eccentricity
+
+
+def q_eccentricity(spark, sf_dir):
+    """Exact eccentricity for the sampled closeness roots — one
+    multi-source BFS; max(ecc) is the standard diameter lower bound."""
+    from .operators.traversal import eccentricity_sample
+
+    return eccentricity_sample(load_edges(spark, sf_dir), roots=CLOSE_ROOTS)
+
+
+ORACLE["eccentricity"] = _ms_bfs_with(
+    f"""SELECT root AS id, CAST(MAX(depth) AS BIGINT) AS ecc,
+       CAST(COUNT(*) AS BIGINT) AS n_reached
+FROM m{BFS_UNROLL} WHERE depth IS NOT NULL GROUP BY root"""
+)
+QUERIES["eccentricity"] = q_eccentricity
+
+
+# --------------------------------------------------- DOULION triangles
+
+DOULION_BP = 2500
+
+
+def q_doulion_triangles(spark, sf_dir):
+    """Sampled triangle estimator (Tsourakakis et al. 2009) — exact count
+    on a deterministic p=0.25 edge sample, scaled by 1/p³."""
+    from .operators.triangles import doulion_triangle_estimate
+
+    return doulion_triangle_estimate(load_edges(spark, sf_dir), p_bp=DOULION_BP)
+
+
+ORACLE["doulion_triangles"] = f"""
+WITH edges AS ({EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM edges WHERE src <> dst),
+s AS (
+  SELECT src, dst FROM und
+  WHERE CAST(('0x' || substr(md5(src || ':' || dst || ':doulion'), 1, 15))
+             AS BIGINT) % 10000 < {DOULION_BP}),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t
+  FROM s e1 JOIN s e2 ON e1.dst = e2.src
+  JOIN s e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM s)
+SELECT CAST({DOULION_BP} AS BIGINT) AS p_bp,
+       ne.m AS n_sampled_edges,
+       tri.t AS triangles_sampled,
+       ROUND(CAST(tri.t AS DOUBLE) * 1000000000000.0
+             / {float(DOULION_BP) ** 3!r}, 4) AS triangle_estimate
+FROM ne, tri"""
+QUERIES["doulion_triangles"] = q_doulion_triangles
+
+
+# --------------------------------------------------- co-occurrence lift
+
+
+def q_cooccurrence_lift(spark, sf_dir):
+    """PMI-class lift over the skip-gram walk corpus (exact-ratio form)."""
+    from .operators.walks import cooccurrence_lift, random_walks, skipgram_pairs
+
+    w = random_walks(
+        load_edges(spark, sf_dir), walk_length=WALK_LEN, walks_per_node=1,
+        seed=WALK_SEED,
+    )
+    return cooccurrence_lift(skipgram_pairs(w, window=SKIPGRAM_WINDOW))
+
+
+ORACLE["cooccurrence_lift"] = f"""WITH walks AS MATERIALIZED (
+{_walks_sql()}
+),
+pairs AS (
+  SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM walks a JOIN walks b
+    ON a.walk_id = b.walk_id AND a.step <> b.step
+   AND abs(a.step - b.step) <= {SKIPGRAM_WINDOW}
+  GROUP BY a.node, b.node),
+t AS (SELECT SUM(cnt) AS t FROM pairs),
+ca AS (SELECT center, SUM(cnt) AS na FROM pairs GROUP BY center),
+cb AS (SELECT context, SUM(cnt) AS nb FROM pairs GROUP BY context)
+SELECT p.center, p.context, p.cnt,
+       ROUND(CAST(p.cnt AS DOUBLE) * t.t
+             / (CAST(ca.na AS DOUBLE) * cb.nb), 6) AS lift
+FROM pairs p JOIN ca ON ca.center = p.center
+JOIN cb ON cb.context = p.context, t"""
+QUERIES["cooccurrence_lift"] = q_cooccurrence_lift

@@ -456,3 +456,18 @@ def widest_paths(
     )
     rel.unpersist()
     return res.state.select("id", "width")
+
+
+def eccentricity_sample(
+    edges: DataFrame, roots: list[int], max_iter: int = 100
+) -> DataFrame:
+    """DataFrame[id, ecc, n_reached] — EXACT eccentricity (max BFS depth)
+    and reach count for each sampled root, from ONE multi-source BFS.
+    The exact companion to hyperball_eccentricity's all-nodes lower
+    bound: K roots exactly here, every node approximately there; max over
+    sampled eccentricities is the standard diameter lower bound."""
+    d = multi_source_bfs_depths(edges, roots, max_iter=max_iter)
+    return d.groupBy(F.col("root").alias("id")).agg(
+        F.max("depth").cast("long").alias("ecc"),
+        F.count("*").cast("long").alias("n_reached"),
+    )

@@ -330,3 +330,49 @@ def four_clique_count(edges: DataFrame, orient: str = "degree") -> DataFrame:
     )
     e.unpersist()
     return out
+
+
+def doulion_triangle_estimate(edges: DataFrame, p_bp: int = 2500) -> DataFrame:
+    """DOULION (Tsourakakis et al., KDD 2009): sparsify to an expected
+    p = p_bp/10000 fraction of the undirected simple edges, count
+    triangles EXACTLY on the sample, scale by 1/p³ — the constant-factor
+    cheapener for triangle counting when the exact count's O(E^1.5) join
+    is the budget item. Expected work drops by p^1.5 on the wedge join
+    (both join sides shrink by p).
+
+    Deterministic sampling: the canonical (least, greatest) endpoint pair
+    hashes through the portable md5 hash, so both edge directions agree,
+    reruns are stable, and a SQL mirror samples the identical edge set.
+
+    DataFrame[p_bp, n_sampled_edges, triangles_sampled, triangle_estimate]
+    (estimate rounded to 4 dp; the estimator is unbiased, variance falls
+    as triangles share sampled edges — see the paper's Thm 2)."""
+    from ..functions.text import token_hash
+
+    und = drop_self_loops(undirected_ordered(edges)).dropDuplicates([SRC, DST])
+    keep = (
+        F.pmod(
+            token_hash(
+                F.concat(
+                    F.col(SRC).cast("string"),
+                    F.lit(":"),
+                    F.col(DST).cast("string"),
+                    F.lit(":doulion"),
+                )
+            ),
+            F.lit(10000),
+        )
+        < p_bp
+    )
+    sampled = und.filter(keep)
+    tri = triangles_df(sampled, orient="degree")
+    m = sampled.agg(F.count("*").cast("long").alias("m"))
+    scale = float(p_bp) ** 3
+    return m.crossJoin(tri).select(
+        F.lit(int(p_bp)).cast("long").alias("p_bp"),
+        F.col("m").alias("n_sampled_edges"),
+        F.col("triangles").alias("triangles_sampled"),
+        F.round(
+            F.col("triangles").cast("double") * F.lit(1e12) / F.lit(scale), 4
+        ).alias("triangle_estimate"),
+    )

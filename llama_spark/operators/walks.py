@@ -635,3 +635,35 @@ def fanout_sample(
     for x in parts[1:]:
         out = out.unionByName(x)
     return out
+
+
+def cooccurrence_lift(pairs: DataFrame) -> DataFrame:
+    """DataFrame[center, context, cnt, lift] — PMI-class association
+    strength over a co-occurrence table (the word2vec-era statistic that
+    separates structural affinity from hub frequency): lift = observed /
+    expected-under-independence = cnt·T / (n_center·n_context) with T the
+    total pair count and n_* the marginals. Deliberately the RATIO, not
+    log-PMI: libm log is not correctly-rounded across engines, while the
+    ratio is exact BIGINT sums and ONE double multiply/divide chain —
+    hash-stable everywhere. lift > 1 ⇔ PMI > 0.
+
+    Plan: two map-side-combinable marginal rollups, one 1-row total, two
+    V-row joins back — composes with ``skipgram_pairs`` output unchanged."""
+    t = pairs.agg(F.sum("cnt").alias("t"))
+    ca = pairs.groupBy("center").agg(F.sum("cnt").alias("na"))
+    cb = pairs.groupBy("context").agg(F.sum("cnt").alias("nb"))
+    return (
+        pairs.join(ca, "center")
+        .join(cb, "context")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "center",
+            "context",
+            "cnt",
+            F.round(
+                (F.col("cnt").cast("double") * F.col("t"))
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -302,3 +302,88 @@ def test_widest_paths_picks_fat_route(spark):
     assert got2[8] == 7.0 or got2[8] is None  # 8 only reachable from 9
     assert got2[9] is None
     assert got2[8] is None  # 0 cannot reach 9→8
+
+
+# ---- sampled eccentricity ----
+
+
+def test_eccentricity_sample_path(spark):
+    from llama_spark.operators.traversal import eccentricity_sample
+
+    # path 0-1-2-3-4 (directed both ways so BFS works undirected-like)
+    edges = [(i, i + 1) for i in range(4)] + [(i + 1, i) for i in range(4)]
+    got = {r["id"]: (r["ecc"], r["n_reached"]) for r in
+           eccentricity_sample(edges_df(spark, edges), roots=[0, 2]).collect()}
+    assert got[0] == (4, 5)  # end of the path sees depth 4
+    assert got[2] == (2, 5)  # center sees depth 2
+
+
+# ---- DOULION triangle estimator ----
+
+
+def test_doulion_full_sample_is_exact(spark):
+    from llama_spark.operators.triangles import (
+        doulion_triangle_estimate,
+        triangle_count,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 6)]
+    df = edges_df(spark, edges)
+    row = doulion_triangle_estimate(df, p_bp=10000).collect()[0]
+    exact = triangle_count(df)
+    assert row["triangles_sampled"] == exact == 2
+    assert row["triangle_estimate"] == float(exact)
+    assert row["n_sampled_edges"] == 7
+
+
+def test_doulion_subsample_counts_sampled_graph(spark):
+    from llama_spark.functions.text import token_hash
+    from llama_spark.operators.triangles import doulion_triangle_estimate
+
+    from pyspark.sql import functions as F
+
+    edges = [(a, b) for a in range(12) for b in range(a + 1, 12)]  # K12
+    df = edges_df(spark, edges)
+    row = doulion_triangle_estimate(df, p_bp=5000).collect()[0]
+    # python replica of the deterministic sample
+    import hashlib
+
+    def h(a, b):
+        return int(hashlib.md5(f"{a}:{b}:doulion".encode()).hexdigest()[:15], 16)
+
+    kept = [(a, b) for a, b in edges if h(a, b) % 10000 < 5000]
+    assert row["n_sampled_edges"] == len(kept)
+    ks = set(kept)
+    tri = sum(
+        1
+        for a in range(12)
+        for b in range(a + 1, 12)
+        for c in range(b + 1, 12)
+        if (a, b) in ks and (b, c) in ks and (a, c) in ks
+    )
+    assert row["triangles_sampled"] == tri
+    assert row["triangle_estimate"] == round(tri * 1e12 / 5000.0**3, 4)
+
+
+# ---- co-occurrence lift ----
+
+
+def test_cooccurrence_lift_independence_baseline(spark):
+    from llama_spark.operators.walks import cooccurrence_lift
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 4), (1, 3, 4), (9, 2, 4), (9, 3, 4)],
+        "center long, context long, cnt long",
+    )
+    got = {(r["center"], r["context"]): r["lift"]
+           for r in cooccurrence_lift(pairs).collect()}
+    # perfectly independent table → lift 1 everywhere (T=16, na=8, nb=8)
+    assert all(v == 1.0 for v in got.values()) and len(got) == 4
+
+    skew = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1), (9, 2, 1), (9, 3, 9)],
+        "center long, context long, cnt long",
+    )
+    g2 = {(r["center"], r["context"]): r["lift"]
+          for r in cooccurrence_lift(skew).collect()}
+    assert g2[(1, 2)] == 1.8 and g2[(1, 3)] == 0.2  # 9·20/(10·10), 1·20/(10·10)

@@ -1947,3 +1947,52 @@ SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
              / 1000000000000.0, 6) AS cov
 FROM pairs p JOIN d da ON da.dim = p.i JOIN d db ON db.dim = p.j"""
 DOCS_QUERIES["embedding_covariance"] = q_embedding_covariance
+
+
+# --------------------------------------------------- content-aware survivors
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """Near-dup clusters with keep-the-longest survivor selection."""
+    from .functions.dedup import dedup_survivors
+
+    return dedup_survivors(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_DC_SQL = DOCS_ORACLE["dedup_clusters"]
+DOCS_ORACLE["dedup_survivors"] = _DC_SQL[: _DC_SQL.rindex("\nSELECT d.doc_id,")] + """,
+base AS (
+  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster, d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+SELECT doc_id, cluster,
+       ROW_NUMBER() OVER (PARTITION BY cluster
+                          ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep
+FROM base"""
+DOCS_QUERIES["dedup_survivors"] = q_dedup_survivors
+
+
+# --------------------------------------------------- vocabulary growth
+
+VOCAB_GRID_BP = (156, 625, 2500, 5000, 10000)
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve via token first-sightings."""
+    from .functions.text import vocab_growth
+
+    return vocab_growth(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), grid_bp=VOCAB_GRID_BP
+    )
+
+
+DOCS_ORACLE["vocab_growth"] = f"""WITH toks AS MATERIALIZED ({TOKS_SQL}),
+firsts AS (SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY tok),
+mx AS (SELECT MAX(doc_id) AS m FROM documents),
+grid(bp) AS (SELECT * FROM (VALUES {", ".join(f"({b})" for b in VOCAB_GRID_BP)})),
+ts AS (SELECT CAST(bp AS BIGINT) AS bp, CAST((m * bp) // 10000 AS BIGINT) AS t
+       FROM grid, mx)
+SELECT ts.bp, ts.t,
+       (SELECT COUNT(*) FROM documents d WHERE d.doc_id <= ts.t) AS n_docs,
+       (SELECT COUNT(*) FROM firsts f WHERE f.fd <= ts.t) AS vocab
+FROM ts"""
+DOCS_QUERIES["vocab_growth"] = q_vocab_growth

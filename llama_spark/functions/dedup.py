@@ -707,3 +707,38 @@ def substring_dup_spans(
             ).alias("dup_fraction"),
         )
     )
+
+
+def dedup_survivors(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = 3,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """``dedup_clusters`` with CONTENT-aware survivor selection — the rule
+    real corpus pipelines use: within each near-dup cluster keep the
+    LONGEST document (n_chars DESC, doc_id ASC tie-break), not the
+    smallest id, because near-dup clusters routinely mix truncated and
+    complete copies of the same page.
+
+    DataFrame[doc_id, cluster, keep] — same shape as dedup_clusters,
+    exactly one keep per cluster. The per-cluster rank is a window over
+    CLUSTERS (≈ all singletons on a real corpus, hash-spread; a cluster's
+    size is bounded by the verified-pair closure, never the corpus)."""
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(
+        documents, threshold=threshold, k=k, bands=bands, n=n,
+        max_bucket_size=max_bucket_size,
+    ).select("doc_id", "cluster")
+    ranked = clusters.join(documents.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return ranked.select(
+        "doc_id",
+        "cluster",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

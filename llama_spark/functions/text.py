@@ -739,3 +739,42 @@ def source_profile(documents: DataFrame) -> DataFrame:
             "dup_ratio"
         ),
     )
+
+
+def vocab_growth(
+    documents: DataFrame, grid_bp: tuple[int, ...] = (156, 625, 2500, 5000, 10000)
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve — DataFrame[bp, t, n_docs,
+    vocab]: for each corpus-prefix threshold t (``bp`` basis points of
+    max doc_id), how many documents the prefix holds and how many
+    DISTINCT tokens it has introduced. The readout that decides tokenizer
+    vocab budgets and detects corpus-composition drift (sublinear growth
+    V ∝ n^β is the healthy-corpus signature).
+
+    Scale shape: the sequential "scan docs in order, watch the vocabulary
+    grow" definition is re-expressed as token FIRST-SIGHTINGS — one
+    map-side-combinable min(doc_id) per token — so vocab(t) = |{tokens :
+    first_doc ≤ t}|: two counting joins of V-row/D-row tables against the
+    broadcast |grid|-row threshold table. No sequential pass exists
+    anywhere; thresholds derive from max(doc_id) in-plan (no collect)."""
+    toks = tokenize(documents)
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    mx = documents.agg(F.max("doc_id").alias("m"))
+    spark = documents.sparkSession
+    grid = spark.createDataFrame([(int(b),) for b in sorted(grid_bp)], "bp long")
+    ts = grid.crossJoin(mx).select(
+        "bp", F.expr("(m * bp) DIV 10000").cast("long").alias("t")
+    )
+    nd = (
+        F.broadcast(ts)
+        .join(documents.select("doc_id"), F.col("doc_id") <= F.col("t"), "left")
+        .groupBy("bp", "t")
+        .agg(F.count("doc_id").cast("long").alias("n_docs"))
+    )
+    vb = (
+        F.broadcast(ts)
+        .join(firsts, F.col("fd") <= F.col("t"), "left")
+        .groupBy("bp", "t")
+        .agg(F.count("fd").cast("long").alias("vocab"))
+    )
+    return nd.join(vb, ["bp", "t"]).select("bp", "t", "n_docs", "vocab")

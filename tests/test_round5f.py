@@ -387,3 +387,58 @@ def test_cooccurrence_lift_independence_baseline(spark):
     g2 = {(r["center"], r["context"]): r["lift"]
           for r in cooccurrence_lift(skew).collect()}
     assert g2[(1, 2)] == 1.8 and g2[(1, 3)] == 0.2  # 9·20/(10·10), 1·20/(10·10)
+
+
+# ---- content-aware dedup survivors ----
+
+
+def test_dedup_survivors_keeps_longest(spark):
+    from llama_spark.functions.dedup import dedup_clusters, dedup_survivors
+
+    # docs 0,1,2 near-identical (1 is the longest; J(0,1) = 38/39 so the
+    # 4x4 minhash banding hit is near-certain); 3 unique
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (0, base, "en", "A", len(base)),
+        (1, base + " extra", "en", "A", len(base) + 6),
+        (2, base, "en", "A", len(base)),
+        (3, "totally different words entirely here now", "en", "A", 41),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    cl = {r["doc_id"]: r for r in dedup_clusters(docs, threshold=0.5).collect()}
+    sv = {r["doc_id"]: r for r in dedup_survivors(docs, threshold=0.5).collect()}
+    # same clustering, different survivor rule
+    assert {d: r["cluster"] for d, r in cl.items()} == {
+        d: r["cluster"] for d, r in sv.items()
+    }
+    assert cl[0]["keep"] and not cl[1]["keep"]       # min-id rule keeps 0
+    assert sv[1]["keep"] and not sv[0]["keep"] and not sv[2]["keep"]  # longest
+    assert sv[3]["keep"]                              # singleton survives
+    # exactly one survivor per cluster
+    from collections import Counter
+    per = Counter(r["cluster"] for r in sv.values() if r["keep"])
+    assert all(v == 1 for v in per.values())
+
+
+# ---- vocabulary growth ----
+
+
+def test_vocab_growth_monotone_and_exact(spark):
+    from llama_spark.functions.text import vocab_growth
+
+    rows = [
+        (10, "a b c", "en", "A", 5),
+        (20, "a b d", "en", "A", 5),
+        (40, "e f", "en", "A", 3),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["bp"]: (r["t"], r["n_docs"], r["vocab"]) for r in
+           vocab_growth(docs, grid_bp=(2500, 5000, 10000)).collect()}
+    # max doc_id 40 → thresholds 10, 20, 40
+    assert got[2500] == (10, 1, 3)   # doc 10 introduces a,b,c
+    assert got[5000] == (20, 2, 4)   # doc 20 adds d
+    assert got[10000] == (40, 3, 6)  # doc 40 adds e,f

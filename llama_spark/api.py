@@ -378,6 +378,52 @@ class GraphSession:
 
         return attack_percolation(self._e(), frac=frac)
 
+    def random_percolation(self, frac: float = 0.05, **kw) -> DataFrame:
+        """Random-failure robustness census — the AJB error-tolerance twin
+        (operators.percolation.random_percolation)."""
+        from .operators.percolation import random_percolation
+
+        return random_percolation(self._e(), frac=frac, **kw)
+
+    def widest_paths(self, root: int = 0, **kw) -> DataFrame:
+        """Max-bottleneck path widths from root — the (max, min) semiring
+        (operators.traversal.widest_paths); expects the edge table to
+        carry kw['weight_col'] (default 'weight')."""
+        from .operators.traversal import widest_paths
+
+        return widest_paths(self._e(), root=root, **kw)
+
+    def eccentricity(self, roots: list[int], **kw) -> DataFrame:
+        """Exact eccentricity of sampled roots via one multi-source BFS
+        (operators.traversal.eccentricity_sample)."""
+        from .operators.traversal import eccentricity_sample
+
+        return eccentricity_sample(self._e(), roots=roots, **kw)
+
+    def avg_neighbor_degree(self) -> DataFrame:
+        """knn(k) degree-correlation curve (graph.avg_neighbor_degree)."""
+        from .graph import avg_neighbor_degree
+
+        return avg_neighbor_degree(self._e())
+
+    def doulion_triangles(self, p_bp: int = 2500) -> DataFrame:
+        """Sampled triangle estimate (triangles.doulion_triangle_estimate)."""
+        from .operators.triangles import doulion_triangle_estimate
+
+        return doulion_triangle_estimate(self._e(), p_bp=p_bp)
+
+    def cooccurrence_lift(self, walk_length: int = 4, window: int = 2, **kw):
+        """PMI-class lift over the skip-gram walk corpus
+        (operators.walks.cooccurrence_lift ∘ skipgram_pairs)."""
+        from .operators.walks import cooccurrence_lift, random_walks, skipgram_pairs
+
+        return cooccurrence_lift(
+            skipgram_pairs(
+                random_walks(self._e(), walk_length=walk_length, **kw),
+                window=window,
+            )
+        )
+
     def conductance(self, communities: DataFrame) -> DataFrame:
         """Per-community conductance of any [id, label] table
         (components.community_conductance)."""

@@ -442,3 +442,24 @@ def test_vocab_growth_monotone_and_exact(spark):
     assert got[2500] == (10, 1, 3)   # doc 10 introduces a,b,c
     assert got[5000] == (20, 2, 4)   # doc 20 adds d
     assert got[10000] == (40, 3, 6)  # doc 40 adds e,f
+
+
+# ---- GraphSession API surface for the round's new operators ----
+
+
+def test_graphsession_round5f_methods(spark):
+    from llama_spark.api import GraphSession
+    from llama_spark.graph import with_synthetic_weights
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    g = GraphSession(spark).from_edges(edges_df(spark, edges))
+    assert g.random_percolation(frac=0.25).count() == 1
+    assert g.avg_neighbor_degree().count() >= 2
+    assert g.doulion_triangles(p_bp=10000).collect()[0]["triangles_sampled"] == 1
+    assert g.eccentricity(roots=[0]).collect()[0]["ecc"] == 3  # 0→1→2→3
+    assert g.cooccurrence_lift(walk_length=3).count() > 0
+    gw = GraphSession(spark).from_edges(
+        with_synthetic_weights(edges_df(spark, edges))
+    )
+    widths = {r["id"]: r["width"] for r in gw.widest_paths(root=0).collect()}
+    assert widths[0] == 999.0 and widths[3] is not None

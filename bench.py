@@ -254,6 +254,21 @@ def main() -> None:
     timed("spam_mass", lambda: spam_mass(edges, seeds=[0, 42, 1234]).count())
     timed("attack_5pct", lambda: attack_percolation(edges, frac=0.05).count())
 
+    from llama_spark.functions.cluster import embedding_covariance
+    from llama_spark.functions.text import source_profile
+    from llama_spark.graph import avg_neighbor_degree
+    from llama_spark.operators.traversal import widest_paths
+
+    timed(
+        "widest_path",
+        lambda: widest_paths(
+            with_synthetic_weights(edges), root=0, max_iter=16
+        ).count(),
+    )
+    timed("knn_curve", lambda: avg_neighbor_degree(edges).count())
+    timed("embedding_cov16", lambda: embedding_covariance(emb, dims=16).count())
+    timed("source_profile", lambda: source_profile(docs).count())
+
     timed("pages_extract_pagerank", pages_pipeline)
 
     # ---- execution: whole-list passes, then a retry pass for cheap rows ----

@@ -1996,3 +1996,45 @@ SELECT ts.bp, ts.t,
        (SELECT COUNT(*) FROM firsts f WHERE f.fd <= ts.t) AS vocab
 FROM ts"""
 DOCS_QUERIES["vocab_growth"] = q_vocab_growth
+
+
+# --------------------------------------------------- tf-idf cosine APSS
+
+APSS_T = 0.3
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Weighted all-pairs document similarity over tf-idf vectors."""
+    from .functions.text import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        threshold=APSS_T,
+        max_df=NGRAM_MAX_DF,
+    )
+
+
+DOCS_ORACLE["tfidf_cosine_pairs"] = f"""WITH toks AS MATERIALIZED ({TOKS_SQL}),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+dfb AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+w AS (
+  SELECT t.doc_id, t.tok,
+         CAST(ROUND(ROUND(t.tf * ln((SELECT n FROM nd) / CAST(d.df AS DOUBLE)),
+                          4) * 10000.0) AS BIGINT) AS q
+  FROM tf t JOIN dfb d ON d.tok = t.tok
+  WHERE d.df <= {NGRAM_MAX_DF}),
+wz AS (SELECT * FROM w WHERE q <> 0),
+nrm AS (SELECT doc_id, sqrt(CAST(SUM(q * q) AS DOUBLE)) AS nr
+        FROM wz GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.q * b.q) AS dot
+  FROM wz a JOIN wz b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, cos_sim FROM (
+  SELECT d.doc_a, d.doc_b,
+         ROUND(CAST(d.dot AS DOUBLE) / (na.nr * nb.nr), 6) AS cos_sim
+  FROM dots d JOIN nrm na ON na.doc_id = d.doc_a
+  JOIN nrm nb ON nb.doc_id = d.doc_b)
+WHERE cos_sim >= {APSS_T}"""
+DOCS_QUERIES["tfidf_cosine_pairs"] = q_tfidf_cosine_pairs

@@ -778,3 +778,74 @@ def vocab_growth(
         .agg(F.count("fd").cast("long").alias("vocab"))
     )
     return nd.join(vb, ["bp", "t"]).select("bp", "t", "n_docs", "vocab")
+
+
+def tfidf_cosine_pairs(
+    documents: DataFrame,
+    threshold: float = 0.3,
+    max_df: int = 256,
+) -> DataFrame:
+    """All-pairs document similarity (APSS — Bayardo et al., WWW 2007) in
+    the tf-idf vector space: DataFrame[doc_a, doc_b, cos_sim] for pairs
+    with cosine ≥ threshold. The WEIGHTED companion of ngram_jaccard
+    (set overlap there, vector angle here) — the dedup/recommendation
+    primitive for "same story, different words".
+
+    Scale shape — the inverted-index join: weights self-join on TOKEN, so
+    per-token work is df², and tokens with df > ``max_df`` are dropped
+    BEFORE the join (the hot-shingle bound ngram_jaccard uses; stopwords
+    carry ~zero idf weight anyway, so the cap trades no real signal).
+    Exactness: weights are tf·ln(N/df) rounded to 4 dp and carried as
+    1e4-unit BIGINTs — dots and norm² are exact integer sums in any
+    partitioning; one sqrt + one divide at the end. Zero-weight terms are
+    dropped so no document can reach the join with a zero norm (kills the
+    NaN-cosine edge case in both engines)."""
+    tf = tokenize(documents).groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    n_docs = documents.count()
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(df_tbl, "tok")
+        .filter(F.col("df") <= max_df)
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.round(
+                    F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+                )
+                * 10000.0
+            )
+            .cast("long")
+            .alias("q"),
+        )
+        .filter(F.col("q") != 0)
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")).alias("nr")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nr").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nr").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot").cast("double") / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

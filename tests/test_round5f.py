@@ -463,3 +463,38 @@ def test_graphsession_round5f_methods(spark):
     )
     widths = {r["id"]: r["width"] for r in gw.widest_paths(root=0).collect()}
     assert widths[0] == 999.0 and widths[3] is not None
+
+
+# ---- tf-idf cosine APSS ----
+
+
+def test_tfidf_cosine_pairs_model(spark):
+    import math
+
+    from llama_spark.functions.text import tfidf_cosine_pairs
+
+    rows = [
+        (0, "apple banana cherry", "en", "A", 19),
+        (1, "apple banana cherry", "en", "A", 19),   # identical → cos 1
+        (2, "apple dog elephant", "en", "A", 18),    # shares 'apple'
+        (3, "zebra yak xylophone", "en", "A", 19),   # disjoint
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["cos_sim"]
+           for r in tfidf_cosine_pairs(docs, threshold=0.03).collect()}
+    assert got[(0, 1)] == 1.0
+    # python replica for the (0,2) pair: only 'apple' shared
+    n = 4
+    def q(tf, df):
+        return round(round(tf * math.log(n / df), 4) * 1e4)
+    qa = q(1, 3)                    # apple df=3 (docs 0,1,2)
+    qo = q(1, 1)                    # each doc's two unique tokens... df=1
+    # wait: banana/cherry df=2 (docs 0 and 1)
+    qb = q(1, 2)
+    n0 = math.sqrt(qa * qa + 2 * qb * qb)
+    n2 = math.sqrt(qa * qa + 2 * qo * qo)
+    want = round(qa * qa / (n0 * n2), 6)
+    assert got[(0, 2)] == want
+    assert (0, 3) not in got and (2, 3) not in got  # disjoint pairs absent

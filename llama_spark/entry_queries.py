@@ -4546,3 +4546,76 @@ SELECT p.center, p.context, p.cnt,
 FROM pairs p JOIN ca ON ca.center = p.center
 JOIN cb ON cb.context = p.context, t"""
 QUERIES["cooccurrence_lift"] = q_cooccurrence_lift
+
+
+# --------------------------------------------------- TPC-H Q4
+
+
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): the correlated-EXISTS
+    pattern as a LEFT SEMI join with a non-equi residual (late-shipping
+    lineitem exists for the order). The date filter prunes orders at the
+    scan; the semi-join deduplicates ON THE JOIN (no post-distinct pass
+    over multi-lineitem orders); the final rollup is 5 rows."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+ORACLE["tpch_q4"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority"""
+QUERIES["tpch_q4"] = q_tpch_q4
+
+
+# --------------------------------------------------- configuration model
+
+
+def q_config_model(spark, sf_dir):
+    """Degree-preserving null-model edge list (deterministic stub
+    pairing); compare motif counts against it for significance."""
+    from .operators.rewire import configuration_model
+
+    return configuration_model(load_edges(spark, sf_dir))
+
+
+ORACLE["config_model"] = f"""
+WITH edges AS ({EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+  FROM edges WHERE src <> dst),
+stubs AS (
+  SELECT s AS node, s AS es, d AS ed, 0 AS side FROM und
+  UNION ALL SELECT d, s, d, 1 FROM und),
+h AS (
+  SELECT node, es, ed, side,
+         CAST(('0x' || substr(md5(node || ':' || es || ':' || ed || ':'
+                                   || side || ':42'), 1, 15)) AS BIGINT) AS hv
+  FROM stubs),
+r AS (
+  SELECT node,
+         ROW_NUMBER() OVER (ORDER BY hv, node, es, ed, side) - 1 AS rk
+  FROM h)
+SELECT CAST(MIN(node) AS BIGINT) AS src, CAST(MAX(node) AS BIGINT) AS dst
+FROM r GROUP BY rk // 2"""
+QUERIES["config_model"] = q_config_model

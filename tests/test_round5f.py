@@ -498,3 +498,57 @@ def test_tfidf_cosine_pairs_model(spark):
     want = round(qa * qa / (n0 * n2), 6)
     assert got[(0, 2)] == want
     assert (0, 3) not in got and (2, 3) not in got  # disjoint pairs absent
+
+
+# ---- TPC-H Q4 (EXISTS shape) ----
+
+
+def test_tpch_q4_semijoin(spark):
+    import duckdb
+
+    from llama_spark.entry_queries import ORACLE, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = dict(
+        (r["o_orderpriority"], r["order_count"])
+        for r in QUERIES["tpch_q4"](spark, sf).collect()
+    )
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = dict(con.execute(ORACLE["tpch_q4"]).fetchall())
+    assert got == want and len(got) > 0
+
+
+# ---- configuration-model null graph ----
+
+
+def test_configuration_model_preserves_degrees(spark):
+    from llama_spark.graph import symmetrize
+    from llama_spark.operators.rewire import configuration_model
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (4, 0)]
+    df = edges_df(spark, edges)
+    null = configuration_model(df, seed=7)
+    rows = null.collect()
+    assert len(rows) == 6  # exactly E pairs
+    # degree multiset preserved exactly (self-loops count twice)
+    from collections import Counter
+    want = Counter()
+    for u, v in edges:
+        want[u] += 1
+        want[v] += 1
+    got = Counter()
+    for r in rows:
+        got[r["src"]] += 1
+        got[r["dst"]] += 1
+    assert got == want
+    # deterministic: same seed → identical pairing; different seed → valid too
+    again = sorted((r["src"], r["dst"]) for r in configuration_model(df, seed=7).collect())
+    assert again == sorted((r["src"], r["dst"]) for r in rows)
+    other = configuration_model(df, seed=8).collect()
+    got8 = Counter()
+    for r in other:
+        got8[r["src"]] += 1
+        got8[r["dst"]] += 1
+    assert got8 == want

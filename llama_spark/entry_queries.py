@@ -4619,3 +4619,119 @@ r AS (
 SELECT CAST(MIN(node) AS BIGINT) AS src, CAST(MAX(node) AS BIGINT) AS dst
 FROM r GROUP BY rk // 2"""
 QUERIES["config_model"] = q_config_model
+
+
+# --------------------------------------------------- motif significance
+
+
+def q_triangle_significance(spark, sf_dir):
+    """Small-world test: the real graph's triangle count against its own
+    degree sequence's expectation — exact triangles on the
+    configuration-model null graph (same degree multiset, structure
+    destroyed). ratio >> 1 is the clustering web graphs show and the
+    null model can't explain. One row [real, null_model, ratio]."""
+    from .operators.rewire import configuration_model
+    from .operators.triangles import triangles_df
+
+    edges = load_edges(spark, sf_dir)
+    real = triangles_df(edges).select(F.col("triangles").alias("real"))
+    null = triangles_df(configuration_model(edges)).select(
+        F.col("triangles").alias("null_model")
+    )
+    return real.crossJoin(null).select(
+        "real",
+        "null_model",
+        F.round(
+            F.col("real").cast("double")
+            / F.when(F.col("null_model") > 0, F.col("null_model")),
+            6,
+        ).alias("ratio"),
+    )
+
+
+ORACLE["triangle_significance"] = f"""
+WITH nm AS MATERIALIZED ({ORACLE["config_model"]}),
+real_und AS (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM ({EDGES_SQL}) WHERE src <> dst),
+null_und AS (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM nm WHERE src <> dst),
+tr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS real
+  FROM real_und e1 JOIN real_und e2 ON e1.dst = e2.src
+  JOIN real_und e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+tn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS null_model
+  FROM null_und e1 JOIN null_und e2 ON e1.dst = e2.src
+  JOIN null_und e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+SELECT tr.real, tn.null_model,
+       ROUND(CAST(tr.real AS DOUBLE)
+             / CASE WHEN tn.null_model > 0 THEN tn.null_model END, 6) AS ratio
+FROM tr, tn"""
+QUERIES["triangle_significance"] = q_triangle_significance
+
+
+# --------------------------------------------------- ROLLUP aggregation
+
+
+def q_orders_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP over (priority, status) with subtotal and
+    grand-total rows — the OLAP grouping-sets surface; NULL markers
+    replaced by 'ALL' so the gate hash is engine-neutral."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+ORACLE["orders_rollup"] = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"""
+QUERIES["orders_rollup"] = q_orders_rollup
+
+
+# --------------------------------------------------- moving average
+
+
+def q_event_movavg(spark, sf_dir):
+    """Per-user trailing moving average of event values (last 4 events,
+    epoch-second + event_id ordering — the deterministic event-time key
+    the sessionization gate established). Sequential window accumulation
+    gives the identical double in both engines; rounded 6 dp anyway."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"), "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg(F.col("value")).over(w), 6).alias("movavg4"),
+    )
+
+
+ORACLE["event_movavg"] = """
+SELECT user_id, event_id,
+       ROUND(AVG(value) OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS movavg4
+FROM events"""
+QUERIES["event_movavg"] = q_event_movavg

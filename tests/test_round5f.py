@@ -552,3 +552,53 @@ def test_configuration_model_preserves_degrees(spark):
         got8[r["src"]] += 1
         got8[r["dst"]] += 1
     assert got8 == want
+
+
+# ---- triangle significance / rollup / moving average ----
+
+
+def test_triangle_significance_clique_vs_null(spark):
+    from llama_spark.entry_queries import QUERIES  # reuse shapes only
+
+    from llama_spark.operators.rewire import configuration_model
+    from llama_spark.operators.triangles import triangles_df
+
+    # K5 has 10 triangles; its null rewiring keeps degrees (all 4) but
+    # typically loses some triangles — just assert both counts compute
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    df = edges_df(spark, k5)
+    real = triangles_df(df).collect()[0]["triangles"]
+    null = triangles_df(configuration_model(df)).collect()[0]["triangles"]
+    assert real == 10 and 0 <= null <= 10
+
+
+def test_orders_rollup_shapes(spark):
+    from llama_spark.entry_queries import QUERIES
+
+    rows = QUERIES["orders_rollup"](spark, "/root/testdata/sf0.001").collect()
+    got = {(r["priority"], r["status"]): r["n_orders"] for r in rows}
+    grand = got[("ALL", "ALL")]
+    # subtotals nest: per-priority ALL rows sum to the grand total
+    per_pri = sum(v for (p, s), v in got.items() if s == "ALL" and p != "ALL")
+    leaf = sum(v for (p, s), v in got.items() if s != "ALL" and p != "ALL")
+    assert per_pri == grand == leaf
+
+
+def test_event_movavg_first_rows(spark):
+    from pyspark.sql import functions as F
+
+    from llama_spark.entry_queries import QUERIES
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = QUERIES["event_movavg"](spark, "/root/testdata/sf0.001")
+    # for each user the FIRST event's movavg equals its own value
+    first = (
+        ev.withColumn("ts_s", F.col("ts").cast("timestamp").cast("long"))
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts_s", "event_id", "value")).alias("f"))
+        .select("user_id", F.col("f.event_id").alias("event_id"),
+                F.round(F.col("f.value"), 6).alias("want"))
+    )
+    j = out.join(first, ["user_id", "event_id"])
+    assert j.filter(F.col("movavg4") != F.col("want")).count() == 0
+    assert j.count() == first.count() > 0

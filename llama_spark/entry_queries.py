@@ -4735,3 +4735,181 @@ SELECT user_id, event_id,
          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS movavg4
 FROM events"""
 QUERIES["event_movavg"] = q_event_movavg
+
+
+# --------------------------------------------------- local bridges
+
+
+def q_local_bridges(spark, sf_dir):
+    """Support-0 undirected edges — Granovetter weak ties."""
+    from .operators.truss import local_bridges
+
+    return local_bridges(load_edges(spark, sf_dir))
+
+
+ORACLE["local_bridges"] = f"""
+WITH edges AS ({EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM edges WHERE src <> dst),
+adj AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und)
+SELECT u.src, u.dst FROM und u
+WHERE NOT EXISTS (
+  SELECT 1 FROM adj a JOIN adj b ON a.dst = b.dst
+  WHERE a.src = u.src AND b.src = u.dst)"""
+QUERIES["local_bridges"] = q_local_bridges
+
+
+# --------------------------------------------------- k-core collapse curve
+
+
+def q_core_sizes(spark, sf_dir):
+    """Cumulative k-core sizes from the coreness fixpoint."""
+    from .operators.kcore import core_sizes
+
+    return core_sizes(load_edges(spark, sf_dir), rounds=CORENESS_UNROLL)
+
+
+ORACLE["core_sizes"] = f"""
+WITH cr AS MATERIALIZED ({ORACLE["coreness"]}),
+hist AS (SELECT coreness AS k, COUNT(*) AS c FROM cr GROUP BY coreness)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(SUM(c) OVER (ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_nodes
+FROM hist"""
+QUERIES["core_sizes"] = q_core_sizes
+
+
+# --------------------------------------------------- trending events
+
+
+def q_trending_events(spark, sf_dir):
+    """Top-2 event types per 5-minute window (windowed top-k on the
+    event stream's batch view; deterministic (n DESC, type ASC) cut)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = (
+        ev.withColumn(
+            "bucket",
+            (F.col("ts").cast("timestamp").cast("long") / 300).cast("long"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("bucket", "event_type", "n", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+ORACLE["trending_events"] = """
+WITH counts AS (
+  SELECT CAST(CAST(floor(epoch(ts)) AS BIGINT) // 300 AS BIGINT) AS bucket,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT bucket, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY bucket
+                            ORDER BY n DESC, event_type ASC) AS rn
+  FROM counts)
+SELECT bucket, event_type, n, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 2"""
+QUERIES["trending_events"] = q_trending_events
+
+
+# --------------------------------------------------- friend recommendations
+
+
+def q_friend_recs(spark, sf_dir):
+    """Triadic-closure top-2 non-neighbor candidates per node."""
+    from .operators.linkpred import friend_recommendations
+
+    return friend_recommendations(load_edges(spark, sf_dir), top_k=2)
+
+
+ORACLE["friend_recs"] = f"""
+WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED ({UND_SQL}),
+pairs AS (
+  SELECT a.dst AS id, b.dst AS candidate, COUNT(*) AS common
+  FROM und a JOIN und b ON a.src = b.src AND a.dst <> b.dst
+  GROUP BY 1, 2),
+ne AS (
+  SELECT p.id, p.candidate, p.common FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM und u
+                    WHERE u.src = p.id AND u.dst = p.candidate)),
+r AS (
+  SELECT id, candidate, CAST(common AS BIGINT) AS common,
+         ROW_NUMBER() OVER (PARTITION BY id
+                            ORDER BY common DESC, candidate ASC) AS rank
+  FROM ne)
+SELECT id, candidate, common, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 2"""
+QUERIES["friend_recs"] = q_friend_recs
+
+
+# --------------------------------------------------- bond percolation
+
+BOND_KEEP_BP = 7500
+
+
+def q_bond_percolation(spark, sf_dir):
+    """Edge-failure robustness census at 75% link survival."""
+    from .operators.percolation import bond_percolation
+
+    return bond_percolation(load_edges(spark, sf_dir), keep_bp=BOND_KEEP_BP)
+
+
+def _bond_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        """canon AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM edges WHERE src <> dst)""",
+        f"""s AS MATERIALIZED (
+  SELECT src, dst FROM canon
+  WHERE CAST(('0x' || substr(md5(src || ':' || dst || ':bond'), 1, 15))
+             AS BIGINT) % 10000 < {BOND_KEEP_BP})""",
+        """knodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM s UNION ALL SELECT dst FROM s))""",
+        """kund AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM s UNION ALL SELECT dst AS src, src AS dst FROM s))""",
+        "c0 AS MATERIALIZED (SELECT id, id AS component FROM knodes)",
+    ]
+    for i in range(1, ATTACK_CC_UNROLL + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN m.nmin IS NOT NULL AND m.nmin < c.component
+              THEN m.nmin ELSE c.component END AS component
+  FROM c{i-1} c LEFT JOIN (
+    SELECT u.dst AS id, MIN(p.component) AS nmin
+    FROM c{i-1} p JOIN kund u ON u.src = p.id
+    GROUP BY u.dst
+  ) m ON c.id = m.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+sizes AS (SELECT component, COUNT(*) AS sz FROM c{ATTACK_CC_UNROLL} GROUP BY component),
+stats AS (SELECT COALESCE(MAX(sz), 0) AS giant_e, COUNT(*) AS ncc,
+                 COALESCE(SUM(sz), 0) AS incc FROM sizes),
+nn AS (SELECT COUNT(*) AS v FROM nodes),
+me AS (SELECT COUNT(*) AS m FROM s)
+SELECT CAST({BOND_KEEP_BP} AS BIGINT) AS keep_bp,
+       CAST((SELECT m FROM me) AS BIGINT) AS n_edges_kept,
+       CAST(GREATEST((SELECT giant_e FROM stats),
+                     CASE WHEN (SELECT v FROM nn) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS giant_size,
+       CAST((SELECT ncc FROM stats) + (SELECT v FROM nn)
+            - (SELECT incc FROM stats) AS BIGINT) AS n_components"""
+    )
+
+
+ORACLE["bond_percolation"] = _bond_sql()
+QUERIES["bond_percolation"] = q_bond_percolation

@@ -294,3 +294,23 @@ def coreness_incremental(
         ),
     )
     return coreness(edges, rounds=rounds, max_iter=max_iter, initial=bumped)
+
+
+def core_sizes(edges: DataFrame, rounds: int | None = None) -> DataFrame:
+    """k-core collapse curve — DataFrame[k, n_nodes]: for every coreness
+    value k present in the graph, how many nodes survive in the k-core
+    (coreness ≥ k). The one-look robustness/cohesion profile built from
+    the ``coreness`` fixpoint with a single bounded rollup: the coreness
+    HISTOGRAM (≤ max-core rows) cum-summed from the top — the window
+    never sees the V-row table (degree_distribution precedent)."""
+    from pyspark.sql import Window
+
+    cor = coreness(edges) if rounds is None else coreness(edges, rounds=rounds)
+    hist = cor.groupBy(F.col("coreness").alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy(F.desc("k")).rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        F.col("k").cast("long").alias("k"),
+        F.sum("c").over(w).cast("long").alias("n_nodes"),
+    )

@@ -25,11 +25,11 @@ Spark plans — all JVM-side, no UDFs:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..graph import DST, SRC, drop_self_loops, undirected_double
+from ..graph import DST, SRC, drop_self_loops, symmetrize, undirected_double
 from .triangles import triangles_per_node
 
 
@@ -199,3 +199,50 @@ def cocitation_pairs(
     if top_k is not None:
         pairs = pairs.orderBy(F.desc("strength"), F.asc("a"), F.asc("b")).limit(top_k)
     return pairs
+
+
+def friend_recommendations(
+    edges: DataFrame,
+    top_k: int = 2,
+    hub_cap: int | None = None,
+) -> DataFrame:
+    """People-you-may-know — DataFrame[id, candidate, common, rank]: for
+    each node, the ``top_k`` NON-neighbors ranked by common UNDIRECTED
+    neighbors (count DESC, candidate ASC). The triadic-closure product
+    query (Facebook PYMK, LinkedIn "people also viewed"): candidates come
+    from the wedge join, existing edges leave via an anti-join — the
+    piece that separates this from plain link-prediction scoring.
+
+    Plan: symmetrized wedge self-join pivoting on the middle node (same
+    skew law as cocitation: a pivot of degree d emits d(d−1) ordered
+    pairs; ``hub_cap`` drops directory-page pivots), a pair groupBy, a
+    LEFT ANTI join against the edge set, then a per-node top-k window
+    bounded by the node's 2-hop candidate count. Exact integer counts."""
+    und = symmetrize(edges)
+    if hub_cap is not None:
+        deg = und.groupBy(F.col(SRC).alias("_p")).agg(F.count("*").alias("_d"))
+        small = deg.filter(F.col("_d") <= hub_cap).select("_p")
+        und_piv = und.join(
+            small.withColumnRenamed("_p", SRC), SRC, "left_semi"
+        )
+    else:
+        und_piv = und
+    a = und_piv.select(F.col(SRC).alias("w"), F.col(DST).alias("id"))
+    b = und_piv.select(F.col(SRC).alias("w"), F.col(DST).alias("candidate"))
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("id") != F.col("candidate"))
+        .groupBy("id", "candidate")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    non_edges = pairs.join(
+        und.select(F.col(SRC).alias("id"), F.col(DST).alias("candidate")),
+        ["id", "candidate"],
+        "left_anti",
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("common"), F.asc("candidate"))
+    return (
+        non_edges.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("id", "candidate", "common", "rank")
+    )

@@ -181,3 +181,45 @@ def _survivor_census(
         ],
         "n_removed long, n_remaining long, giant_size long, n_components long",
     )
+
+
+def bond_percolation(
+    edges: DataFrame, keep_bp: int = 7500, cc: str = "hashmin"
+) -> DataFrame:
+    """BOND percolation — the edge-removal axis of the robustness census
+    (nodes fail in ``attack_percolation``/``random_percolation``; LINKS
+    fail here, the model for route/link outages): keep each undirected
+    simple edge independently with probability keep_bp/10000 via the
+    portable md5 hash of its canonical endpoint pair (the doulion
+    sampling contract — deterministic, direction-agnostic, SQL-mirrored),
+    then census the components over ALL original nodes.
+
+    DataFrame[keep_bp, n_edges_kept, giant_size, n_components]."""
+    from ..functions.text import token_hash
+
+    e = drop_self_loops(edges.select(SRC, DST)).distinct()
+    nodes = nodes_of(e)
+    canon = e.select(
+        F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST)
+    ).distinct()
+    kept = canon.filter(
+        F.pmod(
+            token_hash(
+                F.concat(
+                    F.col(SRC).cast("string"), F.lit(":"),
+                    F.col(DST).cast("string"), F.lit(":bond"),
+                )
+            ),
+            F.lit(10000),
+        )
+        < keep_bp
+    )
+    m = kept.count()
+    empty = nodes.filter(F.lit(False)).select("id")
+    out = _survivor_census(kept, nodes, empty, 0, cc)
+    return out.select(
+        F.lit(int(keep_bp)).cast("long").alias("keep_bp"),
+        F.lit(int(m)).cast("long").alias("n_edges_kept"),
+        "giant_size",
+        "n_components",
+    )

@@ -277,3 +277,20 @@ def trussness(
         t = t.localCheckpoint(eager=True)
         prev_cached.unpersist()
     return t.select(SRC, DST, (F.col("t") + F.lit(2)).alias("trussness"))
+
+
+def local_bridges(edges: DataFrame) -> DataFrame:
+    """DataFrame[src, dst] — the LOCAL BRIDGES (Easley–Kleinberg §3.2):
+    undirected edges whose endpoints share NO common neighbor, i.e.
+    triangle support 0 — the weak ties that are the only short route
+    between their neighborhoods (Granovetter's strength-of-weak-ties
+    edges). Exactly the support-0 complement of the k-truss machinery:
+    one canonical edge set, one support join, one null filter — the
+    wedge join is the same skew-bounded plan k_truss already runs."""
+    e = _canonical(edges)
+    supp = edge_support(e)
+    return (
+        e.join(supp, [SRC, DST], "left")
+        .filter(F.coalesce("support", F.lit(0)) == 0)
+        .select(SRC, DST)
+    )

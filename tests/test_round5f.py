@@ -602,3 +602,78 @@ def test_event_movavg_first_rows(spark):
     j = out.join(first, ["user_id", "event_id"])
     assert j.filter(F.col("movavg4") != F.col("want")).count() == 0
     assert j.count() == first.count() > 0
+
+
+# ---- local bridges / core sizes / trending events ----
+
+
+def test_local_bridges_weak_ties(spark):
+    from llama_spark.operators.truss import local_bridges
+
+    # two triangles joined by one bridge edge (2,3); pendant (5,6)... wait 5 in tri
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3), (0, 9)]
+    got = sorted(
+        (r["src"], r["dst"]) for r in local_bridges(edges_df(spark, edges)).collect()
+    )
+    # triangle edges have common neighbors; (2,3) and (0,9) do not
+    assert got == [(0, 9), (2, 3)]
+
+
+def test_core_sizes_curve(spark):
+    from llama_spark.operators.kcore import core_sizes
+
+    # K4 (coreness 3) plus a pendant chain 3-10-11
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 10), (10, 11)]
+    got = {r["k"]: r["n_nodes"] for r in
+           core_sizes(edges_df(spark, edges)).collect()}
+    assert got[3] == 4       # the K4
+    assert got[1] == 6       # everyone
+    # monotone non-increasing in k
+    ks = sorted(got)
+    assert all(got[ks[i]] >= got[ks[i + 1]] for i in range(len(ks) - 1))
+
+
+def test_trending_events_topk(spark):
+    from pyspark.sql import functions as F
+
+    from llama_spark.entry_queries import QUERIES
+
+    out = QUERIES["trending_events"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows and all(r["rn"] in (1, 2) for r in rows)
+    # per bucket: rank-1 count >= rank-2 count
+    byb = {}
+    for r in rows:
+        byb.setdefault(r["bucket"], {})[r["rn"]] = r["n"]
+    assert all(d[1] >= d.get(2, 0) for d in byb.values())
+
+
+# ---- friend recommendations / bond percolation ----
+
+
+def test_friend_recommendations_closure(spark):
+    from llama_spark.operators.linkpred import friend_recommendations
+
+    # path 0-1-2-3: 0's only 2-hop candidate is 2; 1's is 3
+    edges = [(0, 1), (1, 2), (2, 3)]
+    got = {(r["id"], r["candidate"]): (r["common"], r["rank"]) for r in
+           friend_recommendations(edges_df(spark, edges), top_k=2).collect()}
+    assert got[(0, 2)] == (1, 1) and got[(1, 3)] == (1, 1)
+    assert (0, 1) not in got          # existing edges never recommended
+    # triangle closure strength: 4 and 5 share two common neighbors
+    tri = [(4, 6), (4, 7), (5, 6), (5, 7)]
+    g2 = {(r["id"], r["candidate"]): r["common"] for r in
+          friend_recommendations(edges_df(spark, tri), top_k=1).collect()}
+    assert g2[(4, 5)] == 2 and g2[(5, 4)] == 2
+
+
+def test_bond_percolation_full_keep_is_cc_census(spark):
+    from llama_spark.operators.percolation import bond_percolation
+
+    edges = [(0, 1), (1, 2), (3, 4)]
+    row = bond_percolation(edges_df(spark, edges), keep_bp=10000).collect()[0]
+    assert row["n_edges_kept"] == 3
+    assert row["giant_size"] == 3 and row["n_components"] == 2
+    none = bond_percolation(edges_df(spark, edges), keep_bp=0).collect()[0]
+    assert none["n_edges_kept"] == 0
+    assert none["giant_size"] == 1 and none["n_components"] == 5  # all isolated

@@ -4913,3 +4913,49 @@ SELECT CAST({BOND_KEEP_BP} AS BIGINT) AS keep_bp,
 
 ORACLE["bond_percolation"] = _bond_sql()
 QUERIES["bond_percolation"] = q_bond_percolation
+
+
+# --------------------------------------------------- 4-node graphlet census
+
+
+def q_graphlet_census(spark, sf_dir):
+    """Exact non-induced 4-node graphlet counts (ESCAPE closed forms)."""
+    from .operators.triangles import graphlet_census
+
+    return graphlet_census(load_edges(spark, sf_dir))
+
+
+ORACLE["graphlet_census"] = f"""
+WITH c4r AS MATERIALIZED ({ORACLE["four_cycles"]}),
+k4r AS MATERIALIZED ({ORACLE["four_cliques"]}),
+edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM edges WHERE src <> dst),
+bd AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM bd GROUP BY src),
+tri AS MATERIALIZED (
+  SELECT a.src AS u, a.dst AS v, b.dst AS w
+  FROM und a JOIN und b ON b.src = a.dst
+  JOIN und c ON c.src = a.src AND c.dst = b.dst),
+tcnt AS (SELECT COUNT(*) AS t FROM tri),
+tpn AS (SELECT id, COUNT(*) AS tv FROM (
+  SELECT u AS id FROM tri UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri) GROUP BY id),
+se AS (SELECT src, dst, COUNT(*) AS s FROM (
+  SELECT u AS src, v AS dst FROM tri UNION ALL SELECT v, w FROM tri
+  UNION ALL SELECT u, w FROM tri) GROUP BY 1, 2),
+cl AS (SELECT COALESCE(SUM((d * (d - 1) * (d - 2)) // 6), 0) AS claws FROM deg),
+p3 AS (SELECT COALESCE(SUM((da.d - 1) * (db.d - 1)), 0) AS p
+       FROM und e JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst),
+tt AS (SELECT COALESCE(SUM(tpn.tv * (dg.d - 2)), 0) AS x
+       FROM tpn JOIN deg dg ON dg.id = tpn.id),
+dm AS (SELECT COALESCE(SUM((s * (s - 1)) // 2), 0) AS dd FROM se)
+SELECT CAST(cl.claws AS BIGINT) AS claws,
+       CAST(p3.p - 3 * tcnt.t AS BIGINT) AS paths3,
+       CAST(tt.x AS BIGINT) AS tailed_triangles,
+       CAST(dm.dd AS BIGINT) AS diamonds,
+       CAST(c4r.four_cycles AS BIGINT) AS four_cycles,
+       CAST(k4r.four_cliques AS BIGINT) AS four_cliques
+FROM cl, p3, tt, dm, tcnt, c4r, k4r"""
+QUERIES["graphlet_census"] = q_graphlet_census

@@ -376,3 +376,82 @@ def doulion_triangle_estimate(edges: DataFrame, p_bp: int = 2500) -> DataFrame:
             F.col("triangles").cast("double") * F.lit(1e12) / F.lit(scale), 4
         ).alias("triangle_estimate"),
     )
+
+
+def graphlet_census(edges: DataFrame) -> DataFrame:
+    """Exact NON-INDUCED 4-node graphlet census — one row
+
+        [claws, paths3, tailed_triangles, diamonds, four_cycles,
+         four_cliques]
+
+    — via closed-form combinatorial aggregates (the ESCAPE method,
+    Pinar-Seshadhri-Vishal WWW 2017: count the big motifs from small-motif
+    statistics instead of enumerating 4-tuples):
+
+        claws            = Σ_v C(d_v, 3)
+        paths3 (P4)      = Σ_{(u,v)∈E} (d_u−1)(d_v−1) − 3T
+        tailed triangles = Σ_v t_v·(d_v−2)
+        diamonds         = Σ_e C(support_e, 2)
+
+    plus the two enumerated primitives the repo already ships
+    (``four_cycle_count``, ``four_clique_count``). Everything except the
+    K4/C4 joins is ONE degree table + ONE per-node triangle table + ONE
+    per-edge support table — all map-side-combinable rollups of joins the
+    triangle machinery already runs; every count is an exact BIGINT.
+    Induced counts follow by the standard linear transform downstream."""
+    und = drop_self_loops(undirected_ordered(edges)).dropDuplicates([SRC, DST])
+    from .truss import edge_support
+
+    sym = und.unionByName(
+        und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    )
+    deg = sym.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("d"))
+    tpn = triangles_per_node(edges, orient="degree")
+    supp = edge_support(und)
+    t_row = triangles_df(edges)
+
+    claws = deg.agg(
+        F.coalesce(
+            F.sum(F.expr("(d * (d - 1) * (d - 2)) DIV 6")), F.lit(0)
+        ).cast("long").alias("claws")
+    )
+    p3_raw = (
+        und.join(deg.select(F.col("id").alias(SRC), F.col("d").alias("da")), SRC)
+        .join(deg.select(F.col("id").alias(DST), F.col("d").alias("db")), DST)
+        .agg(
+            F.coalesce(F.sum((F.col("da") - 1) * (F.col("db") - 1)), F.lit(0))
+            .cast("long")
+            .alias("p3_raw")
+        )
+    )
+    tailed = (
+        tpn.join(deg, "id")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("triangles") * (F.col("d") - 2)), F.lit(0)
+            ).cast("long").alias("tailed_triangles")
+        )
+    )
+    diamonds = supp.agg(
+        F.coalesce(F.sum(F.expr("(support * (support - 1)) DIV 2")), F.lit(0))
+        .cast("long")
+        .alias("diamonds")
+    )
+    c4 = four_cycle_count(edges)
+    k4 = four_clique_count(edges)
+    return (
+        claws.crossJoin(p3_raw)
+        .crossJoin(t_row)
+        .crossJoin(tailed)
+        .crossJoin(diamonds)
+        .crossJoin(c4)
+        .crossJoin(k4)
+        .select(
+            "claws",
+            (F.col("p3_raw") - 3 * F.col("triangles")).cast("long").alias("paths3"),
+            "tailed_triangles",
+            "diamonds",
+            F.col("four_cycles").cast("long").alias("four_cycles"),
+            F.col("four_cliques").cast("long").alias("four_cliques"),
+        )
+    )

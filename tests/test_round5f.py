@@ -677,3 +677,84 @@ def test_bond_percolation_full_keep_is_cc_census(spark):
     none = bond_percolation(edges_df(spark, edges), keep_bp=0).collect()[0]
     assert none["n_edges_kept"] == 0
     assert none["giant_size"] == 1 and none["n_components"] == 5  # all isolated
+
+
+# ---- 4-node graphlet census ----
+
+
+def test_graphlet_census_known_graphs(spark):
+    import itertools
+
+    from llama_spark.operators.triangles import graphlet_census
+
+    # brute-force via direct subgraph counting (no external libs)
+    def count_all(edge_list):
+        nodes = sorted({u for e in edge_list for u in e})
+        adj = {n: set() for n in nodes}
+        for u, v in edge_list:
+            adj[u].add(v)
+            adj[v].add(u)
+        E = {frozenset(e) for e in edge_list}
+        claws = sum(
+            len(list(itertools.combinations(adj[v], 3))) for v in nodes
+        )
+        paths3 = 0
+        tailed = 0
+        diamonds = 0
+        c4 = 0
+        k4 = 0
+        for quad in itertools.combinations(nodes, 4):
+            sub = [frozenset(p) for p in itertools.combinations(quad, 2)
+                   if frozenset(p) in E]
+            k = len(sub)
+            degs = sorted(
+                sum(1 for e in sub if n in e) for n in quad
+            )
+            # count NON-induced occurrences inside this 4-set
+            # P4 paths: enumerate vertex orderings
+            for perm in itertools.permutations(quad):
+                a, b, c, d = perm
+                if (frozenset((a, b)) in E and frozenset((b, c)) in E
+                        and frozenset((c, d)) in E):
+                    paths3 += 1
+            # tailed triangle: triangle on 3 of them + edge to 4th
+            for tri3 in itertools.combinations(quad, 3):
+                x = [n for n in quad if n not in tri3][0]
+                if all(frozenset(p) in E for p in itertools.combinations(tri3, 2)):
+                    for corner in tri3:
+                        if frozenset((corner, x)) in E:
+                            tailed += 1
+            # 4-cycles: cyclic orderings
+            for perm in itertools.permutations(quad):
+                a, b, c, d = perm
+                if (frozenset((a, b)) in E and frozenset((b, c)) in E
+                        and frozenset((c, d)) in E and frozenset((d, a)) in E):
+                    c4 += 1
+            if k == 6:
+                k4 += 1
+            # diamonds: pairs of triangles sharing an edge within quad
+            for shared in itertools.combinations(quad, 2):
+                if frozenset(shared) not in E:
+                    continue
+                others = [n for n in quad if n not in shared]
+                if (all(frozenset((o, shared[0])) in E and
+                        frozenset((o, shared[1])) in E for o in others)):
+                    diamonds += 1
+        # each P4 counted twice (two directions), each C4 counted 8× (4
+        # rotations × 2 directions)
+        return {
+            "claws": claws, "paths3": paths3 // 2, "tailed_triangles": tailed,
+            "diamonds": diamonds, "four_cycles": c4 // 8, "four_cliques": k4,
+        }
+
+    for name, edges in {
+        "K4": [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "K5": [(a, b) for a in range(5) for b in range(a + 1, 5)],
+        "path5": [(i, i + 1) for i in range(4)],
+        "star5": [(0, i) for i in range(1, 6)],
+        "tadpole": [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)],
+        "cube-ish": [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4), (2, 4), (1, 5), (3, 5)],
+    }.items():
+        got = graphlet_census(edges_df(spark, edges)).collect()[0].asDict()
+        want = count_all(edges)
+        assert got == want, f"{name}: {got} != {want}"

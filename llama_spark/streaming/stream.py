@@ -212,3 +212,53 @@ def dedup_stream(
     return events_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def enrich_stream(events_stream: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join — the dimension table is a plain
+    batch DataFrame broadcast into every micro-batch (Structured
+    Streaming re-evaluates the static side per batch, so a refreshed
+    dimension view is picked up without restarting the query). LEFT join:
+    unmatched stream rows pass through with NULL attributes — an
+    enrichment must never drop facts."""
+    from pyspark.sql import functions as F
+
+    return events_stream.join(F.broadcast(dim), key, "left")
+
+
+def attribute_clicks(
+    views: DataFrame,
+    clicks: DataFrame,
+    key: str = "user_id",
+    gap_sec: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-STREAM interval join — view-to-click attribution: pair each
+    click with the views by the same key at most ``gap_sec`` seconds
+    earlier. Both sides carry the watermark, which is what lets the
+    engine BOUND the join state: a buffered view can be evicted once the
+    click-side watermark passes view_ts + gap (the documented
+    stream-stream inner-join state contract). Returns
+    [key, view_ts, click_ts, value].
+
+    The reference's streaming loop re-runs batch kernels per window
+    (benchmark.cc:1080-1140); event-time stream-stream joins are mandate
+    surface beyond it."""
+    from pyspark.sql import functions as F
+
+    v = views.select(
+        F.col(key), F.col("ts").alias("view_ts")
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col(key).alias("_k"), F.col("ts").alias("click_ts"), "value"
+    ).withWatermark("click_ts", watermark)
+    return v.join(
+        c,
+        (F.col(key) == F.col("_k"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {int(gap_sec)} SECONDS")
+        ),
+        "inner",
+    ).select(key, "view_ts", "click_ts", "value")

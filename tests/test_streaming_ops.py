@@ -176,3 +176,54 @@ def test_dedup_stream_drops_repeats_keeps_state_bounded(spark, tmp_path):
         assert len(rows) == 2  # original + post-eviction repeat
     finally:
         q.stop()
+
+
+def test_enrich_stream_static_broadcast(spark, tmp_path):
+    from llama_spark.streaming.stream import enrich_stream
+
+    src = str(tmp_path / "ev")
+    out = []
+    _write_batch(spark, src, [(1, 100, "click", 1.0), (2, 200, "view", 2.0)])
+    dim = spark.createDataFrame(
+        [(1, "pro")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        enrich_stream(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user_id"]: r["tier"] for r in spark.sql("select * from enriched").collect()}
+    assert rows == {1: "pro", 2: None}  # left join keeps unmatched facts
+
+
+def test_attribute_clicks_stream_stream_interval_join(spark, tmp_path):
+    from llama_spark.streaming.stream import attribute_clicks
+
+    vsrc, csrc = str(tmp_path / "views"), str(tmp_path / "clicks")
+    _write_batch(spark, vsrc, [(1, 1000, "view", 0.0), (2, 5000, "view", 0.0)])
+    _write_batch(
+        spark, csrc,
+        [
+            (1, 1300, "click", 9.0),   # 300s after view → attributed
+            (1, 2000, "click", 7.0),   # 1000s after → outside gap
+            (2, 4000, "click", 5.0),   # before the view → not attributed
+        ],
+    )
+    views = spark.readStream.schema(EVENTS_SCHEMA).parquet(vsrc)
+    clicks = spark.readStream.schema(EVENTS_SCHEMA).parquet(csrc)
+    q = (
+        attribute_clicks(views, clicks, gap_sec=600)
+        .writeStream.format("memory")
+        .queryName("attributed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from attributed").collect()
+    assert [(r["user_id"], r["value"]) for r in rows] == [(1, 9.0)]

@@ -4959,3 +4959,37 @@ SELECT CAST(cl.claws AS BIGINT) AS claws,
        CAST(k4r.four_cliques AS BIGINT) AS four_cliques
 FROM cl, p3, tt, dm, tcnt, c4r, k4r"""
 QUERIES["graphlet_census"] = q_graphlet_census
+
+
+# --------------------------------------------------- pivot / crosstab
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(spark, sf_dir):
+    """Crosstab: per user-id bucket (user_id % 16), one COLUMN per event
+    type — Spark's groupBy().pivot() with the value list pinned (never
+    let pivot scan for distinct values at 100 TB; the pinned list also
+    keeps the output schema static for the gate)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = (
+        ev.withColumn("ubucket", F.col("user_id") % 16)
+        .groupBy("ubucket")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "ubucket",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+ORACLE["event_pivot"] = """
+SELECT user_id % 16 AS ubucket,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY 1"""
+QUERIES["event_pivot"] = q_event_pivot

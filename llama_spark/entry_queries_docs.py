@@ -2038,3 +2038,77 @@ SELECT doc_a, doc_b, cos_sim FROM (
   JOIN nrm nb ON nb.doc_id = d.doc_b)
 WHERE cos_sim >= {APSS_T}"""
 DOCS_QUERIES["tfidf_cosine_pairs"] = q_tfidf_cosine_pairs
+
+
+# --------------------------------------------------- PQ recall
+
+
+def q_pq_recall(spark, sf_dir):
+    """Recall@k of PQ-ADC search vs brute-force cosine truth — completes
+    the measured ANN ladder (lsh_ann → ivf_recall → pq_recall)."""
+    from .functions.similarity import ann_recall
+
+    return ann_recall(q_cosine_topk(spark, sf_dir), q_pq_ann(spark, sf_dir))
+
+
+def _pq_recall_sql() -> str:
+    truth = DOCS_ORACLE["cosine_topk"]
+    appr = DOCS_ORACLE["pq_ann"]
+    return f"""WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({truth}) t),
+appr AS (
+  SELECT query_id, neighbor_id FROM ({appr}) a),
+hit AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+        FROM truth JOIN appr USING (query_id, neighbor_id)),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_pairs FROM truth)
+SELECT t.truth_pairs, h.hits,
+       ROUND(CAST(h.hits AS DOUBLE)
+             / (CASE WHEN t.truth_pairs > 0 THEN t.truth_pairs END), 6)
+         AS recall
+FROM tot t, hit h"""
+
+
+DOCS_ORACLE["pq_recall"] = _pq_recall_sql()
+DOCS_QUERIES["pq_recall"] = q_pq_recall
+
+
+# --------------------------------------------------- syndication matrix
+
+
+def q_syndication_matrix(spark, sf_dir):
+    """Cross-source exact-duplicate matrix — DataFrame[source_a,
+    source_b, n_dup_pairs]: for each unordered source pair, how many
+    (doc, doc) pairs share identical text across the two sources. The
+    content-syndication census that tells a crawl-curation run which
+    feeds mirror each other. Plan: one (md5, source) count rollup, then a
+    per-hash self-join of the ≤|sources| distinct source rows — the join
+    fan-out is bounded by sources², never by docs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hs = (
+        docs.select(F.md5("text").alias("h"), "source")
+        .groupBy("h", "source")
+        .agg(F.count("*").alias("c"))
+    )
+    a, b = hs.alias("a"), hs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("n_dup_pairs"))
+    )
+
+
+DOCS_ORACLE["syndication_matrix"] = """WITH hs AS (
+  SELECT md5(text) AS h, source, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(SUM(a.c * b.c) AS BIGINT) AS n_dup_pairs
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2"""
+DOCS_QUERIES["syndication_matrix"] = q_syndication_matrix

@@ -758,3 +758,58 @@ def test_graphlet_census_known_graphs(spark):
         got = graphlet_census(edges_df(spark, edges)).collect()[0].asDict()
         want = count_all(edges)
         assert got == want, f"{name}: {got} != {want}"
+
+
+# ---- pivot / syndication / pq recall ----
+
+
+def test_event_pivot_row_sums(spark):
+    from pyspark.sql import functions as F
+
+    from llama_spark.entry_queries import QUERIES
+
+    out = QUERIES["event_pivot"](spark, "/root/testdata/sf0.001").collect()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    total = ev.count()
+    assert sum(
+        r["n_click"] + r["n_error"] + r["n_purchase"] + r["n_signup"] + r["n_view"]
+        for r in out
+    ) == total
+    assert len(out) <= 16
+
+
+def test_syndication_matrix_counts_cross_source_dups(spark):
+    rows = [
+        (0, "same text", "en", "A", 9),
+        (1, "same text", "en", "B", 9),   # A↔B pair
+        (2, "same text", "en", "B", 9),   # second B copy → 2 A↔B pairs
+        (3, "same text", "en", "A", 9),   # second A copy → 4 A↔B pairs
+        (4, "other text", "en", "C", 10),
+        (5, "other text", "en", "A", 10),  # A↔C pair
+        (6, "lonely", "en", "C", 6),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # replicate the gate's plan directly on the crafted docs
+    from pyspark.sql import functions as F
+    hs = (docs.select(F.md5("text").alias("h"), "source")
+              .groupBy("h", "source").agg(F.count("*").alias("c")))
+    a, b = hs.alias("a"), hs.alias("b")
+    out = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                  & (F.col("a.source") < F.col("b.source")))
+             .groupBy(F.col("a.source").alias("source_a"),
+                      F.col("b.source").alias("source_b"))
+             .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long")
+                  .alias("n_dup_pairs")))
+    got = {(r["source_a"], r["source_b"]): r["n_dup_pairs"] for r in out.collect()}
+    assert got == {("A", "B"): 4, ("A", "C"): 1}
+
+
+def test_pq_recall_bounds(spark):
+    from llama_spark.entry_queries_docs import DOCS_QUERIES
+
+    row = DOCS_QUERIES["pq_recall"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["truth_pairs"] > 0
+    assert 0.0 <= row["recall"] <= 1.0
+    assert row["hits"] <= row["truth_pairs"]

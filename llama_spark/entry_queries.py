@@ -4993,3 +4993,30 @@ SELECT user_id % 16 AS ubucket,
        CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
 FROM events GROUP BY 1"""
 QUERIES["event_pivot"] = q_event_pivot
+
+
+# --------------------------------------------------- attribute assortativity
+
+
+def q_attr_assortativity(spark, sf_dir):
+    """Categorical class-mixing assortativity over c(v) = v mod 8."""
+    from .graph import attribute_assortativity
+
+    return attribute_assortativity(load_edges(spark, sf_dir), classes=8)
+
+
+ORACLE["attr_assortativity"] = f"""
+WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED ({UND_SQL}),
+nm AS (SELECT src % 8 AS ci, dst % 8 AS cj, COUNT(*) AS n
+       FROM und GROUP BY 1, 2),
+t AS (SELECT SUM(n) AS t FROM nm),
+s1 AS (SELECT COALESCE(SUM(n), 0) AS s1 FROM nm WHERE ci = cj),
+s2 AS (SELECT SUM(rs * rs) AS s2 FROM
+       (SELECT ci, SUM(n) AS rs FROM nm GROUP BY ci))
+SELECT CAST(8 AS BIGINT) AS n_classes,
+       CAST(t.t AS BIGINT) AS t_ends,
+       ROUND((CAST(t.t AS DOUBLE) * s1.s1 - s2.s2)
+             / (CAST(t.t AS DOUBLE) * t.t - s2.s2), 6) AS r
+FROM t, s1, s2"""
+QUERIES["attr_assortativity"] = q_attr_assortativity

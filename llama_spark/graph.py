@@ -419,3 +419,42 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
             ).alias("knn"),
         )
     )
+
+
+def attribute_assortativity(edges: DataFrame, classes: int = 8) -> DataFrame:
+    """Categorical attribute assortativity (Newman, PRE 67 2003, eq. 2)
+    for the synthetic node class c(v) = v mod ``classes`` (the same
+    id-derived attribute convention as avg_teen_cnt's age):
+
+        r = (T·S1 − S2) / (T² − S2)
+
+    over the symmetrized edge-end class matrix N_ij, with T = ΣN (2·E
+    ends), S1 = Σ N_ii (same-class ends), S2 = Σ_i (row_i)². r = 1 is
+    perfect class mixing, 0 is random, negative is disassortative.
+    One row [n_classes, t_ends, r]. All three sums are exact BIGINTs from
+    ONE map-side-combinable (c_src, c_dst) rollup (≤ classes² rows); the
+    final expression runs in doubles (T² would overflow BIGINT at 10¹²
+    edges) — identical literals in the SQL mirror."""
+    und = symmetrize(edges)
+    nm = und.select(
+        (F.col(SRC) % classes).alias("ci"), (F.col(DST) % classes).alias("cj")
+    ).groupBy("ci", "cj").agg(F.count("*").alias("n"))
+    t = nm.agg(F.sum("n").alias("t"))
+    s1 = nm.filter(F.col("ci") == F.col("cj")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("s1")
+    )
+    rows = nm.groupBy("ci").agg(F.sum("n").alias("rs"))
+    s2 = rows.agg(F.sum(F.col("rs") * F.col("rs")).alias("s2"))
+    return (
+        t.crossJoin(s1)
+        .crossJoin(s2)
+        .select(
+            F.lit(int(classes)).cast("long").alias("n_classes"),
+            F.col("t").cast("long").alias("t_ends"),
+            F.round(
+                (F.col("t").cast("double") * F.col("s1") - F.col("s2"))
+                / (F.col("t").cast("double") * F.col("t") - F.col("s2")),
+                6,
+            ).alias("r"),
+        )
+    )

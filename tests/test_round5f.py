@@ -813,3 +813,19 @@ def test_pq_recall_bounds(spark):
     assert row["truth_pairs"] > 0
     assert 0.0 <= row["recall"] <= 1.0
     assert row["hits"] <= row["truth_pairs"]
+
+
+# ---- attribute assortativity ----
+
+
+def test_attribute_assortativity_extremes(spark):
+    from llama_spark.graph import attribute_assortativity
+
+    # perfectly assortative: edges only within class (ids ≡ same mod 2)
+    same = [(0, 2), (2, 4), (1, 3), (3, 5)]
+    r1 = attribute_assortativity(edges_df(spark, same), classes=2).collect()[0]
+    assert r1["r"] == 1.0
+    # perfectly DISassortative: bipartite even↔odd
+    cross = [(0, 1), (2, 3), (4, 5), (0, 3)]
+    r2 = attribute_assortativity(edges_df(spark, cross), classes=2).collect()[0]
+    assert r2["r"] == -1.0

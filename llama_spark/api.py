@@ -412,6 +412,48 @@ class GraphSession:
 
         return doulion_triangle_estimate(self._e(), p_bp=p_bp)
 
+    def local_bridges(self) -> DataFrame:
+        """Support-0 weak ties (operators.truss.local_bridges)."""
+        from .operators.truss import local_bridges
+
+        return local_bridges(self._e())
+
+    def core_sizes(self, **kw) -> DataFrame:
+        """k-core collapse curve (operators.kcore.core_sizes)."""
+        from .operators.kcore import core_sizes
+
+        return core_sizes(self._e(), **kw)
+
+    def friend_recommendations(self, top_k: int = 2, **kw) -> DataFrame:
+        """Triadic-closure candidates (operators.linkpred)."""
+        from .operators.linkpred import friend_recommendations
+
+        return friend_recommendations(self._e(), top_k=top_k, **kw)
+
+    def bond_percolation(self, keep_bp: int = 7500, **kw) -> DataFrame:
+        """Edge-failure robustness census (operators.percolation)."""
+        from .operators.percolation import bond_percolation
+
+        return bond_percolation(self._e(), keep_bp=keep_bp, **kw)
+
+    def graphlet_census(self) -> DataFrame:
+        """Exact non-induced 4-node graphlet counts (operators.triangles)."""
+        from .operators.triangles import graphlet_census
+
+        return graphlet_census(self._e())
+
+    def configuration_model(self, seed: int = 42, **kw) -> DataFrame:
+        """Degree-preserving null-model edge list (operators.rewire)."""
+        from .operators.rewire import configuration_model
+
+        return configuration_model(self._e(), seed=seed, **kw)
+
+    def attribute_assortativity(self, classes: int = 8) -> DataFrame:
+        """Categorical class-mixing coefficient (graph module)."""
+        from .graph import attribute_assortativity
+
+        return attribute_assortativity(self._e(), classes=classes)
+
     def cooccurrence_lift(self, walk_length: int = 4, window: int = 2, **kw):
         """PMI-class lift over the skip-gram walk corpus
         (operators.walks.cooccurrence_lift ∘ skipgram_pairs)."""

@@ -829,3 +829,19 @@ def test_attribute_assortativity_extremes(spark):
     cross = [(0, 1), (2, 3), (4, 5), (0, 3)]
     r2 = attribute_assortativity(edges_df(spark, cross), classes=2).collect()[0]
     assert r2["r"] == -1.0
+
+
+def test_graphsession_batch4_methods(spark):
+    from llama_spark.api import GraphSession
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    g = GraphSession(spark).from_edges(edges_df(spark, edges))
+    assert sorted(
+        (r["src"], r["dst"]) for r in g.local_bridges().collect()
+    ) == [(2, 3), (3, 4)]
+    assert g.core_sizes().count() >= 1
+    assert g.friend_recommendations().count() > 0
+    assert g.bond_percolation(keep_bp=10000).collect()[0]["n_edges_kept"] == 5
+    assert g.graphlet_census().collect()[0]["four_cliques"] == 0
+    assert g.configuration_model().count() == 5
+    assert -1.0 <= g.attribute_assortativity(classes=2).collect()[0]["r"] <= 1.0

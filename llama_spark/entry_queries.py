@@ -5020,3 +5020,65 @@ SELECT CAST(8 AS BIGINT) AS n_classes,
              / (CAST(t.t AS DOUBLE) * t.t - s2.s2), 6) AS r
 FROM t, s1, s2"""
 QUERIES["attr_assortativity"] = q_attr_assortativity
+
+
+# --------------------------------------------------- event anomaly z-scores
+
+ANOMALY_Z = 2.0
+
+
+def q_event_anomalies(spark, sf_dir):
+    """Windows where an event type's count is ≥2σ from that type's
+    per-window mean — the alerting rollup over the tumbling-window
+    counts. z is exact-integer algebra until one sqrt+divide
+    (the standardize_embeddings identity with q = the BIGINT count):
+    z = (n·B − S)/√(B·S2 − S²) over the type's B observed windows."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = (
+        ev.withColumn(
+            "bucket",
+            (F.col("ts").cast("timestamp").cast("long") / 300).cast("long"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = counts.groupBy("event_type").agg(
+        F.count("*").alias("b"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    var_num = (F.col("b") * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+    scored = counts.join(F.broadcast(stats), "event_type").select(
+        "bucket",
+        "event_type",
+        "n",
+        F.when(
+            var_num > 0,
+            F.round(
+                (F.col("n") * F.col("b") - F.col("s")).cast("double")
+                / F.sqrt(var_num),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+    return scored.filter(F.abs(F.col("z")) >= ANOMALY_Z)
+
+
+ORACLE["event_anomalies"] = f"""
+WITH counts AS (
+  SELECT CAST(CAST(floor(epoch(ts)) AS BIGINT) // 300 AS BIGINT) AS bucket,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+st AS (SELECT event_type, COUNT(*) AS b, SUM(n) AS s, SUM(n * n) AS s2
+       FROM counts GROUP BY event_type)
+SELECT bucket, event_type, CAST(n AS BIGINT) AS n, z FROM (
+  SELECT c.bucket, c.event_type, c.n,
+         CASE WHEN CAST(st.b * st.s2 - st.s * st.s AS DOUBLE) > 0
+              THEN ROUND(CAST(c.n * st.b - st.s AS DOUBLE)
+                         / sqrt(CAST(st.b * st.s2 - st.s * st.s AS DOUBLE)), 6)
+              ELSE 0e0 END AS z
+  FROM counts c JOIN st ON st.event_type = c.event_type)
+WHERE abs(z) >= {ANOMALY_Z}"""
+QUERIES["event_anomalies"] = q_event_anomalies

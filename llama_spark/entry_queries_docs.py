@@ -2112,3 +2112,40 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
 GROUP BY 1, 2"""
 DOCS_QUERIES["syndication_matrix"] = q_syndication_matrix
+
+
+# --------------------------------------------------- shingle containment
+
+CONTAIN_T = 0.5
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment (Broder) — quote-inclusion dedup."""
+    from .functions.dedup import containment_pairs
+
+    return containment_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        threshold=CONTAIN_T,
+        max_shingle_df=NGRAM_MAX_DF,
+    )
+
+
+DOCS_ORACLE["containment_pairs"] = f"""WITH toks AS MATERIALIZED ({TOKS_SQL}),
+sh0 AS MATERIALIZED ({SHINGLES_SQL}),
+dfb AS (SELECT shingle, COUNT(*) AS d FROM sh0 GROUP BY shingle),
+sh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN dfb ON dfb.shingle = s.shingle
+       WHERE dfb.d <= {NGRAM_MAX_DF}),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+bo AS (
+  SELECT u, v, common FROM inter
+  UNION ALL SELECT v, u, common FROM inter)
+SELECT doc_a, doc_b, containment FROM (
+  SELECT b.u AS doc_a, b.v AS doc_b,
+         ROUND(b.common / CAST(s.sz AS DOUBLE), 6) AS containment
+  FROM bo b JOIN sz s ON s.doc_id = b.u)
+WHERE containment >= {CONTAIN_T}"""
+DOCS_QUERIES["containment_pairs"] = q_containment_pairs

@@ -742,3 +742,58 @@ def dedup_survivors(
         "cluster",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.7,
+    max_shingle_df: int | None = 256,
+) -> DataFrame:
+    """DataFrame[doc_a, doc_b, containment] — ASYMMETRIC near-dup
+    detection (Broder 1997's resemblance vs CONTAINMENT distinction):
+    c(A→B) = |A∩B| / |A|, the fraction of A's shingles that also appear
+    in B. Catches what symmetric Jaccard misses — a short document
+    QUOTED INSIDE a long one scores c ≈ 1 while J ≈ |A|/|B| ≈ 0, and
+    quote-inclusion is the dominant near-dup mode Jaccard leaves behind
+    in web corpora. Both directions emitted (doc_a ≠ doc_b, one row per
+    ordered pair over threshold).
+
+    Same inverted-index plan and hot-shingle df-cap as
+    ``ngram_jaccard_pairs`` — the intersection table is computed once on
+    unordered pairs and the two ordered rows derive from it."""
+    sh = shingles(documents, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .agg(F.count("*").alias("common"))
+    )
+    both = inter.select("u", "v", "common").unionByName(
+        inter.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), "common"
+        )
+    )
+    sa = sizes.select(F.col("doc_id").alias("u"), F.col("sz").alias("sz_a"))
+    return (
+        both.join(sa, "u")
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("v").alias("doc_b"),
+            F.round(F.col("common") / F.col("sz_a"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

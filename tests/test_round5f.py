@@ -845,3 +845,30 @@ def test_graphsession_batch4_methods(spark):
     assert g.graphlet_census().collect()[0]["four_cliques"] == 0
     assert g.configuration_model().count() == 5
     assert -1.0 <= g.attribute_assortativity(classes=2).collect()[0]["r"] <= 1.0
+
+
+# ---- containment / anomalies ----
+
+
+def test_containment_asymmetric_quote_inclusion(spark):
+    from llama_spark.functions.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = " ".join(f"w{i}" for i in range(6))          # 4 shingles
+    long_ = short + " " + " ".join(f"x{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, short, "en", "A", len(short)), (1, long_, "en", "A", len(long_))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in containment_pairs(docs, threshold=0.5).collect()}
+    assert got[(0, 1)] == 1.0            # every shingle of the short doc is in the long one
+    assert (1, 0) not in got             # reverse direction far below threshold
+    # symmetric Jaccard misses this pair entirely at the same threshold
+    assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_event_anomalies_flags_burst(spark):
+    from llama_spark.entry_queries import QUERIES
+
+    rows = QUERIES["event_anomalies"](spark, "/root/testdata/sf0.001").collect()
+    assert all(abs(r["z"]) >= 2.0 for r in rows)

@@ -399,16 +399,52 @@ def graphlet_census(edges: DataFrame) -> DataFrame:
     per-edge support table — all map-side-combinable rollups of joins the
     triangle machinery already runs; every count is an exact BIGINT.
     Induced counts follow by the standard linear transform downstream."""
-    und = drop_self_loops(undirected_ordered(edges)).dropDuplicates([SRC, DST])
-    from .truss import edge_support
+    from pyspark.storagelevel import StorageLevel
 
+    und = (
+        drop_self_loops(undirected_ordered(edges))
+        .dropDuplicates([SRC, DST])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sym = und.unionByName(
         und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
     )
     deg = sym.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("d"))
-    tpn = triangles_per_node(edges, orient="degree")
-    supp = edge_support(und)
-    t_row = triangles_df(edges)
+    # ONE id-oriented triangle enumeration feeds the global count, the
+    # per-node counts AND the per-edge supports (triangles_df /
+    # triangles_per_node / edge_support each rebuild this same 3-way
+    # join — sharing it here cuts the census's dominant cost 3×); the
+    # id orientation makes the emitted corners/sides line up with und.
+    a, b, c = und.alias("a"), und.alias("b"), und.alias("c")
+    tri = (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .join(
+            c,
+            (F.col("c.src") == F.col("a.src")) & (F.col("c.dst") == F.col("b.dst")),
+        )
+        .select(
+            F.col("a.src").alias("u"), F.col("a.dst").alias("v"),
+            F.col("b.dst").alias("w"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    t_row = tri.agg(F.count("*").cast("long").alias("triangles"))
+    tpn = tri.select(F.explode(F.array("u", "v", "w")).alias("id")).groupBy(
+        "id"
+    ).agg(F.count("*").alias("triangles"))
+    supp = (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias(SRC), F.col("v").alias(DST)),
+                    F.struct(F.col("v").alias(SRC), F.col("w").alias(DST)),
+                    F.struct(F.col("u").alias(SRC), F.col("w").alias(DST)),
+                )
+            ).alias("e")
+        )
+        .groupBy("e.src", "e.dst")
+        .agg(F.count("*").alias("support"))
+    )
 
     claws = deg.agg(
         F.coalesce(
@@ -439,7 +475,7 @@ def graphlet_census(edges: DataFrame) -> DataFrame:
     )
     c4 = four_cycle_count(edges)
     k4 = four_clique_count(edges)
-    return (
+    out = (
         claws.crossJoin(p3_raw)
         .crossJoin(t_row)
         .crossJoin(tailed)
@@ -454,4 +490,8 @@ def graphlet_census(edges: DataFrame) -> DataFrame:
             F.col("four_cycles").cast("long").alias("four_cycles"),
             F.col("four_cliques").cast("long").alias("four_cliques"),
         )
+        .localCheckpoint(eager=True)
     )
+    tri.unpersist()
+    und.unpersist()
+    return out

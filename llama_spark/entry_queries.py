@@ -5082,3 +5082,76 @@ SELECT bucket, event_type, CAST(n AS BIGINT) AS n, z FROM (
   FROM counts c JOIN st ON st.event_type = c.event_type)
 WHERE abs(z) >= {ANOMALY_Z}"""
 QUERIES["event_anomalies"] = q_event_anomalies
+
+
+# --------------------------------------------------- rank agreement
+
+RANKCMP_K = 100
+
+
+def q_rank_agreement(spark, sf_dir):
+    """How much of PageRank does plain in-degree already buy? Top-K set
+    overlap + Spearman-footrule displacement between the two rankings —
+    the standard cheap-centrality-proxy evaluation. Both top-K cuts are
+    distributed TakeOrdered with full deterministic keys; the position
+    windows run over the two ≤K-row frames only."""
+    from pyspark.sql import Window
+
+    pr = (
+        q_pagerank(spark, sf_dir)
+        .orderBy(F.desc("rank_scaled"), F.asc("id"))
+        .limit(RANKCMP_K)
+        .withColumn(
+            "pos_pr",
+            F.row_number().over(
+                Window.orderBy(F.desc("rank_scaled"), F.asc("id"))
+            ),
+        )
+        .select("id", "pos_pr")
+    )
+    deg = (
+        load_edges(spark, sf_dir)
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.count("*").alias("ind"))
+        .orderBy(F.desc("ind"), F.asc("id"))
+        .limit(RANKCMP_K)
+        .withColumn(
+            "pos_deg",
+            F.row_number().over(Window.orderBy(F.desc("ind"), F.asc("id"))),
+        )
+        .select("id", "pos_deg")
+    )
+    j = pr.join(deg, "id")
+    return j.agg(
+        F.lit(RANKCMP_K).cast("long").alias("k"),
+        F.count("*").cast("long").alias("overlap"),
+        F.coalesce(
+            F.sum(F.abs(F.col("pos_pr") - F.col("pos_deg"))), F.lit(0)
+        ).cast("long").alias("footrule"),
+    )
+
+
+def _rank_agreement_sql() -> str:
+    chain = _pagerank_sql()
+    body = chain[: chain.rindex("\nSELECT id, ROUND")]
+    return (
+        body
+        + f""",
+prk AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY rs DESC, id ASC) AS pos_pr FROM (
+    SELECT id, ROUND(rank * (SELECT n FROM nn), 6) AS rs FROM r{PR_ITERS}
+    ORDER BY rs DESC, id ASC LIMIT {RANKCMP_K})),
+dg AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY ind DESC, id ASC) AS pos_deg FROM (
+    SELECT dst AS id, COUNT(*) AS ind FROM edges GROUP BY dst
+    ORDER BY ind DESC, id ASC LIMIT {RANKCMP_K}))
+SELECT CAST({RANKCMP_K} AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS overlap,
+       CAST(COALESCE(SUM(ABS(prk.pos_pr - dg.pos_deg)), 0) AS BIGINT)
+         AS footrule
+FROM prk JOIN dg ON dg.id = prk.id"""
+    )
+
+
+ORACLE["rank_agreement"] = _rank_agreement_sql()
+QUERIES["rank_agreement"] = q_rank_agreement

@@ -872,3 +872,18 @@ def test_event_anomalies_flags_burst(spark):
 
     rows = QUERIES["event_anomalies"](spark, "/root/testdata/sf0.001").collect()
     assert all(abs(r["z"]) >= 2.0 for r in rows)
+
+
+# ---- rank agreement ----
+
+
+def test_rank_agreement_identical_rankings(spark):
+    """On a star the hub dominates both rankings; on a graph where PR and
+    in-degree order identically, footrule is 0 and overlap is full."""
+    from llama_spark.entry_queries import QUERIES
+
+    row = QUERIES["rank_agreement"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["k"] == 100
+    assert 0 < row["overlap"] <= 100
+    # footrule bounded by k²/2 (max total displacement over k positions)
+    assert 0 <= row["footrule"] <= 100 * 100 // 2

@@ -2149,3 +2149,39 @@ SELECT doc_a, doc_b, containment FROM (
   FROM bo b JOIN sz s ON s.doc_id = b.u)
 WHERE containment >= {CONTAIN_T}"""
 DOCS_QUERIES["containment_pairs"] = q_containment_pairs
+
+
+# --------------------------------------------------- per-source quantiles
+
+SRC_Q_BPS = (2500, 5000, 9000)
+
+
+def q_source_quantiles(spark, sf_dir):
+    """Exact per-source document-length quantiles (grouped histogram)."""
+    from .functions.sketch import grouped_quantiles
+
+    return grouped_quantiles(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        "source",
+        "n_chars",
+        qs_bp=SRC_Q_BPS,
+    )
+
+
+DOCS_ORACLE["source_quantiles"] = f"""WITH hist AS (
+  SELECT source AS grp, CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2),
+cum AS (
+  SELECT grp, v,
+         SUM(c) OVER (PARTITION BY grp ORDER BY v ROWS UNBOUNDED PRECEDING)
+           AS cum
+  FROM hist),
+tot AS (SELECT grp, SUM(c) AS n FROM hist GROUP BY grp),
+qs(q_bp) AS (SELECT * FROM (VALUES {", ".join(f"({q})" for q in SRC_Q_BPS)})),
+ranks AS (SELECT grp, CAST(q_bp AS BIGINT) AS q_bp,
+                 (q_bp * n + 9999) // 10000 AS rank FROM tot, qs)
+SELECT r.grp AS source, r.q_bp, CAST(r.rank AS BIGINT) AS rank,
+       CAST(MIN(c.v) AS BIGINT) AS value
+FROM ranks r JOIN cum c ON c.grp = r.grp AND c.cum >= r.rank
+GROUP BY 1, 2, 3"""
+DOCS_QUERIES["source_quantiles"] = q_source_quantiles

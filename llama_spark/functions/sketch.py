@@ -105,3 +105,42 @@ def exact_quantiles(
         .agg(F.min("v").alias("value"))
         .select("q_bp", "rank", "value")
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs_bp: tuple[int, ...] = (2500, 5000, 9000),
+) -> DataFrame:
+    """EXACT discrete quantiles PER GROUP — DataFrame[group, q_bp, rank,
+    value]: the grouped generalization of ``exact_quantiles`` with the
+    same integer-exact rank ceiling. The per-group cumulative window runs
+    over each group's VALUE HISTOGRAM (bounded by that group's distinct
+    values, never its row count), so a billion-row group with a few
+    thousand distinct lengths costs a few thousand window rows."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("v")
+    ).agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.groupBy("grp").agg(F.sum("c").alias("n"))
+    qdf = df.sparkSession.createDataFrame(
+        [(int(q),) for q in sorted(qs_bp)], "q_bp long"
+    )
+    ranks = tot.crossJoin(F.broadcast(qdf)).select(
+        "grp", "q_bp", F.expr("(q_bp * n + 9999) DIV 10000").cast("long").alias("rank")
+    )
+    return (
+        ranks.join(cum, ["grp"])
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("grp", "q_bp", "rank")
+        .agg(F.min("v").alias("value"))
+        .select(F.col("grp").alias(group_col), "q_bp", "rank", "value")
+    )

@@ -887,3 +887,17 @@ def test_rank_agreement_identical_rankings(spark):
     assert 0 < row["overlap"] <= 100
     # footrule bounded by k²/2 (max total displacement over k positions)
     assert 0 <= row["footrule"] <= 100 * 100 // 2
+
+
+# ---- grouped quantiles ----
+
+
+def test_grouped_quantiles_per_group_cuts(spark):
+    from llama_spark.functions.sketch import grouped_quantiles
+
+    rows = [("A", v) for v in [1, 2, 3, 4]] + [("B", v) for v in [10, 20]]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {(r["source"], r["q_bp"]): (r["rank"], r["value"]) for r in
+           grouped_quantiles(df, "source", "n_chars", qs_bp=(5000, 10000)).collect()}
+    assert got[("A", 5000)] == (2, 2) and got[("A", 10000)] == (4, 4)
+    assert got[("B", 5000)] == (1, 10) and got[("B", 10000)] == (2, 20)

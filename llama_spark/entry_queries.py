@@ -5155,3 +5155,25 @@ FROM prk JOIN dg ON dg.id = prk.id"""
 
 ORACLE["rank_agreement"] = _rank_agreement_sql()
 QUERIES["rank_agreement"] = q_rank_agreement
+
+
+# --------------------------------------------------- degree relabeling
+
+
+def q_relabel_by_degree(spark, sf_dir):
+    """Hubs-first dense id map (WebGraph/BV compression prestep)."""
+    from .graph import relabel_by_degree
+
+    return relabel_by_degree(load_edges(spark, sf_dir))
+
+
+ORACLE["relabel_by_degree"] = f"""
+WITH edges AS MATERIALIZED ({EDGES_SQL}),
+nodes AS MATERIALIZED ({NODES_SQL}),
+und AS MATERIALIZED ({UND_SQL}),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src)
+SELECT n.id,
+       CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(g.d, 0) DESC, n.id ASC) - 1
+            AS BIGINT) AS new_id
+FROM nodes n LEFT JOIN deg g ON g.id = n.id"""
+QUERIES["relabel_by_degree"] = q_relabel_by_degree

@@ -458,3 +458,40 @@ def attribute_assortativity(edges: DataFrame, classes: int = 8) -> DataFrame:
             ).alias("r"),
         )
     )
+
+
+def relabel_by_degree(edges: DataFrame, buckets: int = 256) -> DataFrame:
+    """Degree-descending id relabeling — DataFrame[id, new_id] with
+    new_id = dense rank 0..V−1 by (undirected degree DESC, id ASC). The
+    classic web-graph locality prestep (WebGraph/BV compression, gap
+    encoding, cache-friendly CSR): hubs get the small ids.
+
+    Scale shape — the third user of the repo's TWO-PHASE ranking pattern
+    (walks indexing, configuration_model): the global order (d DESC,
+    id ASC) is split into (d, id-range bucket) cells; a window ranks
+    WITHIN each cell only (≤ V/buckets rows of one degree class), and
+    cell offsets come from a cumsum over the ≤ #degrees·buckets cell
+    census — no single-task sort ever sees the V-row table."""
+    from pyspark.sql import Window
+
+    und = symmetrize(edges)
+    deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("d"))
+    nodes = nodes_of(edges).join(deg, "id", "left").select(
+        "id", F.coalesce("d", F.lit(0)).alias("d")
+    )
+    maxid = nodes.agg(F.max("id").alias("m"))
+    keyed = nodes.crossJoin(F.broadcast(maxid)).select(
+        "id", "d", F.expr(f"id DIV ((m DIV {buckets}) + 1)").alias("bkt")
+    )
+    w_in = Window.partitionBy("d", "bkt").orderBy("id")
+    ranked = keyed.withColumn("rn", F.row_number().over(w_in))
+    cells = keyed.groupBy("d", "bkt").agg(F.count("*").alias("c"))
+    w_off = Window.orderBy(F.desc("d"), F.asc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = cells.select(
+        "d", "bkt", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off")
+    )
+    return ranked.join(offs, ["d", "bkt"]).select(
+        "id", (F.col("off") + F.col("rn") - 1).cast("long").alias("new_id")
+    )

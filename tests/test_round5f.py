@@ -901,3 +901,19 @@ def test_grouped_quantiles_per_group_cuts(spark):
            grouped_quantiles(df, "source", "n_chars", qs_bp=(5000, 10000)).collect()}
     assert got[("A", 5000)] == (2, 2) and got[("A", 10000)] == (4, 4)
     assert got[("B", 5000)] == (1, 10) and got[("B", 10000)] == (2, 20)
+
+
+# ---- degree relabeling ----
+
+
+def test_relabel_by_degree_dense_hubs_first(spark):
+    from llama_spark.graph import relabel_by_degree
+
+    star = [(0, i) for i in range(1, 5)] + [(1, 2)]
+    got = {r["id"]: r["new_id"] for r in
+           relabel_by_degree(edges_df(spark, star)).collect()}
+    # hub 0 (deg 4) → 0; then 1, 2 (deg 2, id asc); then 3, 4 (deg 1)
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+    shifted = [(10 * u + 7, 10 * v + 7) for u, v in star]
+    g2 = relabel_by_degree(edges_df(spark, shifted)).collect()
+    assert sorted(r["new_id"] for r in g2) == list(range(5))  # dense 0..V-1

@@ -227,3 +227,41 @@ def test_attribute_clicks_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(180)
     rows = spark.sql("select * from attributed").collect()
     assert [(r["user_id"], r["value"]) for r in rows] == [(1, 9.0)]
+
+
+def test_streaming_pagerank_warm_start_over_store_levels(spark, tmp_path):
+    """The LLAMA streaming loop end-to-end: append a batch as a snapshot
+    level, run PageRank on the visible graph, warm-start the NEXT level's
+    run from the previous ranks — and land on exactly the ranks a cold
+    run on the same level computes (warm start changes cost, never the
+    fixpoint; the pagerank_incremental gate's invariant, here composed
+    with the versioned store instead of a static table)."""
+    from llama_spark.operators.pagerank import pagerank_result
+    from llama_spark.streaming.snapshots import VersionedEdgeStore
+
+    store = VersionedEdgeStore(spark, str(tmp_path / "store"))
+    b1 = [(0, 1), (1, 2), (2, 0)]
+    b2 = [(2, 3), (3, 0), (1, 3)]
+    store.append_level(spark.createDataFrame(b1, "src long, dst long"))
+    g1 = store.read_at()
+    r1 = pagerank_result(g1.select("src", "dst"), max_iter=60, tol=1e-10)
+
+    store.append_level(spark.createDataFrame(b2, "src long, dst long"))
+    g2 = store.read_at()
+    warm = pagerank_result(
+        g2.select("src", "dst"), max_iter=200, tol=1e-10,
+        initial_ranks=r1.state.select("id", "rank"),
+    )
+    cold = pagerank_result(g2.select("src", "dst"), max_iter=200, tol=1e-10)
+    w = {r["id"]: r["rank"] for r in warm.state.collect()}
+    c = {r["id"]: r["rank"] for r in cold.state.collect()}
+    assert set(w) == set(c) == {0, 1, 2, 3}
+    for k in w:
+        assert abs(w[k] - c[k]) < 1e-8  # same fixpoint to the tol scale
+    # NOTE deliberately no iteration-count assertion: warm start
+    # guarantees the same fixpoint, not fewer iterations — on this toy
+    # the appended batch doubles the graph, so the old ranks are a worse
+    # init than uniform (123 vs 78 observed). The cost win appears when
+    # deltas are small relative to the graph, which is the streaming
+    # regime; the invariant under test is fixpoint identity.
+    assert warm.converged and cold.converged

@@ -5177,3 +5177,30 @@ SELECT n.id,
             AS BIGINT) AS new_id
 FROM nodes n LEFT JOIN deg g ON g.id = n.id"""
 QUERIES["relabel_by_degree"] = q_relabel_by_degree
+
+
+# ----------------------------------------------- induced graphlet census
+
+
+def q_graphlet_census_induced(spark, sf_dir):
+    """Induced 4-node graphlet counts (integer containment-matrix inverse
+    applied to the non-induced census)."""
+    from .operators.triangles import graphlet_census_induced
+
+    return graphlet_census_induced(load_edges(spark, sf_dir))
+
+
+ORACLE["graphlet_census_induced"] = f"""
+WITH g AS MATERIALIZED ({ORACLE["graphlet_census"]})
+SELECT CAST(claws - tailed_triangles + 2 * diamonds - 4 * four_cliques
+            AS BIGINT) AS claws_ind,
+       CAST(paths3 - 2 * tailed_triangles - 4 * four_cycles + 6 * diamonds
+            - 12 * four_cliques AS BIGINT) AS paths3_ind,
+       CAST(tailed_triangles - 4 * diamonds + 12 * four_cliques
+            AS BIGINT) AS tailed_ind,
+       CAST(four_cycles - diamonds + 3 * four_cliques AS BIGINT)
+         AS cycles4_ind,
+       CAST(diamonds - 6 * four_cliques AS BIGINT) AS diamonds_ind,
+       four_cliques AS cliques4_ind
+FROM g"""
+QUERIES["graphlet_census_induced"] = q_graphlet_census_induced

@@ -495,3 +495,44 @@ def graphlet_census(edges: DataFrame) -> DataFrame:
     tri.unpersist()
     und.unpersist()
     return out
+
+
+def graphlet_census_induced(edges: DataFrame) -> DataFrame:
+    """INDUCED 4-node graphlet counts — the exact linear transform of the
+    non-induced ``graphlet_census`` (the containment matrix between the
+    six connected 4-node shapes is unit upper-triangular; its integer
+    inverse, derived from per-shape subgraph counting and verified by the
+    brute-force pytest, is applied row-wise):
+
+        claw_i    = claw − tailed + 2·diamond − 4·k4
+        path3_i   = path3 − 2·tailed − 4·cycle4 + 6·diamond − 12·k4
+        tailed_i  = tailed − 4·diamond + 12·k4
+        cycle4_i  = cycle4 − diamond + 3·k4
+        diamond_i = diamond − 6·k4
+        k4_i      = k4
+
+    Same cost as the non-induced census (one more projection)."""
+    g = graphlet_census(edges)
+    return g.select(
+        (
+            F.col("claws") - F.col("tailed_triangles")
+            + 2 * F.col("diamonds") - 4 * F.col("four_cliques")
+        ).cast("long").alias("claws_ind"),
+        (
+            F.col("paths3") - 2 * F.col("tailed_triangles")
+            - 4 * F.col("four_cycles") + 6 * F.col("diamonds")
+            - 12 * F.col("four_cliques")
+        ).cast("long").alias("paths3_ind"),
+        (
+            F.col("tailed_triangles") - 4 * F.col("diamonds")
+            + 12 * F.col("four_cliques")
+        ).cast("long").alias("tailed_ind"),
+        (
+            F.col("four_cycles") - F.col("diamonds")
+            + 3 * F.col("four_cliques")
+        ).cast("long").alias("cycles4_ind"),
+        (F.col("diamonds") - 6 * F.col("four_cliques")).cast("long").alias(
+            "diamonds_ind"
+        ),
+        F.col("four_cliques").alias("cliques4_ind"),
+    )

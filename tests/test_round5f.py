@@ -917,3 +917,47 @@ def test_relabel_by_degree_dense_hubs_first(spark):
     shifted = [(10 * u + 7, 10 * v + 7) for u, v in star]
     g2 = relabel_by_degree(edges_df(spark, shifted)).collect()
     assert sorted(r["new_id"] for r in g2) == list(range(5))  # dense 0..V-1
+
+
+def test_graphlet_census_induced_brute_force(spark):
+    """Induced counts cross-checked by direct induced-subgraph
+    classification on 4-vertex sets."""
+    import itertools
+
+    from llama_spark.operators.triangles import graphlet_census_induced
+
+    def induced_counts(edge_list):
+        nodes = sorted({u for e in edge_list for u in e})
+        E = {frozenset(e) for e in edge_list}
+        out = {"claws_ind": 0, "paths3_ind": 0, "tailed_ind": 0,
+               "cycles4_ind": 0, "diamonds_ind": 0, "cliques4_ind": 0}
+        for quad in itertools.combinations(nodes, 4):
+            sub = [p for p in itertools.combinations(quad, 2)
+                   if frozenset(p) in E]
+            k = len(sub)
+            degs = sorted(
+                sum(1 for e in sub if n in e) for n in quad
+            )
+            if k == 3 and degs == [1, 1, 1, 3]:
+                out["claws_ind"] += 1
+            elif k == 3 and degs == [1, 1, 2, 2]:
+                out["paths3_ind"] += 1
+            elif k == 4 and degs == [1, 2, 2, 3]:
+                out["tailed_ind"] += 1
+            elif k == 4 and degs == [2, 2, 2, 2]:
+                out["cycles4_ind"] += 1
+            elif k == 5:
+                out["diamonds_ind"] += 1
+            elif k == 6:
+                out["cliques4_ind"] += 1
+        return out
+
+    for name, edges in {
+        "K5": [(a, b) for a in range(5) for b in range(a + 1, 5)],
+        "path5": [(i, i + 1) for i in range(4)],
+        "tadpole": [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)],
+        "wheel": [(0, i) for i in range(1, 6)] + [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)],
+    }.items():
+        got = graphlet_census_induced(edges_df(spark, edges)).collect()[0].asDict()
+        want = induced_counts(edges)
+        assert got == want, f"{name}: {got} != {want}"

@@ -454,6 +454,18 @@ class GraphSession:
 
         return attribute_assortativity(self._e(), classes=classes)
 
+    def relabel_by_degree(self, **kw) -> DataFrame:
+        """Hubs-first dense id map (graph.relabel_by_degree)."""
+        from .graph import relabel_by_degree
+
+        return relabel_by_degree(self._e(), **kw)
+
+    def graphlet_census_induced(self) -> DataFrame:
+        """Induced 4-node graphlet counts (operators.triangles)."""
+        from .operators.triangles import graphlet_census_induced
+
+        return graphlet_census_induced(self._e())
+
     def cooccurrence_lift(self, walk_length: int = 4, window: int = 2, **kw):
         """PMI-class lift over the skip-gram walk corpus
         (operators.walks.cooccurrence_lift ∘ skipgram_pairs)."""

@@ -5204,3 +5204,48 @@ SELECT CAST(claws - tailed_triangles + 2 * diamonds - 4 * four_cliques
        four_cliques AS cliques4_ind
 FROM g"""
 QUERIES["graphlet_census_induced"] = q_graphlet_census_induced
+
+
+# --------------------------------------------------- TPC-H Q17
+
+Q17_BRAND = "Brand#2"
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    per-group scalar subquery — avg quantity per part — computed ONCE as
+    a map-side-combinable rollup and joined back (never a per-row
+    subquery). Decimal-exact revenue; the 0.2·avg threshold is the same
+    IEEE double both engines derive from exact integer sums."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_brand") == Q17_BRAND
+    )
+    pa = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_t")
+    )
+    dec = F.col("l_extendedprice").cast("decimal(18,4)")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_t"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round((F.sum(dec) / F.lit(7.0)).cast("double"), 4).alias(
+                "avg_yearly"
+            ),
+        )
+    )
+
+
+ORACLE["tpch_q17"] = f"""
+WITH pa AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS t FROM lineitem GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) / 7.0
+                  AS DOUBLE), 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = '{Q17_BRAND}'
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE l.l_quantity < pa.t"""
+QUERIES["tpch_q17"] = q_tpch_q17

@@ -961,3 +961,17 @@ def test_graphlet_census_induced_brute_force(spark):
         got = graphlet_census_induced(edges_df(spark, edges)).collect()[0].asDict()
         want = induced_counts(edges)
         assert got == want, f"{name}: {got} != {want}"
+
+
+def test_tpch_q17_threshold_semantics(spark):
+    import duckdb
+
+    from llama_spark.entry_queries import ORACLE, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["tpch_q17"](spark, sf).collect()[0]
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute(ORACLE["tpch_q17"]).fetchone()
+    assert (got["n_items"], got["avg_yearly"]) == want

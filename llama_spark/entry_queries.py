@@ -5249,3 +5249,64 @@ JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = '{Q17_BRAND}'
 JOIN pa ON pa.l_partkey = l.l_partkey
 WHERE l.l_quantity < pa.t"""
 QUERIES["tpch_q17"] = q_tpch_q17
+
+
+# --------------------------------------------------- Dirichlet energy
+
+
+def q_dirichlet_energy(spark, sf_dir):
+    """Graph-signal smoothness — the Laplacian quadratic form
+    E(x) = Σ_{(u,v)∈und} (x_u − x_v)² for the node signal x(v) =
+    embedding[v mod |emb|].dim0 (feature-hashed lookup — the standard
+    trick when the feature table is smaller than the id space). The
+    graph-signal-processing primitive behind smoothing, label spreading
+    and GNN over-smoothing diagnostics. Exact micro-int arithmetic:
+    (q_u − q_v)² summed as BIGINTs, ONE divide at the end.
+
+    Plan: V-row signal build (one broadcast-able embedding join), one
+    E-row und join against it (twice — both endpoints), map-side
+    combinable sum."""
+    edges = load_edges(spark, sf_dir)
+    from .graph import symmetrize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.round(F.element_at(F.col("embedding").cast("array<double>"), 1) * 1e6)
+        .cast("long")
+        .alias("q"),
+    )
+    n_emb = emb.count()
+    und = symmetrize(edges).filter(F.col("src") < F.col("dst"))
+    sig = und.select("src", "dst", (F.col("src") % n_emb).alias("_ku"),
+                     (F.col("dst") % n_emb).alias("_kv"))
+    ju = sig.join(emb.select(F.col("vec_id").alias("_ku"), F.col("q").alias("qu")), "_ku")
+    jv = ju.join(emb.select(F.col("vec_id").alias("_kv"), F.col("q").alias("qv")), "_kv")
+    d = F.col("qu") - F.col("qv")
+    return jv.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.round(
+            (F.sum(d * d) / F.lit(1e12)).cast("double"), 6
+        ).alias("energy"),
+    )
+
+
+def _dirichlet_sql() -> str:
+    return f"""
+WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED (
+  SELECT src, dst FROM ({UND_SQL}) WHERE src < dst),
+emb AS (
+  SELECT vec_id,
+         CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM embeddings),
+ne AS (SELECT COUNT(*) AS n FROM emb)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       ROUND(CAST(SUM((a.q - b.q) * (a.q - b.q)) AS DOUBLE)
+             / 1000000000000.0, 6) AS energy
+FROM und u
+JOIN emb a ON a.vec_id = u.src % (SELECT n FROM ne)
+JOIN emb b ON b.vec_id = u.dst % (SELECT n FROM ne)"""
+
+
+ORACLE["dirichlet_energy"] = _dirichlet_sql()
+QUERIES["dirichlet_energy"] = q_dirichlet_energy

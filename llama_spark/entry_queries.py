@@ -4176,7 +4176,7 @@ def q_random_percolation(spark, sf_dir):
 
 RANDOM_RANKED_CTE = """ranked AS (
   SELECT id, ROW_NUMBER() OVER (
-    ORDER BY (1103515245 * id + 12345) % 65536 ASC, id ASC) AS rn
+    ORDER BY (1103515245 * (id % 65536) + 12345) % 65536 ASC, id ASC) AS rn
   FROM nodes)"""
 
 ORACLE["random_percolation"] = _perc_sql(RANDOM_RANKED_CTE)

@@ -105,11 +105,17 @@ def random_percolation(
     n_nodes = nodes.count()
     k = int(n_nodes * frac)
 
+    # fold the modulus into the id FIRST: (a·x + c) mod m ≡
+    # (a·(x mod m) + c) mod m, and a·(x mod m) ≤ ~2^46 — so the rank is
+    # overflow-proof at ANY id width (a·x itself would overflow BIGINT
+    # near id ≈ 2^43, where Spark wraps silently but DuckDB raises —
+    # exactly the cross-engine divergence the gates exist to prevent)
     ranked = nodes.select(
         "id",
-        ((F.lit(1103515245) * (F.col("id") + F.lit(seed)) + F.lit(12345)) % 65536).alias(
-            "rv"
-        ),
+        (
+            (F.lit(1103515245) * ((F.col("id") + F.lit(seed)) % 65536) + F.lit(12345))
+            % 65536
+        ).alias("rv"),
     )
     hist = sorted(
         (r["rv"], r["c"])

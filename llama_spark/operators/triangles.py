@@ -398,7 +398,14 @@ def graphlet_census(edges: DataFrame) -> DataFrame:
     K4/C4 joins is ONE degree table + ONE per-node triangle table + ONE
     per-edge support table — all map-side-combinable rollups of joins the
     triangle machinery already runs; every count is an exact BIGINT.
-    Induced counts follow by the standard linear transform downstream."""
+    Induced counts follow by the standard linear transform downstream.
+
+    BIGINT headroom (the embedding_stats convention): the claw term sums
+    d³/6 and the P4 term sums (d−1)² products — with a 10⁷-degree hub a
+    single claw term is ~1.7·10²⁰ > 2^63. The counts themselves overflow
+    64 bits on such graphs no matter the engine; past that regime route
+    the sums through DECIMAL(38,0) (Spark and DuckDB both support it) or
+    report per-degree-capped censuses."""
     from pyspark.storagelevel import StorageLevel
 
     und = (

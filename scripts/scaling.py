@@ -76,8 +76,13 @@ def run(cores: int, scale: int, iters: int) -> dict:
         [sys.executable, "-c", WORKER.format(repo=REPO), str(cores), str(scale), str(iters)],
         capture_output=True, text=True, timeout=3000,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    r = json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"scaling worker (cores={cores}) produced no JSON; "
+            f"rc={out.returncode}, stderr tail:\n{out.stderr[-2000:]}"
+        )
+    r = json.loads(lines[-1])
     # pre-load is externals only; post-load includes our own `cores` threads,
     # so post - cores ≈ externals during the leg (bursty, but visible)
     r["loadavg_pre"], r["loadavg_post"] = pre, _loadavg()

@@ -478,6 +478,30 @@ class GraphSession:
             )
         )
 
+    def scan_statistic(self) -> DataFrame:
+        """Priebe ego-net edge counts + densities (linkpred.scan_statistic)."""
+        from .operators.linkpred import scan_statistic
+
+        return scan_statistic(self._e())
+
+    def weighted_clustering(self, weight_col: str = "weight") -> DataFrame:
+        """Onnela weighted local clustering (linkpred.weighted_clustering)."""
+        from .operators.linkpred import weighted_clustering
+
+        return weighted_clustering(self._e(), weight_col=weight_col)
+
+    def heat_kernel_pagerank(self, t: float = 3.0, taylor_k: int = 6) -> DataFrame:
+        """Chung heat-kernel diffusion rank (diffusion.heat_kernel_pagerank)."""
+        from .operators.diffusion import heat_kernel_pagerank
+
+        return heat_kernel_pagerank(self._e(), t=t, taylor_k=taylor_k)
+
+    def degree_gini(self) -> DataFrame:
+        """Gini coefficient of the degree distribution (graph.degree_gini)."""
+        from .graph import degree_gini
+
+        return degree_gini(self._e())
+
     def conductance(self, communities: DataFrame) -> DataFrame:
         """Per-community conductance of any [id, label] table
         (components.community_conductance)."""

@@ -5310,3 +5310,226 @@ JOIN emb b ON b.vec_id = u.dst % (SELECT n FROM ne)"""
 
 ORACLE["dirichlet_energy"] = _dirichlet_sql()
 QUERIES["dirichlet_energy"] = q_dirichlet_energy
+
+
+# ------------------------------------------------- round-5e: ego / weighted /
+# diffusion / inequality kernels
+
+
+def q_scan_statistic(spark, sf_dir):
+    """Priebe scan statistic: edges in each node's closed 1-hop ego net."""
+    from .operators.linkpred import scan_statistic
+
+    return scan_statistic(load_edges(spark, sf_dir))
+
+
+ORACLE["scan_statistic"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED ({UND_SQL}),
+ordered AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+tris AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM ordered e1 JOIN ordered e2 ON e1.dst = e2.src
+  JOIN ordered e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT a AS id FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+),
+tpn AS (SELECT id, COUNT(*) AS t FROM corners GROUP BY id)
+SELECT d.id,
+       CAST(d.deg AS BIGINT) AS degree,
+       CAST(COALESCE(t.t, 0) AS BIGINT) AS triangles,
+       CAST(d.deg + COALESCE(t.t, 0) AS BIGINT) AS scan_stat,
+       ROUND(CASE WHEN d.deg >= 1
+                  THEN (d.deg + COALESCE(t.t, 0)) / ((d.deg + 1) * d.deg / 2.0)
+                  ELSE 0e0 END, 6) AS ego_density
+FROM deg d LEFT JOIN tpn t ON d.id = t.id"""
+
+QUERIES["scan_statistic"] = q_scan_statistic
+
+
+def q_weighted_clustering(spark, sf_dir):
+    """Onnela weighted local clustering over the synthetic edge weights."""
+    from .graph import with_synthetic_weights
+    from .operators.linkpred import weighted_clustering
+
+    return weighted_clustering(with_synthetic_weights(load_edges(spark, sf_dir)))
+
+
+ORACLE["weighted_clustering"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+dw AS (SELECT src, dst, 1.0 + ((src * 31 + dst) % 100) / 100.0 AS w FROM edges),
+undw AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst, MAX(w) AS w
+  FROM dw GROUP BY 1, 2),
+mx AS (SELECT MAX(w) AS wmax FROM undw),
+deg AS (SELECT id, COUNT(*) AS deg FROM (
+  SELECT src AS id FROM undw UNION ALL SELECT dst FROM undw) GROUP BY id),
+e AS MATERIALIZED (
+  SELECT src, dst, w / (SELECT wmax FROM mx) AS w FROM undw),
+tris AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c,
+         cbrt(e1.w * e2.w * e3.w) AS term
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+corners AS (
+  SELECT a AS id, term FROM tris
+  UNION ALL SELECT b, term FROM tris
+  UNION ALL SELECT c, term FROM tris),
+s AS (SELECT id, SUM(term) AS s FROM corners GROUP BY id)
+SELECT d.id, CAST(d.deg AS BIGINT) AS degree,
+       ROUND(CASE WHEN d.deg >= 2
+                  THEN 2.0 * COALESCE(s.s, 0) / (d.deg * (d.deg - 1))
+                  ELSE 0e0 END, 6) AS w_clustering
+FROM deg d LEFT JOIN s ON s.id = d.id"""
+
+QUERIES["weighted_clustering"] = q_weighted_clustering
+
+
+HEAT_T = 3.0
+HEAT_K = 6
+
+
+def q_heat_kernel(spark, sf_dir):
+    """Chung's heat-kernel pagerank, K-term Taylor truncation — exact
+    cross-engine by construction (both sides sum the same K terms)."""
+    from .operators.diffusion import heat_kernel_pagerank
+
+    return heat_kernel_pagerank(load_edges(spark, sf_dir), t=HEAT_T, taylor_k=HEAT_K)
+
+
+def _heat_sql() -> str:
+    from .operators.diffusion import heat_coefficients
+
+    coef = heat_coefficients(HEAT_T, HEAT_K)
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)",
+        "x0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS x FROM nodes)",
+    ]
+    for k in range(1, HEAT_K + 1):
+        ctes.append(
+            f"""x{k} AS MATERIALIZED (
+  SELECT t.id, COALESCE(c.v, 0e0) AS x FROM nodes t LEFT JOIN (
+    SELECT e.dst AS id, SUM(x.x / od.od) AS v
+    FROM edges e JOIN od ON od.src = e.src JOIN x{k - 1} x ON x.id = e.src
+    GROUP BY e.dst) c ON c.id = t.id)"""
+        )
+    # left-to-right accumulation matches the Spark loop's h += coef_k·x_k
+    acc = f"{coef[0]!r} * x0.x"
+    joins = ""
+    for k in range(1, HEAT_K + 1):
+        acc = f"({acc} + {coef[k]!r} * x{k}.x)"
+        joins += f" JOIN x{k} ON x{k}.id = x0.id"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT x0.id, ROUND({acc} * (SELECT n FROM nn), 6) AS heat_scaled
+FROM x0{joins}"""
+    )
+
+
+ORACLE["heat_kernel"] = _heat_sql()
+QUERIES["heat_kernel"] = q_heat_kernel
+
+
+def q_degree_gini(spark, sf_dir):
+    """Gini coefficient of the undirected degree distribution."""
+    from .graph import degree_gini
+
+    return degree_gini(load_edges(spark, sf_dir))
+
+
+ORACLE["degree_gini"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS ({UND_SQL}),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+hist AS (SELECT deg, COUNT(*) AS c FROM deg GROUP BY deg),
+blocks AS (
+  SELECT deg, c,
+         COALESCE(SUM(c) OVER (ORDER BY deg
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM hist)
+SELECT CAST(SUM(c) AS BIGINT) AS n_nodes,
+       CAST(SUM(deg * c) AS BIGINT) AS total_degree,
+       ROUND(2.0 * SUM(deg * (c * s + c * (c + 1) / 2.0))
+               / (SUM(c) * SUM(deg * c))
+             - (SUM(c) + 1.0) / SUM(c), 6) AS gini
+FROM blocks"""
+
+QUERIES["degree_gini"] = q_degree_gini
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promo revenue share): conditional aggregate ratio
+    over a date-sliced fact⨝dim join — part is the broadcast side."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+ORACLE["tpch_q14"] = """SELECT
+  ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+        / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'"""
+
+QUERIES["tpch_q14"] = q_tpch_q14
+
+
+Q22_PRICE = 350_000.0
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global-customer analysis): scalar AVG subquery
+    threshold + NOT EXISTS anti-join + group aggregate. Adapted to the
+    synthetic schema: 'has never placed a big order' stands in for the
+    canonical 'has no orders' (every synthetic customer has orders)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("a"))
+    )
+    big = orders.filter(F.col("o_totalprice") > Q22_PRICE).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(big, cust["c_custkey"] == big["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+ORACLE["tpch_q22"] = f"""SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > {Q22_PRICE!r})
+GROUP BY c_mktsegment"""
+
+QUERIES["tpch_q22"] = q_tpch_q22

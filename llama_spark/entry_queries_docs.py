@@ -2185,3 +2185,109 @@ SELECT r.grp AS source, r.q_bp, CAST(r.rank AS BIGINT) AS rank,
 FROM ranks r JOIN cum c ON c.grp = r.grp AND c.cum >= r.rank
 GROUP BY 1, 2, 3"""
 DOCS_QUERIES["source_quantiles"] = q_source_quantiles
+
+
+# ------------------------------------------------- round-5e: gopher rules +
+# top principal component
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Published Gopher keep/drop quality screen (Rae et al. 2021 A1.1)."""
+    from .functions.text import gopher_rules
+
+    return gopher_rules(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+DOCS_ORACLE["gopher_quality"] = rf"""WITH lt AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           / (CASE WHEN len(toks) > 0 THEN len(toks) END) AS mean_word_len,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+           / (CASE WHEN len(toks) > 0 THEN len(toks) END) AS alpha_frac,
+         CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+           / (CASE WHEN len(toks) > 0 THEN len(toks) END) AS symbol_ratio,
+         len(list_distinct(list_filter(toks, x -> list_contains({_STOP_LIST}, x))))
+           AS stop_hits
+  FROM lt)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(alpha_frac, 6) AS alpha_frac,
+       ROUND(symbol_ratio, 6) AS symbol_ratio,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       COALESCE(n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1
+                AND stop_hits >= 2, FALSE) AS keep
+FROM m"""
+DOCS_QUERIES["gopher_quality"] = q_gopher_quality
+
+
+PCA_ITERS = 8
+
+
+def q_pca_power(spark, sf_dir):
+    """Top principal component of the first COV_DIMS embedding coords by
+    power iteration on the distributed covariance (D×D driver iterate)."""
+    from .functions.cluster import pca_top_component
+
+    return pca_top_component(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        dims=COV_DIMS,
+        iters=PCA_ITERS,
+    )
+
+
+def _pca_sql() -> str:
+    # every iteration CTE is MATERIALIZED: m{k} is referenced twice (the
+    # join and the scalar norm subquery) and v{k} feeds m{k+1}, so inlined
+    # CTEs would re-evaluate the whole upstream chain 2^K times
+    cov_full = f"""comp AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM embeddings),
+c AS MATERIALIZED (SELECT * FROM comp WHERE dim < {COV_DIMS}),
+pairs AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j, SUM(a.q * b.q) AS sqq
+  FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2),
+d AS (SELECT dim, COUNT(*) AS n, SUM(q) AS s FROM c GROUP BY dim),
+covu AS MATERIALIZED (
+  SELECT p.i, p.j,
+         ROUND((p.sqq / da.n - (da.s / da.n) * (db.s / db.n))
+               / 1000000000000.0, 6) AS cov
+  FROM pairs p JOIN d da ON da.dim = p.i JOIN d db ON db.dim = p.j),
+cov AS MATERIALIZED (SELECT i, j, cov FROM covu
+        UNION ALL SELECT j, i, cov FROM covu WHERE i <> j),
+v0 AS (SELECT i AS dim, 1.0 / sqrt({COV_DIMS}.0) AS v
+       FROM (SELECT DISTINCT i FROM covu))"""
+    ctes = [cov_full]
+    for k in range(1, PCA_ITERS + 1):
+        ctes.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT c.i AS dim, SUM(c.cov * v.v) AS m
+  FROM cov c JOIN v{k - 1} v ON v.dim = c.j GROUP BY c.i),
+v{k} AS MATERIALIZED (
+  SELECT dim, ROUND(m / (SELECT sqrt(SUM(m * m)) FROM m{k}), 9) AS v
+  FROM m{k})"""
+        )
+    last = f"v{PCA_ITERS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+lead AS (SELECT v FROM {last} ORDER BY ABS(v) DESC, dim ASC LIMIT 1)
+SELECT CAST(dim AS BIGINT) AS dim,
+       ROUND(CASE WHEN (SELECT v FROM lead) < 0 THEN -v ELSE v END, 6)
+         AS loading
+FROM {last}"""
+    )
+
+
+DOCS_ORACLE["pca_power"] = _pca_sql()
+DOCS_QUERIES["pca_power"] = q_pca_power

@@ -405,3 +405,54 @@ def embedding_covariance(
             ).alias("cov"),
         )
     )
+
+
+def pca_top_component(
+    embeddings: DataFrame,
+    dims: int = 16,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame[dim, loading] — the top principal component of the first
+    ``dims`` embedding coordinates by power iteration on the covariance
+    from ``embedding_covariance``. The distributed work IS the covariance
+    (one Arrow Gram pass over the corpus); the D×D iteration runs on the
+    driver — the documented only-D² -leaves-the-executors pattern, O(D²·K)
+    flops on ≤ a few hundred doubles.
+
+    Determinism contract: the cov entries are already 6 dp-rounded exact
+    doubles in both engines; the iterate is re-rounded to 9 dp after every
+    normalize so cross-engine accumulation-order noise (~1e-16) can never
+    compound across steps; final loadings round 6 dp with the sign fixed
+    so the largest-|loading| dimension (ties → lower dim) is positive.
+    v₀ = 1/√D uniform.
+    """
+    import math
+
+    def rnd(x: float, p: int) -> float:
+        # half-AWAY like Spark/DuckDB ROUND (Python round() is half-even)
+        s = 10.0**p
+        return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+    tri = embedding_covariance(
+        embeddings, dims=dims, id_col=id_col, vec_col=vec_col
+    ).collect()  # ≤ D(D+1)/2 rows — the bounded driver transfer
+    c = [[0.0] * dims for _ in range(dims)]
+    for r in tri:
+        c[r["i"]][r["j"]] = r["cov"]
+        c[r["j"]][r["i"]] = r["cov"]
+    v = [1.0 / math.sqrt(dims)] * dims
+    for _ in range(iters):
+        nv = [sum(c[i][j] * v[j] for j in range(dims)) for i in range(dims)]
+        nrm = math.sqrt(sum(x * x for x in nv))
+        if nrm == 0.0:
+            break
+        v = [rnd(x / nrm, 9) for x in nv]
+    lead = max(range(dims), key=lambda i: (abs(v[i]), -i))
+    if v[lead] < 0:
+        v = [-x for x in v]
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i, rnd(v[i], 6)) for i in range(dims)], "dim long, loading double"
+    )

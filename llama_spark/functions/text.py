@@ -849,3 +849,52 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def gopher_rules(documents: DataFrame) -> DataFrame:
+    """Per-doc Gopher quality-rule verdict (Rae et al. 2021, §A1.1) — the
+    published keep/drop screen production corpora run between the cheap
+    stats above and the dedup stages:
+
+      n_words          whitespace-token count, bounds [min_words, max_words]
+      mean_word_len    bounds [3, 10]
+      alpha_frac       fraction of words containing ≥1 ascii letter, ≥ 0.8
+      symbol_ratio     (# of '#' or '...' occurrences) / n_words, ≤ 0.1
+      stop_hits        DISTINCT stopwords present, ≥ 2
+      keep             AND of the five rules
+
+    All ratios rounded 6 dp; pure Catalyst expressions (the regex sits in
+    the Java-regex ∩ RE2 common subset like content_flags)."""
+    toks = tokens_col()
+    n_words = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = tok_chars / F.when(n_words > 0, n_words)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = alpha / F.when(n_words > 0, n_words)
+    symbols = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"#|\.\.\."), 0))
+    symbol_ratio = symbols / F.when(n_words > 0, n_words)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(
+        F.array_distinct(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    )
+    min_words, max_words = 50, 100_000
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (alpha_frac >= 0.8)
+        & (symbol_ratio <= 0.1)
+        & (stop_hits >= 2)
+    )
+    return documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )

@@ -495,3 +495,43 @@ def relabel_by_degree(edges: DataFrame, buckets: int = 256) -> DataFrame:
     return ranked.join(offs, ["d", "bkt"]).select(
         "id", (F.col("off") + F.col("rn") - 1).cast("long").alias("new_id")
     )
+
+
+def degree_gini(edges: DataFrame) -> DataFrame:
+    """1-row DataFrame[n_nodes, total_degree, gini] — Gini coefficient of
+    the undirected degree distribution, the single-number inequality/skew
+    summary next to the log2 histogram above (G≈0 regular graph, G→1 a
+    few hubs own the edges — the salting-needed signal quantified).
+
+    Scale shape: G = (2·Σᵢ i·d₍ᵢ₎)/(n·Σd) − (n+1)/n needs the degrees in
+    ascending order, but ties make any within-block order equivalent, so
+    the global sort collapses to a DISTINCT-DEGREE histogram: a tie block
+    of c nodes at degree d spanning ranks (s, s+c] contributes
+    d·(c·s + c(c+1)/2). The window below runs over ≤ max-degree rows
+    (same bounded-window argument as the coreness h-index), never |V|.
+    """
+    from pyspark.sql import Window
+
+    und = drop_self_loops(undirected_double(edges)).distinct()
+    deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("deg"))
+    hist = deg.groupBy("deg").agg(F.count("*").alias("c"))
+    w = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = hist.select(
+        "deg",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("s"),
+    )
+    return blocks.agg(
+        F.sum("c").cast("long").alias("n_nodes"),
+        F.sum(F.col("deg") * F.col("c")).cast("long").alias("total_degree"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(
+                F.col("deg")
+                * (F.col("c") * F.col("s") + F.col("c") * (F.col("c") + 1) / F.lit(2.0))
+            )
+            / (F.sum("c") * F.sum(F.col("deg") * F.col("c")))
+            - (F.sum("c") + F.lit(1.0)) / F.sum("c"),
+            6,
+        ).alias("gini"),
+    )

@@ -246,3 +246,129 @@ def friend_recommendations(
         .filter(F.col("rank") <= top_k)
         .select("id", "candidate", "common", "rank")
     )
+
+
+def scan_statistic(edges: DataFrame) -> DataFrame:
+    """DataFrame[id, degree, triangles, scan_stat, ego_density] — Priebe's
+    scan statistic Γ(v): the edge count of the induced CLOSED 1-hop
+    neighborhood, the standard local-anomaly signal for link graphs
+    (a node whose neighborhood is abnormally dense ⇒ spam farm / clique).
+
+    Γ(v) = d(v) + T(v): the d(v) spokes plus one edge per triangle at v
+    (every neighbor-neighbor edge closes a triangle through v).
+    ego_density = Γ(v) / C(d(v)+1, 2), 0.0 for isolated-ish d(v) = 0.
+
+    Reuses the degree-oriented triangle kernel — the hub never enumerates
+    its own D² wedges, so the statistic is skew-safe at web scale.
+    """
+    deg = _und_degrees(edges)
+    tri = triangles_per_node(edges, orient="degree")
+    t = F.coalesce(F.col("triangles"), F.lit(0))
+    gamma = F.col("deg") + t
+    possible = (F.col("deg") + F.lit(1)) * F.col("deg") / F.lit(2.0)
+    return deg.join(tri, "id", "left").select(
+        "id",
+        F.col("deg").cast("long").alias("degree"),
+        t.cast("long").alias("triangles"),
+        gamma.cast("long").alias("scan_stat"),
+        F.round(
+            F.when(F.col("deg") >= 1, gamma / possible).otherwise(F.lit(0.0)), 6
+        ).alias("ego_density"),
+    )
+
+
+def weighted_clustering(
+    edges: DataFrame, weight_col: str = "weight"
+) -> DataFrame:
+    """DataFrame[id, degree, w_clustering] — Onnela et al. (2005) weighted
+    local clustering: C_w(v) = (2 / d(v)(d(v)−1)) Σ_{△(v,j,k)}
+    (ŵ_vj · ŵ_vk · ŵ_jk)^{1/3}, with ŵ = w / max w over the graph and the
+    undirected weight of a pair = max over the two directions (the same
+    symmetric-max convention weighted_k_core uses). 0.0 where d(v) < 2;
+    rounded 6 dp.
+
+    Plan: one ordered weighted edge set, degree-oriented like the triangle
+    kernel (hubs wedge at their low-degree neighbors), closed by an equi-
+    join carrying all three pair weights; per-corner cbrt-product credits
+    aggregated in a single pass. JVM-only expressions.
+    """
+    undw = (
+        drop_self_loops(
+            edges.select(
+                F.least(SRC, DST).alias(SRC),
+                F.greatest(SRC, DST).alias(DST),
+                F.col(weight_col).alias("w"),
+            )
+        )
+        .groupBy(SRC, DST)
+        .agg(F.max("w").alias("w"))
+    )
+    deg = (
+        undw.select(F.col(SRC).alias("id"))
+        .unionAll(undw.select(F.col(DST).alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wmax = undw.agg(F.max("w")).collect()[0][0]  # 1-row aggregate
+    if wmax is None:
+        return deg.select(
+            "id",
+            F.col("deg").cast("long").alias("degree"),
+            F.lit(0.0).alias("w_clustering"),
+        )
+    # orient low-(deg, id) endpoint first, weight rides along
+    da, db = deg.alias("da"), deg.alias("db")
+    u = undw.join(da, undw[SRC] == F.col("da.id")).join(
+        db, undw[DST] == F.col("db.id")
+    )
+    lo_first = (F.col("da.deg") < F.col("db.deg")) | (
+        (F.col("da.deg") == F.col("db.deg")) & (undw[SRC] < undw[DST])
+    )
+    e = (
+        u.select(
+            F.when(lo_first, undw[SRC]).otherwise(undw[DST]).alias(SRC),
+            F.when(lo_first, undw[DST]).otherwise(undw[SRC]).alias(DST),
+            (undw["w"] / F.lit(float(wmax))).alias("w"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e1.src") == F.col("e3.src"))
+            & (F.col("e2.dst") == F.col("e3.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+            F.cbrt(F.col("e1.w") * F.col("e2.w") * F.col("e3.w")).alias("term"),
+        )
+    )
+    credits = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("id"), "term"
+    )
+    sums = credits.groupBy("id").agg(F.sum("term").alias("s"))
+    out = (
+        deg.join(sums, "id", "left")
+        .select(
+            "id",
+            F.col("deg").cast("long").alias("degree"),
+            F.round(
+                F.when(
+                    F.col("deg") >= 2,
+                    F.lit(2.0)
+                    * F.coalesce(F.col("s"), F.lit(0.0))
+                    / (F.col("deg") * (F.col("deg") - F.lit(1))),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("w_clustering"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    deg.unpersist()
+    return out

@@ -502,6 +502,18 @@ class GraphSession:
 
         return degree_gini(self._e())
 
+    def landmark_distances(self, **kw) -> DataFrame:
+        """ALT-style distance-sketch bounds (traversal.landmark_distances)."""
+        from .operators.traversal import landmark_distances
+
+        return landmark_distances(self._e(), **kw)
+
+    def clique_percolation(self, **kw) -> DataFrame:
+        """Overlapping k=3 CPM communities (components.clique_percolation)."""
+        from .operators.components import clique_percolation
+
+        return clique_percolation(self._e(), **kw)
+
     def conductance(self, communities: DataFrame) -> DataFrame:
         """Per-community conductance of any [id, label] table
         (components.community_conductance)."""

@@ -5533,3 +5533,129 @@ WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
 GROUP BY c_mktsegment"""
 
 QUERIES["tpch_q22"] = q_tpch_q22
+
+
+# ------------------------------------------------- round-5g: landmark
+# distance sketches
+
+
+LMK_K = 8       # landmarks (top-degree pick, Potamias et al.)
+LMK_QUERY = 24  # query set: all pairs over ids < LMK_QUERY
+
+
+def q_landmark_distances(spark, sf_dir):
+    """ALT-style landmark distance bounds: one K-root multi-source BFS
+    precomputes the sketch; every pair query is a K-row join."""
+    from .operators.traversal import landmark_distances
+
+    return landmark_distances(
+        load_edges(spark, sf_dir),
+        k_landmarks=LMK_K,
+        query_ids=list(range(LMK_QUERY)),
+    )
+
+
+def _landmark_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src)",
+        f"lmk AS MATERIALIZED (SELECT id AS root FROM deg "
+        f"ORDER BY deg DESC, id ASC LIMIT {LMK_K})",
+        "m0 AS MATERIALIZED (SELECT l.root, n.id, "
+        "CASE WHEN n.id = l.root THEN 0 END AS depth "
+        "FROM nodes n CROSS JOIN lmk l)",
+    ]
+    for i in range(1, BFS_UNROLL + 1):
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (
+  SELECT p.root, p.id,
+         CASE WHEN c.cand IS NULL THEN p.depth
+              WHEN p.depth IS NULL OR c.cand < p.depth THEN c.cand
+              ELSE p.depth END AS depth
+  FROM m{i-1} p LEFT JOIN (
+    SELECT q.root, e.dst AS id, MIN(q.depth + 1) AS cand
+    FROM m{i-1} q JOIN und e ON e.src = q.id
+    WHERE q.depth IS NOT NULL GROUP BY q.root, e.dst
+  ) c ON p.root = c.root AND p.id = c.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+sk AS (SELECT root, id, depth FROM m{BFS_UNROLL}
+       WHERE depth IS NOT NULL AND id < {LMK_QUERY})
+SELECT a.id AS u, b.id AS v,
+       CAST(MAX(ABS(a.depth - b.depth)) AS BIGINT) AS lower,
+       CAST(MIN(a.depth + b.depth) AS BIGINT) AS upper,
+       CAST(COUNT(*) AS BIGINT) AS n_landmarks
+FROM sk a JOIN sk b ON a.root = b.root AND a.id < b.id
+GROUP BY a.id, b.id"""
+    )
+
+
+ORACLE["landmark_distances"] = _landmark_sql()
+QUERIES["landmark_distances"] = q_landmark_distances
+
+
+def q_clique_percolation(spark, sf_dir):
+    """Palla k=3 clique-percolation: overlapping communities = CC over the
+    triangle edge-overlap graph; (id, community) rows, hubs in several."""
+    from .operators.components import clique_percolation
+
+    return clique_percolation(load_edges(spark, sf_dir))
+
+
+CPM_CC_UNROLL = 32  # link-graph diameter ~2x the node graph's; 16 under-merges
+
+
+def _cpm_sql() -> str:
+    b = 1 << 31
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "ordered AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst)",
+        f"""tris AS MATERIALIZED (
+  SELECT e1.src * {b} + e1.dst AS ab,
+         e2.src * {b} + e2.dst AS bc,
+         e1.src * {b} + e2.dst AS ac
+  FROM ordered e1 JOIN ordered e2 ON e1.dst = e2.src
+  JOIN ordered e3 ON e3.src = e1.src AND e3.dst = e2.dst)""",
+        """links AS MATERIALIZED (
+  SELECT ab AS src, bc AS dst FROM tris
+  UNION ALL SELECT bc, ac FROM tris
+  UNION ALL SELECT ab, ac FROM tris)""",
+        """lund AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM links UNION ALL SELECT dst AS src, src AS dst FROM links
+  ) WHERE src <> dst)""",
+        """lnodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM links UNION ALL SELECT dst FROM links))""",
+        "c0 AS MATERIALIZED (SELECT id, id AS component FROM lnodes)",
+    ]
+    for i in range(1, CPM_CC_UNROLL + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN m.nmin IS NOT NULL AND m.nmin < c.component
+              THEN m.nmin ELSE c.component END AS component
+  FROM c{i-1} c LEFT JOIN (
+    SELECT u.dst AS id, MIN(p.component) AS nmin
+    FROM c{i-1} p JOIN lund u ON u.src = p.id
+    GROUP BY u.dst
+  ) m ON c.id = m.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT DISTINCT x.id, c.component AS community
+FROM c{CPM_CC_UNROLL} c CROSS JOIN LATERAL (VALUES (c.id // {b}), (c.id % {b})) AS x(id)"""
+    )
+
+
+ORACLE["clique_percolation"] = _cpm_sql()
+QUERIES["clique_percolation"] = q_clique_percolation

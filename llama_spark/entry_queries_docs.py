@@ -2291,3 +2291,56 @@ FROM {last}"""
 
 DOCS_ORACLE["pca_power"] = _pca_sql()
 DOCS_QUERIES["pca_power"] = q_pca_power
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination: the exact screen's join side
+    compressed to an 8-KiB broadcast bit array (one-sided over-flagging)."""
+    from .functions.dedup import bloom_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bloom_decontaminate(
+        docs.filter(F.col("doc_id") % DECON_MOD != 0),
+        docs.filter(F.col("doc_id") % DECON_MOD == 0),
+        n=3,
+        min_hits=DECON_MIN_HITS,
+    )
+
+
+def _bloom_decon_sql() -> str:
+    def p(i: int) -> str:
+        return (
+            f"CAST(('0x' || substr(md5(shingle), {1 + 8 * i}, 8)) AS BIGINT)"
+            f" % 65536"
+        )
+
+    probes = ", ".join(f"{p(i)} AS p{i}" for i in range(4))
+    conds = "\n    AND ".join(
+        f"(COALESCE(f{i}.mask, 0) & (CAST(1 AS BIGINT) << CAST(t.p{i} % 32 AS INT))) <> 0"
+        for i in range(4)
+    )
+    joins = "\n  ".join(f"LEFT JOIN f f{i} ON f{i}.word = t.p{i} // 32" for i in range(4))
+    return f"""WITH toks AS MATERIALIZED ({TOKS_SQL}),
+sh AS MATERIALIZED ({SHINGLES_SQL}),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_MOD} = 0),
+pos AS (SELECT unnest([{", ".join(p(i) for i in range(4))}]) AS pos FROM ev),
+f AS MATERIALIZED (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS mask
+  FROM pos GROUP BY 1),
+tr AS (SELECT doc_id, {probes} FROM sh WHERE doc_id % {DECON_MOD} <> 0),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n
+  FROM tr t
+  {joins}
+  WHERE {conds}
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_bloom_hits,
+       COALESCE(h.n, 0) >= {DECON_MIN_HITS} AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_MOD} <> 0) d
+LEFT JOIN hits h ON h.doc_id = d.doc_id"""
+
+
+DOCS_ORACLE["bloom_decontaminate"] = _bloom_decon_sql()
+DOCS_QUERIES["bloom_decontaminate"] = q_bloom_decontaminate

@@ -797,3 +797,96 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+BLOOM_BITS = 1 << 16    # m = 65,536 bits → 2,048 32-bit words (8 KiB)
+BLOOM_HASHES = 4        # k; FPR ≈ (1 − e^{−kn/m})^k — ~2.4% at n = 20k
+
+
+def _bloom_positions(col) -> list:
+    """K deterministic bit positions from disjoint 8-hex md5 slices —
+    portable to DuckDB as CAST('0x'||substr(md5(s),1+8i,8) AS BIGINT)."""
+    h = F.md5(col)
+    return [
+        (
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+            % F.lit(BLOOM_BITS)
+        )
+        for i in range(BLOOM_HASHES)
+    ]
+
+
+def bloom_decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    min_hits: int = 5,
+) -> DataFrame:
+    """Bloom-filter eval-set decontamination — DataFrame[doc_id,
+    n_bloom_hits, contaminated]: :func:`decontaminate` with the eval
+    shingle set compressed into an 8-KiB Bloom filter instead of shipped
+    as a join side. ``n_bloom_hits`` ≥ the exact ``n_hits`` (one-sided:
+    Bloom probes never miss a real hit, so ``contaminated`` only
+    over-flags at the documented FPR — the safe direction for a screen
+    whose false positives merely drop extra training docs).
+
+    Scale shape: the filter build aggregates eval shingles to ≤ 2,048
+    (word, mask) rows — the ONLY thing that leaves the executors — and the
+    probe is a pure per-row expression over the embedded 2,048-long array
+    literal: the training corpus is never shuffled AT ALL (the exact
+    variant broadcasts the full distinct eval shingle set, which at a
+    10⁶-doc eval suite is hundreds of MB; the filter is 8 KiB forever).
+    Bit layout: word = pos >> 5, bit = pos & 31 — masks stay positive in
+    both engines' BIGINTs.
+    """
+    ev = shingles(eval_docs, n).select("shingle").distinct()
+    words = (
+        ev.select(
+            F.explode(F.array(*_bloom_positions(F.col("shingle")))).alias("pos")
+        )
+        .select(
+            F.shiftright(F.col("pos"), 5).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+        .collect()  # ≤ 2,048 rows — the bounded driver transfer
+    )
+    filt = [0] * (BLOOM_BITS >> 5)
+    for r in words:
+        filt[r["word"]] = r["mask"]
+
+    sh = shingles(train_docs, n)
+    pos = _bloom_positions(F.col("shingle"))
+    arr = F.lit(filt)  # one array<bigint> literal, projected once
+    probed = sh.select(
+        "doc_id",
+        arr.alias("bf"),
+        *[pos[i].alias(f"p{i}") for i in range(BLOOM_HASHES)],
+    )
+    member = None
+    for i in range(BLOOM_HASHES):
+        hit = (
+            F.element_at(F.col("bf"), (F.shiftright(F.col(f"p{i}"), 5) + 1).cast("int"))
+            .bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p{i} % 32 AS INT))")
+            )
+            != 0
+        )
+        member = hit if member is None else (member & hit)
+    hits = (
+        probed.filter(member)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bloom_hits"))
+    )
+    return (
+        train_docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom_hits", F.lit(0)).cast("long").alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

@@ -977,3 +977,76 @@ def community_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     e2.unpersist()
     return out
+
+
+CPM_ID_BITS = 31  # edge-key encoding least*2^31+greatest (ids < 2^31)
+
+
+def clique_percolation(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """DataFrame[id, community] — OVERLAPPING k=3 clique-percolation
+    communities (Palla et al., Nature 435:814, 2005): a community is a
+    maximal union of triangles chained by shared edges; a node belongs to
+    one row per community containing it (hub nodes bridge several).
+
+    Plan — everything reuses audited kernels: (1) enumerate triangles with
+    the degree-oriented skew-safe kernel (hubs wedge at their low-degree
+    neighbors); (2) re-key each triangle's three undirected edges as
+    least·2³¹+greatest longs; (3) link the three edge-keys pairwise — two
+    triangles sharing an edge become connected through that key — and run
+    the hash-min CC fixpoint over the link graph (nodes = triangle-
+    participating edges only, so the state is O(#triangle edges), not
+    O(E)); (4) project components back to endpoints. Edges in no triangle
+    are in no community, per the definition. The long encoding bounds ids
+    to 2³¹ — beyond that, swap the key to a (lo, hi) struct (Spark min()
+    orders structs lexicographically); the gate keeps the long form so the
+    DuckDB oracle replays it verbatim.
+    """
+    from .triangles import oriented_edges
+
+    b = F.lit(1 << CPM_ID_BITS)
+
+    def ekey(x, y):
+        return (F.least(x, y).cast("long") * b + F.greatest(x, y)).alias("k")
+
+    e = materialize(oriented_edges(edges, orient="degree"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e1.src") == F.col("e3.src"))
+            & (F.col("e2.dst") == F.col("e3.dst")),
+            "left_semi",
+        )
+        .select(
+            ekey(F.col("e1.src"), F.col("e1.dst")).alias("ab"),
+            ekey(F.col("e1.dst"), F.col("e2.dst")).alias("bc"),
+            ekey(F.col("e1.src"), F.col("e2.dst")).alias("ac"),
+        )
+    )
+    links = (
+        tris.select(F.col("ab").alias(SRC), F.col("bc").alias(DST))
+        .unionAll(tris.select(F.col("bc").alias(SRC), F.col("ac").alias(DST)))
+        .unionAll(tris.select(F.col("ab").alias(SRC), F.col("ac").alias(DST)))
+    )
+    # materialize: three star phases per round would otherwise re-run the
+    # whole triangle enumeration each time they touch the link set
+    links = materialize(links)
+    # alternating-star, not hash-min: communities chained edge-by-edge give
+    # the link graph a diameter ~2x the node graph's, and star contraction
+    # converges in O(log^2 n) rounds regardless of chain length
+    comp = connected_components_alternating(links, max_rounds=max_iter)
+    e.unpersist()
+    return (
+        comp.select(
+            # bit ops, not / — double division loses exactness past 2^53
+            F.shiftright(F.col("id"), CPM_ID_BITS).alias("u"),
+            F.col("id").bitwiseAND(F.lit((1 << CPM_ID_BITS) - 1)).alias("v"),
+            "component",
+        )
+        .select(
+            F.explode(F.array("u", "v")).alias("id"),
+            F.col("component").alias("community"),
+        )
+        .distinct()
+    )

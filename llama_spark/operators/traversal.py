@@ -471,3 +471,69 @@ def eccentricity_sample(
         F.max("depth").cast("long").alias("ecc"),
         F.count("*").cast("long").alias("n_reached"),
     )
+
+
+def pick_landmarks(edges: DataFrame, k: int = 8) -> list[int]:
+    """Top-k undirected-degree nodes (ties → lower id) — the degree-based
+    landmark pick of Potamias et al. (CIKM 2009), which dominates random
+    landmarks for distance estimation on power-law web graphs. K rows
+    collected to the driver (bounded, like bc.pick_roots)."""
+    und = drop_self_loops(
+        edges.select(SRC, DST)
+        .unionAll(edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+    ).distinct()
+    deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("deg"))
+    return [
+        r["id"]
+        for r in deg.orderBy(F.desc("deg"), F.asc("id")).limit(k).collect()
+    ]
+
+
+def landmark_distances(
+    edges: DataFrame,
+    landmarks: list[int] | None = None,
+    k_landmarks: int = 8,
+    query_ids: list[int] | None = None,
+    max_iter: int = 100,
+) -> DataFrame:
+    """DataFrame[u, v, lower, upper, n_landmarks] — landmark (ALT-style)
+    distance-sketch bounds for every query pair u < v over the UNDIRECTED
+    graph: upper = min_L d(u,L)+d(L,v), lower = max_L |d(u,L)−d(L,v)|,
+    n_landmarks = common landmarks reaching both. Pairs with no common
+    landmark are absent (sparse, like multi_source_bfs_depths).
+
+    The web-scale distance-oracle recipe (Das Sarma et al. WSDM 2010;
+    ll_bfs_template.h is the per-source kernel the reference would run per
+    query): ONE K-root multi-source BFS precomputes the sketch; every
+    subsequent pair query is a K-row join — no per-query traversal. The
+    BFS cost is O(Σ_r |reach(r)|) rows (sparse contract), the pair join
+    shuffles only |query|·K sketch rows, and the 1-hop exactness shortcut
+    is deliberately NOT applied so both engines compute the same pure
+    sketch bound.
+    """
+    und = drop_self_loops(
+        edges.select(SRC, DST)
+        .unionAll(edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+    ).distinct()
+    if landmarks is None:
+        landmarks = pick_landmarks(edges, k=k_landmarks)
+    depths = multi_source_bfs_depths(und, roots=landmarks, max_iter=max_iter)
+    if query_ids is not None:
+        ids = sorted(set(query_ids))
+        depths = depths.filter(F.col("id").isin(ids))
+    a = depths.select(
+        F.col("root"), F.col("id").alias("u"), F.col("depth").alias("du")
+    )
+    b = depths.select(
+        F.col("root"), F.col("id").alias("v"), F.col("depth").alias("dv")
+    )
+    return (
+        a.join(b, "root")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.max(F.abs(F.col("du") - F.col("dv"))).cast("long").alias("lower"),
+            F.min(F.col("du") + F.col("dv")).cast("long").alias("upper"),
+            F.count("*").cast("long").alias("n_landmarks"),
+        )
+    )

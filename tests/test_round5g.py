@@ -279,3 +279,153 @@ def test_graphsession_round5g_methods(spark):
         with_synthetic_weights(edges_df(spark, edges))
     )
     assert gw.weighted_clustering().count() == 4
+
+
+# ---- landmark distance sketches ----
+
+
+def test_landmark_distances_path_exact_between_landmarks(spark):
+    from llama_spark.operators.traversal import landmark_distances
+
+    # path 0-1-2-3-4; landmarks = {1, 3} (top-degree after 1,2,3 tie → low id)
+    path = [(i, i + 1) for i in range(4)]
+    rows = {
+        (r["u"], r["v"]): r
+        for r in landmark_distances(
+            edges_df(spark, path), landmarks=[1, 3], query_ids=[0, 2, 4]
+        ).collect()
+    }
+    # d(0,2)=2: via L=1 upper=1+1=2, lower=|1-1|=0; via L=3 upper=3+1=4, lower=2
+    assert rows[(0, 2)]["upper"] == 2 and rows[(0, 2)]["lower"] == 2
+    # d(0,4)=4: via L=1 1+3=4; via L=3 3+1=4; lower max(|1-3|,|3-1|)=2
+    assert rows[(0, 4)]["upper"] == 4 and rows[(0, 4)]["lower"] == 2
+    assert rows[(0, 4)]["n_landmarks"] == 2
+
+
+def test_landmark_distances_bounds_sandwich_truth(spark):
+    import itertools
+
+    from llama_spark.operators.traversal import landmark_distances, pick_landmarks
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (1, 5), (5, 6), (2, 6)]
+    # true undirected distances by Floyd-Warshall
+    nodes = sorted({u for e in edges for u in e})
+    inf = 99
+    d = {(a, b): (0 if a == b else inf) for a in nodes for b in nodes}
+    for u, v in edges:
+        d[(u, v)] = d[(v, u)] = 1
+    for k, i, j in itertools.product(nodes, nodes, nodes):
+        if d[(i, k)] + d[(k, j)] < d[(i, j)]:
+            d[(i, j)] = d[(i, k)] + d[(k, j)]
+    lmk = pick_landmarks(edges_df(spark, edges), k=3)
+    rows = landmark_distances(
+        edges_df(spark, edges), landmarks=lmk, query_ids=nodes
+    ).collect()
+    assert len(rows) == len(nodes) * (len(nodes) - 1) // 2  # connected graph
+    for r in rows:
+        truth = d[(r["u"], r["v"])]
+        assert r["lower"] <= truth <= r["upper"], (r, truth)
+
+
+def test_pick_landmarks_degree_order(spark):
+    from llama_spark.operators.traversal import pick_landmarks
+
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    assert pick_landmarks(edges_df(spark, star), k=3) == [0, 1, 2]
+
+
+# ---- k=3 clique percolation ----
+
+
+def test_clique_percolation_two_chained_triangles(spark):
+    from llama_spark.operators.components import clique_percolation
+
+    # triangles (0,1,2) and (1,2,3) share edge (1,2) → ONE community
+    e = [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)]
+    rows = clique_percolation(edges_df(spark, e)).collect()
+    comms = {}
+    for r in rows:
+        comms.setdefault(r["community"], set()).add(r["id"])
+    assert len(comms) == 1
+    assert set(next(iter(comms.values()))) == {0, 1, 2, 3}
+
+
+def test_clique_percolation_vertex_shared_communities_stay_separate(spark):
+    from llama_spark.operators.components import clique_percolation
+
+    # two triangles sharing ONLY node 0 (no edge) → two communities; node 0
+    # is a member of both (the overlapping-communities contract)
+    e = [(0, 1), (1, 2), (0, 2), (0, 3), (3, 4), (0, 4)]
+    rows = clique_percolation(edges_df(spark, e)).collect()
+    comms = {}
+    for r in rows:
+        comms.setdefault(r["community"], set()).add(r["id"])
+    assert len(comms) == 2
+    assert sorted(map(sorted, comms.values())) == [[0, 1, 2], [0, 3, 4]]
+
+
+def test_clique_percolation_excludes_triangle_free_edges(spark):
+    from llama_spark.operators.components import clique_percolation
+
+    # triangle + tail 2-3-4: tail edges are in no community
+    e = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    rows = clique_percolation(edges_df(spark, e)).collect()
+    assert sorted(r["id"] for r in rows) == [0, 1, 2]
+
+
+# ---- Bloom decontamination ----
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    from llama_spark.functions.dedup import bloom_decontaminate, decontaminate
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "alpha beta gamma delta epsilon other tail words",
+        "totally different content with no overlap here",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ev = docs.filter("doc_id = 0")
+    tr = docs.filter("doc_id <> 0")
+    exact = {r["doc_id"]: r["n_hits"] for r in decontaminate(tr, ev, min_hits=2).collect()}
+    bloom = {
+        r["doc_id"]: r["n_bloom_hits"]
+        for r in bloom_decontaminate(tr, ev, min_hits=2).collect()
+    }
+    assert set(bloom) == set(exact)
+    for d in exact:
+        assert bloom[d] >= exact[d]  # one-sided: Bloom never misses a hit
+    # doc 2 shares 3-gram shingles with doc 0; doc 3 shares none (w.h.p. at
+    # 8 KiB / a handful of eval shingles, FPR ~ 1e-12 — deterministic here)
+    assert exact[2] >= 2 and bloom[2] >= exact[2]
+    assert bloom[3] == 0
+
+
+def test_bloom_decontaminate_flags_verbatim_leak(spark):
+    from llama_spark.functions.dedup import bloom_decontaminate
+
+    leak = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(0, leak), (1, leak), (2, "clean text entirely unrelated words")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(
+            docs.filter("doc_id <> 0"), docs.filter("doc_id = 0"), min_hits=5
+        ).collect()
+    }
+    assert rows[1]["contaminated"] is True
+    assert rows[2]["contaminated"] is False
+
+
+def test_graphsession_landmark_and_cpm(spark):
+    from llama_spark.api import GraphSession
+
+    e = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    g = GraphSession(spark).from_edges(edges_df(spark, e))
+    assert g.clique_percolation().count() == 3
+    assert g.landmark_distances(k_landmarks=2, query_ids=[0, 1, 3]).count() == 3

@@ -254,6 +254,23 @@ def main() -> None:
     timed("spam_mass", lambda: spam_mass(edges, seeds=[0, 42, 1234]).count())
     timed("attack_5pct", lambda: attack_percolation(edges, frac=0.05).count())
 
+    from llama_spark.operators.diffusion import heat_kernel_pagerank
+    from llama_spark.operators.linkpred import scan_statistic
+    from llama_spark.operators.traversal import landmark_distances
+
+    timed("heat_kernel_k6", lambda: heat_kernel_pagerank(edges).count())
+    timed(
+        "landmarks_k8q64",
+        lambda: landmark_distances(
+            edges, k_landmarks=8, query_ids=list(range(64))
+        ).count(),
+    )
+    timed("scan_statistic", lambda: scan_statistic(edges).count())
+    # clique_percolation is deliberately NOT a headline row: the sf0.1 gate
+    # graph is avg-degree ~144 (4096 ids, 589k edges), so its triangle
+    # edge-overlap graph is ~30M links collapsing into one giant community
+    # — a shape real web graphs don't take; the operator is gated at sf0.01
+
     from llama_spark.functions.cluster import embedding_covariance
     from llama_spark.functions.text import source_profile
     from llama_spark.graph import avg_neighbor_degree

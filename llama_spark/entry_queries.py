@@ -5659,3 +5659,93 @@ FROM c{CPM_CC_UNROLL} c CROSS JOIN LATERAL (VALUES (c.id // {b}), (c.id % {b})) 
 
 ORACLE["clique_percolation"] = _cpm_sql()
 QUERIES["clique_percolation"] = q_clique_percolation
+
+
+def q_partition_nmi(spark, sf_dir):
+    """Danon-style NMI between the CC partition and the 5-round LP
+    labeling — the standard partition-agreement score, integer-micro-nat
+    exact (how much of the component structure LP recovers)."""
+    from .operators.components import (
+        connected_components,
+        label_propagation,
+        partition_nmi,
+    )
+
+    e = load_edges(spark, sf_dir)
+    return partition_nmi(
+        connected_components(e),
+        label_propagation(e, max_iter=LP_ITERS),
+        label_x="component",
+        label_y="label",
+    )
+
+
+def _nmi_sql() -> str:
+    shared = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "c0 AS MATERIALIZED (SELECT id, id AS component FROM nodes)",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)",
+    ]
+    for i in range(1, CC_UNROLL + 1):
+        shared.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN m.nmin IS NOT NULL AND m.nmin < c.component
+              THEN m.nmin ELSE c.component END AS component
+  FROM c{i-1} c LEFT JOIN (
+    SELECT u.dst AS id, MIN(p.component) AS nmin
+    FROM c{i-1} p JOIN und u ON u.src = p.id
+    GROUP BY u.dst
+  ) m ON c.id = m.id
+)"""
+        )
+    for i in range(1, LP_ITERS + 1):
+        shared.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT p.id, COALESCE(v.label, p.label) AS label
+  FROM l{i-1} p LEFT JOIN (
+    SELECT id, label FROM (
+      SELECT u.dst AS id, q.label, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY u.dst
+                                ORDER BY COUNT(*) DESC, q.label ASC) AS rn
+      FROM l{i-1} q JOIN und u ON u.src = q.id
+      GROUP BY u.dst, q.label
+    ) WHERE rn = 1
+  ) v ON p.id = v.id
+)"""
+        )
+    shared.append(
+        f"""joint AS MATERIALIZED (
+  SELECT c.component AS lx, l.label AS ly, COUNT(*) AS c
+  FROM c{CC_UNROLL} c JOIN l{LP_ITERS} l ON l.id = c.id
+  GROUP BY 1, 2)"""
+    )
+    mn = "CAST(ROUND({0} * ln({0}) * 1000000.0) AS BIGINT)"
+    shared.append(
+        f"""agg AS (
+  SELECT SUM({mn.format("CAST(c AS DOUBLE)")}) AS a, SUM(c) AS n FROM joint),
+bm AS (SELECT SUM({mn.format("CAST(m AS DOUBLE)")}) AS b FROM (
+  SELECT SUM(c) AS m FROM joint GROUP BY lx)),
+cm AS (SELECT SUM({mn.format("CAST(m AS DOUBLE)")}) AS cc FROM (
+  SELECT SUM(c) AS m FROM joint GROUP BY ly))"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(shared)
+        + """
+SELECT CAST(n AS BIGINT) AS n_nodes,
+       ROUND(ln(n) - b / n * 1e-6, 6) AS h_x,
+       ROUND(ln(n) - cc / n * 1e-6, 6) AS h_y,
+       ROUND((a - b - cc) / n * 1e-6 + ln(n), 6) AS mutual_info,
+       ROUND(CASE WHEN (ln(n) - b / n * 1e-6) + (ln(n) - cc / n * 1e-6) > 0
+                  THEN 2.0 * ((a - b - cc) / n * 1e-6 + ln(n))
+                       / ((ln(n) - b / n * 1e-6) + (ln(n) - cc / n * 1e-6))
+                  ELSE 1.0 END, 6) AS nmi
+FROM agg CROSS JOIN bm CROSS JOIN cm"""
+    )
+
+
+ORACLE["partition_nmi"] = _nmi_sql()
+QUERIES["partition_nmi"] = q_partition_nmi

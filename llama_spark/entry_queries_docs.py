@@ -2344,3 +2344,43 @@ LEFT JOIN hits h ON h.doc_id = d.doc_id"""
 
 DOCS_ORACLE["bloom_decontaminate"] = _bloom_decon_sql()
 DOCS_QUERIES["bloom_decontaminate"] = q_bloom_decontaminate
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup: k-means partition then within-cluster cosine screen —
+    the O(N^2) all-pairs cosine becomes sum-over-cells |c|^2 pair work."""
+    from .functions.similarity import semdedup
+
+    return semdedup(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        k=KMEANS_SQL_K,
+        iters=KMEANS_SQL_ITERS,
+        threshold=NEAR_DUP_T,
+    )
+
+
+def _semdedup_sql() -> str:
+    I = KMEANS_SQL_ITERS
+    dot = "list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))"
+    ctes = _kmeans_ctes() + [
+        f"vecs AS ({VECS_SQL})",
+        f"normed AS MATERIALIZED ({NORMED_SQL})",
+        f"""base AS MATERIALIZED (
+  SELECT n.vec_id, n.v, n.nrm, asg.cl
+  FROM normed n JOIN a{I} asg ON asg.vec_id = n.vec_id)""",
+        f"""drp AS MATERIALIZED (
+  SELECT DISTINCT b.vec_id
+  FROM base a JOIN base b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  WHERE ROUND({dot} / (a.nrm * b.nrm), 4) >= {NEAR_DUP_T})""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT b.vec_id, CAST(b.cl AS BIGINT) AS cluster, d.vec_id IS NULL AS keep
+FROM base b LEFT JOIN drp d ON d.vec_id = b.vec_id"""
+    )
+
+
+DOCS_ORACLE["semdedup"] = _semdedup_sql()
+DOCS_QUERIES["semdedup"] = q_semdedup

@@ -658,3 +658,75 @@ def random_projection(
             F.transform(w, lambda pw: F.round(_dot(v, pw), 6))
         ).alias("dim", "val"),
     ).select("vec_id", F.col("dim").cast("long").alias("dim"), "val")
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — DataFrame[vec_id, cluster, keep]:
+    semantic dedup by k-means partition + WITHIN-CLUSTER cosine screen. An
+    item is dropped when a lower-id member of its own cluster sits within
+    the cosine threshold (deterministic keep-lowest-id stand-in for the
+    paper's keep-farthest-from-centroid; same ε-duplicate groups).
+
+    This IS the SemDeDup scale argument: clustering first turns the O(N²)
+    all-pairs cosine into Σ_c O(|c|²) within-cluster pairs, shuffled on the
+    cluster key — at 10⁹ embeddings with 10⁵ balanced cells that is 10⁸×
+    less pair work, and each cell's pair block is one partition-local
+    join. Reuses the deterministic Lloyd assignment (functions/cluster)
+    and the 4-dp rounded cosine convention shared with
+    near_dup_embeddings / cosine_topk.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from .cluster import kmeans_assign
+
+    assign = kmeans_assign(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .join(assign.withColumnRenamed(id_col, "vec_id"), "vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = base.select(
+        F.col("cluster"), F.col("vec_id").alias("a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("cluster"), F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            )
+            >= threshold
+        )
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    out = (
+        base.select("vec_id", "cluster")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("dropped").isNull().alias("keep"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    return out

@@ -1050,3 +1050,70 @@ def clique_percolation(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         )
         .distinct()
     )
+
+
+def partition_nmi(
+    x: DataFrame,
+    y: DataFrame,
+    label_x: str = "component",
+    label_y: str = "label",
+) -> DataFrame:
+    """1-row DataFrame[n_nodes, h_x, h_y, mutual_info, nmi] — normalized
+    mutual information 2·I(X;Y)/(H(X)+H(Y)) between two node labelings
+    (the standard partition-agreement score, e.g. Danon et al. 2005, for
+    comparing community detections). Inputs are [id, label] tables; nodes
+    present in both are scored.
+
+    Determinism contract: every Σ c·ln c term is quantized to integer
+    MICRO-NATS and summed exactly (the token_entropy trick) — with
+    A = Σ_ij n_ij ln n_ij, B = Σ_i n_i ln n_i, C = Σ_j n_j ln n_j held as
+    exact BIGINTs, I = (A−B−C)/n·10⁻⁶ + ln n and H = ln n − B/n·10⁻⁶
+    involve a handful of exact ints each, so cross-engine float
+    accumulation order cannot move the 6-dp output.
+
+    Scale shape: one equi-join on id, one groupBy(lx, ly) — the joint
+    histogram, ≤ |labels_x|·|labels_y| rows but in practice ~max cluster
+    count — and the marginals fold from the joint without touching the
+    node table again. Three tiny aggregates leave the executors.
+    """
+    jx = x.select(F.col("id"), F.col(label_x).alias("lx"))
+    jy = y.select(F.col("id"), F.col(label_y).alias("ly"))
+    joint = materialize(
+        jx.join(jy, "id").groupBy("lx", "ly").agg(F.count("*").alias("c"))
+    )
+
+    def mnats(col):  # exact integer micro-nats of one count column
+        d = col.cast("double")
+        return F.sum(F.round(d * F.log(d) * F.lit(1e6)).cast("long"))
+
+    a = joint.agg(mnats(F.col("c")).alias("a"), F.sum("c").alias("n"))
+    b = (
+        joint.groupBy("lx")
+        .agg(F.sum("c").alias("m"))
+        .agg(mnats(F.col("m")).alias("b"))
+    )
+    cagg = (
+        joint.groupBy("ly")
+        .agg(F.sum("c").alias("m"))
+        .agg(mnats(F.col("m")).alias("cc"))
+    )
+    ln_n = F.log(F.col("n").cast("double"))
+    mi = (F.col("a") - F.col("b") - F.col("cc")) / F.col("n") * F.lit(1e-6) + ln_n
+    hx = ln_n - F.col("b") / F.col("n") * F.lit(1e-6)
+    hy = ln_n - F.col("cc") / F.col("n") * F.lit(1e-6)
+    return (
+        a.crossJoin(b)
+        .crossJoin(cagg)
+        .select(
+            F.col("n").cast("long").alias("n_nodes"),
+            F.round(hx, 6).alias("h_x"),
+            F.round(hy, 6).alias("h_y"),
+            F.round(mi, 6).alias("mutual_info"),
+            F.round(
+                F.when(hx + hy > 0, F.lit(2.0) * mi / (hx + hy)).otherwise(
+                    F.lit(1.0)
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )

@@ -429,3 +429,102 @@ def test_graphsession_landmark_and_cpm(spark):
     g = GraphSession(spark).from_edges(edges_df(spark, e))
     assert g.clique_percolation().count() == 3
     assert g.landmark_distances(k_landmarks=2, query_ids=[0, 1, 3]).count() == 3
+
+
+# ---- SemDeDup ----
+
+
+def test_semdedup_drops_within_cluster_near_dups(spark):
+    from llama_spark.functions.similarity import semdedup
+
+    # two well-separated cells; ids 0/1 near-identical, 2 orthogonal-ish,
+    # 10/11 near-identical in the other cell
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 0.999, 0.01]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in semdedup(emb, k=2, iters=4, threshold=0.9).collect()}
+    assert got[0]["keep"] is True and got[1]["keep"] is False  # keep-lowest-id
+    assert got[10]["keep"] is True and got[11]["keep"] is False
+    assert got[2]["keep"] is True
+
+
+def test_semdedup_is_cluster_local(spark):
+    from llama_spark.functions.similarity import semdedup
+
+    # identical vectors but k-means (init = two smallest ids as centroids)
+    # puts them in different cells → the screen never compares them: the
+    # documented recall trade of cluster-partitioned dedup
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [-1.0, 0.05]),
+        (2, [-1.0, 0.05]),
+        (3, [1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in semdedup(emb, k=2, iters=2, threshold=0.99).collect()}
+    # 0,3 share a cell (dup found); 1,2 share the other (dup found)
+    assert got[3]["keep"] is False and got[2]["keep"] is False
+    assert got[0]["keep"] is True and got[1]["keep"] is True
+    assert got[0]["cluster"] != got[1]["cluster"]
+
+
+# ---- partition NMI ----
+
+
+def _nmi_model(x, y):
+    import math
+    from collections import Counter
+
+    n = len(x)
+    jc = Counter(zip(x, y))
+    xc, yc = Counter(x), Counter(y)
+    mi = sum(
+        c / n * math.log(n * c / (xc[a] * yc[b])) for (a, b), c in jc.items()
+    )
+    hx = -sum(c / n * math.log(c / n) for c in xc.values())
+    hy = -sum(c / n * math.log(c / n) for c in yc.values())
+    return 2 * mi / (hx + hy) if hx + hy > 0 else 1.0
+
+
+def _labels_df(spark, pairs, col):
+    return spark.createDataFrame(pairs, f"id long, {col} long")
+
+
+def test_partition_nmi_identical_is_one(spark):
+    from llama_spark.operators.components import partition_nmi
+
+    lab = [(i, i % 3) for i in range(9)]
+    row = partition_nmi(
+        _labels_df(spark, lab, "component"), _labels_df(spark, lab, "label")
+    ).collect()[0]
+    assert row["nmi"] == 1.0 and row["n_nodes"] == 9
+
+
+def test_partition_nmi_independent_is_zero(spark):
+    from llama_spark.operators.components import partition_nmi
+
+    x = [(0, 0), (1, 0), (2, 1), (3, 1)]
+    y = [(0, 0), (1, 1), (2, 0), (3, 1)]
+    row = partition_nmi(
+        _labels_df(spark, x, "component"), _labels_df(spark, y, "label")
+    ).collect()[0]
+    # micro-nat quantization leaves ±1e-6-scale residue; the determinism
+    # contract is cross-engine identity, not absolute zero
+    assert abs(row["nmi"]) <= 2e-6 and abs(row["mutual_info"]) <= 2e-6
+
+
+def test_partition_nmi_matches_python_model(spark):
+    from llama_spark.operators.components import partition_nmi
+
+    xs = [0, 0, 0, 1, 1, 2, 2, 2, 2, 3]
+    ys = [0, 0, 1, 1, 1, 2, 2, 3, 3, 3]
+    row = partition_nmi(
+        _labels_df(spark, list(enumerate(xs)), "component"),
+        _labels_df(spark, list(enumerate(ys)), "label"),
+    ).collect()[0]
+    assert abs(row["nmi"] - _nmi_model(xs, ys)) < 2e-6

@@ -2384,3 +2384,40 @@ FROM base b LEFT JOIN drp d ON d.vec_id = b.vec_id"""
 
 DOCS_ORACLE["semdedup"] = _semdedup_sql()
 DOCS_QUERIES["semdedup"] = q_semdedup
+
+
+def q_corpus_curation_gopher(spark, sf_dir):
+    """Curation with the Gopher rule screen inserted between the language
+    filter and the pairwise stages (reject_reason 'quality')."""
+    from .functions.dedup import curate_corpus
+
+    return curate_corpus(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        min_tokens=CURATE_MIN_TOKENS,
+        langs=("en",),
+        jaccard_t=0.5,
+        gopher=True,
+    )
+
+
+DOCS_ORACLE["corpus_curation_gopher"] = f"""
+WITH tc AS MATERIALIZED (SELECT doc_id, n_tokens FROM ({DOCS_ORACLE['token_counts']})),
+li AS MATERIALIZED (SELECT doc_id, lang_pred FROM ({DOCS_ORACLE['language_id']})),
+gq AS MATERIALIZED (SELECT doc_id, keep AS g_keep FROM ({DOCS_ORACLE['gopher_quality']})),
+ed AS MATERIALIZED (SELECT doc_id, canonical_id FROM ({DOCS_ORACLE['exact_duplicates']})),
+nd AS MATERIALIZED (SELECT DISTINCT doc_b AS doc_id FROM ({DOCS_ORACLE['lsh_verified_dedup']})),
+r AS (
+  SELECT d.doc_id,
+         CASE WHEN tc.n_tokens < {CURATE_MIN_TOKENS} THEN 'too_short'
+              WHEN li.lang_pred <> 'en' THEN 'lang'
+              WHEN NOT gq.g_keep THEN 'quality'
+              WHEN ed.canonical_id <> d.doc_id THEN 'exact_dup'
+              WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END AS reject_reason
+  FROM documents d
+  JOIN tc ON tc.doc_id = d.doc_id
+  JOIN li ON li.doc_id = d.doc_id
+  JOIN gq ON gq.doc_id = d.doc_id
+  JOIN ed ON ed.doc_id = d.doc_id
+  LEFT JOIN nd ON nd.doc_id = d.doc_id)
+SELECT doc_id, reject_reason IS NULL AS keep, reject_reason FROM r"""
+DOCS_QUERIES["corpus_curation_gopher"] = q_corpus_curation_gopher

@@ -363,6 +363,7 @@ def curate_corpus(
     near_dup: str = "minhash",
     max_hamming: int = 3,
     max_bucket_size: int | None = 256,
+    gopher: bool = False,
 ) -> DataFrame:
     """DataFrame[doc_id, keep, reject_reason] — the composed training-data
     curation pipeline a 100-TB corpus actually runs, as ONE declarative
@@ -371,6 +372,11 @@ def curate_corpus(
     (the larger doc_id of each near-dup pair loses). ``reject_reason`` is
     the FIRST failing stage in that fixed order (deterministic,
     cross-engine-stable); keep = no stage failed.
+
+    ``gopher=True`` inserts the published Gopher keep/drop rule screen
+    (functions/text.gopher_rules) between the language filter and exact
+    dedup — reject_reason ``"quality"`` — matching the real pipeline
+    order (cheap per-doc screens before any pairwise stage).
 
     ``near_dup`` selects the near-dup family for stage 4:
     - ``"minhash"`` — MinHash-LSH candidates → exact-Jaccard ≥ jaccard_t
@@ -382,10 +388,15 @@ def curate_corpus(
 
     Every stage is a reused, individually-oracle-gated operator — this
     gate checks their composition."""
-    from .text import language_id, token_counts
+    from .text import gopher_rules, language_id, token_counts
 
     tc = token_counts(documents).select("doc_id", "n_tokens")
     li = language_id(documents)
+    gq = (
+        gopher_rules(documents).select("doc_id", F.col("keep").alias("_gq"))
+        if gopher
+        else documents.select("doc_id", F.lit(True).alias("_gq"))
+    )
     ed = exact_duplicates(documents).select("doc_id", "canonical_id")
     if near_dup == "minhash":
         nd_pairs = verified_near_duplicates(
@@ -406,6 +417,7 @@ def curate_corpus(
     reason = (
         F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
         .when(~F.col("lang_pred").isin(*langs), F.lit("lang"))
+        .when(~F.col("_gq"), F.lit("quality"))
         .when(F.col("canonical_id") != F.col("doc_id"), F.lit("exact_dup"))
         .when(F.col("_nd"), F.lit("near_dup"))
     )
@@ -413,6 +425,7 @@ def curate_corpus(
         documents.select("doc_id")
         .join(tc, "doc_id")
         .join(li, "doc_id")
+        .join(gq, "doc_id")
         .join(ed, "doc_id")
         .join(losers, "doc_id", "left")
         .select(

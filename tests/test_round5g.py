@@ -528,3 +528,32 @@ def test_partition_nmi_matches_python_model(spark):
         _labels_df(spark, list(enumerate(ys)), "label"),
     ).collect()[0]
     assert abs(row["nmi"] - _nmi_model(xs, ys)) < 2e-6
+
+
+# ---- Gopher-composed curation ----
+
+
+def test_curate_corpus_gopher_stage_order(spark):
+    from llama_spark.functions.dedup import curate_corpus
+
+    good = ("the quick brown fox jumps over a lazy dog " * 6).strip()
+    docs = spark.createDataFrame(
+        [
+            (0, good),                         # keeps
+            (1, good),                         # exact dup of 0
+            (2, "the of and " * 40),           # gopher: mean len fine, but
+                                               # stop-heavy short words pass?
+            # passes lang-ID (en markers) but mean word length > 10 → quality
+            (3, "the and is of " + "pneumonoultramicroscopicsilicovolcano " * 60),
+            (4, "short text"),                 # too_short fires FIRST
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in curate_corpus(docs, min_tokens=20, gopher=True).collect()
+    }
+    assert rows[0]["keep"] is True
+    assert rows[1]["reject_reason"] == "exact_dup"
+    assert rows[3]["reject_reason"] == "quality"
+    assert rows[4]["reject_reason"] == "too_short"  # ahead of quality

@@ -2124,6 +2124,103 @@ ORACLE["eigenvector"] = _eigenvector_sql()
 QUERIES["eigenvector"] = q_eigenvector
 
 
+# --------------------------------------------------- spectral bisection
+
+FIEDLER_ITERS = 16
+
+
+def q_fiedler(spark, sf_dir):
+    """Fiedler vector (deflated power iteration on cI − L, 16 fixed steps,
+    sign-canonicalized) — both engines replay the identical recurrence and
+    round to 6 dp only at the end."""
+    from .operators.spectral import fiedler_vector
+
+    v = fiedler_vector(load_edges(spark, sf_dir), max_iter=FIEDLER_ITERS)
+    return v.select("id", F.round("fiedler", 6).alias("fiedler"))
+
+
+def q_fiedler_cut(spark, sf_dir):
+    """Conductance of the sign(fiedler) spectral bisection."""
+    from .operators.spectral import spectral_cut_summary
+
+    return spectral_cut_summary(load_edges(spark, sf_dir), max_iter=FIEDLER_ITERS)
+
+
+def _fiedler_ctes(iters: int = FIEDLER_ITERS) -> str:
+    """Shared unrolled CTE body ending at x{iters} + the sign probe ``sgn``.
+
+    Operand order mirrors operators/spectral.py verbatim:
+    y = (c−d)·x + Σ_{u~v} x_u ; m = sy/n ; x' = (y−m)/sqrt(syy − (m·m)·n).
+    """
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS d"
+        " FROM und GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
+        "cc AS (SELECT 1e0 + MAX(d) AS c FROM deg)",
+        "x0 AS MATERIALIZED (SELECT id, d,"
+        " CAST((id * 2654435761) % 1048576 AS DOUBLE)/1048576e0 - 0.5e0 AS x"
+        " FROM deg)",
+    ]
+    for i in range(1, iters + 1):
+        m = f"((SELECT sy FROM st{i}) / (SELECT n FROM nn))"
+        ctes.append(
+            f"""y{i} AS (
+  SELECT s.id, s.d,
+         ((SELECT c FROM cc) - s.d) * s.x + COALESCE(g.s, 0e0) AS y
+  FROM x{i-1} s LEFT JOIN (
+    SELECT u.dst AS id, SUM(s2.x) AS s
+    FROM x{i-1} s2 JOIN und u ON u.src = s2.id GROUP BY u.dst
+  ) g ON g.id = s.id),
+st{i} AS (SELECT SUM(y) AS sy, SUM(y*y) AS syy FROM y{i}),
+x{i} AS MATERIALIZED (
+  SELECT id, d,
+         (y - {m}) / SQRT((SELECT syy FROM st{i}) - ({m} * {m}) * (SELECT n FROM nn)) AS x
+  FROM y{i})"""
+        )
+    ctes.append(
+        f"sgn AS (SELECT CASE WHEN x >= 0e0 THEN 1e0 ELSE -1e0 END AS s"
+        f" FROM x{iters} ORDER BY ABS(x) DESC, id LIMIT 1)"
+    )
+    return ",\n".join(ctes)
+
+
+def _fiedler_sql(iters: int = FIEDLER_ITERS) -> str:
+    return (
+        "WITH " + _fiedler_ctes(iters)
+        + f"\nSELECT id, ROUND(x * (SELECT s FROM sgn), 6) AS fiedler FROM x{iters}"
+    )
+
+
+def _fiedler_cut_sql(iters: int = FIEDLER_ITERS) -> str:
+    return (
+        "WITH " + _fiedler_ctes(iters)
+        + f""",
+side AS MATERIALIZED (
+  SELECT id, d,
+         CASE WHEN x * (SELECT s FROM sgn) >= 0e0 THEN 1 ELSE 0 END AS side
+  FROM x{iters}),
+cr AS (SELECT COUNT(*) AS crossing
+       FROM und u JOIN side a ON a.id = u.src JOIN side b ON b.id = u.dst
+       WHERE a.side <> b.side),
+vols AS (SELECT MIN(vol) AS vol_small
+         FROM (SELECT side, SUM(d) AS vol FROM side GROUP BY side))
+SELECT CAST((SELECT crossing FROM cr) // 2 AS BIGINT) AS cut_edges,
+       (SELECT vol_small FROM vols) AS vol_small,
+       CASE WHEN (SELECT vol_small FROM vols) > 0e0
+            THEN ROUND(CAST((SELECT crossing FROM cr) AS DOUBLE)
+                       / (SELECT vol_small FROM vols), 6)
+            ELSE 0e0 END AS conductance"""
+    )
+
+
+ORACLE["fiedler_vector"] = _fiedler_sql()
+QUERIES["fiedler_vector"] = q_fiedler
+ORACLE["fiedler_cut"] = _fiedler_cut_sql()
+QUERIES["fiedler_cut"] = q_fiedler_cut
+
+
 # --------------------------------------------------- effective diameter
 
 EFF_DIAM_Q = 0.9

@@ -1,0 +1,171 @@
+"""Fiedler vector (spectral bisection) via deflated power iteration.
+
+The Fiedler vector — the eigenvector of the graph Laplacian L = D − A for
+its second-smallest eigenvalue λ₂ — gives the classic spectral bisection:
+``sign(x_v)`` splits the vertex set along the sparsest relaxed cut
+(Fiedler 1973; Spielman & Teng 2007 use it as the partitioning
+primitive). LLAMA ships no spectral kernel, but the per-iteration plan is
+the exact SpMV gather its PageRank loop performs
+(benchmark/benchmarks/pagerank.h:120-139: pull from in-neighbors, write
+new vector), so the engine expresses it with the same cached-edge /
+iteration-join policy as ``operators/pagerank.py``.
+
+Method — shift-and-deflate power iteration, SQL-portable by construction:
+
+    M = cI − L  with  c = 1 + max_degree    (M ⪰ 0; eigenvalues c − λ_i)
+
+``1`` is M's dominant eigenvector (M·1 = c·1, since L·1 = 0); the Fiedler
+vector is the dominant eigenvector *orthogonal to* ``1``. Each iteration
+therefore computes the matvec, deflates ``1`` exactly (subtracts the
+mean — exact projection because L is symmetric, so its eigenvectors are
+mutually orthogonal in the standard inner product), and L2-normalizes:
+
+    y_v = (c − d_v)·x_v + Σ_{u~v} x_u          (one gather over und edges)
+    m   = Σy / n ;  x'_v = (y_v − m) / sqrt(Σy² − m²·n)
+
+A FIXED iteration count (no convergence test) keeps the recurrence
+bit-replayable: the DuckDB oracle unrolls the same arithmetic — same
+operand order, same one-pass variance form — as chained CTEs, and both
+engines round to 6 dp only at the end. The returned vector is
+sign-canonicalized (multiplied by the sign of its largest-|x| entry,
+ties broken by min id) so the two engines agree on orientation.
+
+Scale: per iteration one join against the cached hash(src)-partitioned
+undirected edge table (edges streamed, only the V-row vector shuffles)
+plus one 1-row statistics aggregate — identical cost profile to a
+PageRank iteration, so the measured PageRank scaling evidence
+(BENCH/BASELINE.md) transfers. No driver collect inside the loop; the
+single post-loop ``head()`` is a 1-row sign probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..graph import DST, SRC, materialize, symmetrize
+
+FIEDLER_ITERS = 16
+
+
+def fiedler_vector(
+    edges: DataFrame,
+    max_iter: int = FIEDLER_ITERS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame[id, d, fiedler] — sign-canonicalized unit Fiedler iterate
+    after ``max_iter`` deflated power steps on cI − L; ``d`` is the
+    undirected degree (handy for downstream cut/conductance queries)."""
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = (
+        symmetrize(edges)
+        .repartition(p, SRC)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    und.count()
+    deg = (
+        und.groupBy(F.col(SRC).alias("id"))
+        .agg(F.count("*").cast("double").alias("d"))
+        .repartition(p, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = deg.count()
+    if n == 0:
+        und.unpersist()
+        return deg.select("id", "d", F.lit(0.0).alias("fiedler"))
+    c = 1.0 + deg.agg(F.max("d")).head()[0]
+    n_d = float(n)
+
+    # deterministic non-constant start vector, exact-integer both engines
+    state = materialize(
+        deg.select(
+            "id",
+            "d",
+            (
+                ((F.col("id") * F.lit(2654435761)) % F.lit(1048576)).cast("double")
+                / F.lit(1048576.0)
+                - F.lit(0.5)
+            ).alias("x"),
+        )
+    )
+
+    for _ in range(max_iter):
+        gather = und.join(
+            state.select(F.col("id").alias(SRC), F.col("x").alias("xs")).hint(
+                "shuffle_hash"
+            ),
+            SRC,
+        ).groupBy(F.col(DST).alias("id")).agg(F.sum("xs").alias("s"))
+        y = state.join(gather, "id", "left").select(
+            "id",
+            "d",
+            (
+                (F.lit(c) - F.col("d")) * F.col("x")
+                + F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("y"),
+        )
+        y = y.persist(StorageLevel.MEMORY_AND_DISK)
+        stats = y.agg(F.sum("y").alias("sy"), F.sum(F.col("y") * F.col("y")).alias("syy"))
+        prev = state
+        # one-pass deflate+normalize; operand order mirrored verbatim in the
+        # oracle SQL: m = sy/n ; x' = (y - m) / sqrt(syy - (m*m)*n)
+        m = F.col("sy") / F.lit(n_d)
+        state = materialize(
+            y.crossJoin(F.broadcast(stats)).select(
+                "id",
+                "d",
+                (
+                    (F.col("y") - m)
+                    / F.sqrt(F.col("syy") - (m * m) * F.lit(n_d))
+                ).alias("x"),
+            )
+        )
+        prev.unpersist()
+        y.unpersist()
+
+    head = state.orderBy(F.abs(F.col("x")).desc(), "id").select("x").head()
+    sign = 1.0 if head is None or head[0] >= 0.0 else -1.0
+    out = state.select("id", "d", (F.col("x") * F.lit(sign)).alias("fiedler"))
+    und.unpersist()
+    deg.unpersist()
+    return out
+
+
+def spectral_cut_summary(edges: DataFrame, max_iter: int = FIEDLER_ITERS) -> DataFrame:
+    """One-row DataFrame[cut_edges, vol_small, conductance] for the
+    sign(fiedler) bisection: ``cut_edges`` = undirected edge pairs crossing
+    the cut, ``vol_small`` = smaller side's degree volume (over the
+    symmetrized edge set), ``conductance`` = cut volume / vol_small —
+    the standard φ(S) = |∂S| / min(vol S, vol S̄) with |∂S| counted in
+    directed (und) edges = 2·cut_edges."""
+    vec = fiedler_vector(edges, max_iter=max_iter).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    side = vec.select(
+        "id", "d", (F.col("fiedler") >= F.lit(0.0)).cast("int").alias("side")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    und = symmetrize(edges)
+    crossing = (
+        und.join(side.select(F.col("id").alias(SRC), F.col("side").alias("s_src")), SRC)
+        .join(side.select(F.col("id").alias(DST), F.col("side").alias("s_dst")), DST)
+        .filter(F.col("s_src") != F.col("s_dst"))
+        .count()
+    )
+    vols = (
+        side.groupBy("side")
+        .agg(F.sum("d").alias("vol"))
+        .agg(F.min("vol").alias("vol_small"))
+        .head()
+    )
+    vol_small = float(vols[0]) if vols and vols[0] is not None else 0.0
+    cut_pairs = crossing // 2
+    cond = float(crossing) / vol_small if vol_small > 0 else 0.0
+    spark = edges.sparkSession
+    vec.unpersist()
+    side.unpersist()
+    return spark.createDataFrame(
+        [(int(cut_pairs), float(vol_small), round(cond, 6))],
+        "cut_edges long, vol_small double, conductance double",
+    )

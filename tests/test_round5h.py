@@ -1,0 +1,61 @@
+"""Round-5 batch: spectral bisection (Fiedler vector), DSIR importance
+weights, PII scrubbing, anchor-text extraction."""
+
+from __future__ import annotations
+
+import math
+
+from tests.conftest import edges_df
+
+
+# ---- Fiedler vector / spectral bisection ----
+
+
+def _barbell(n: int = 5) -> list[tuple[int, int]]:
+    """Two K_n cliques {0..n-1} and {n..2n-1} joined by one bridge edge."""
+    e = [(a, b) for a in range(n) for b in range(n) if a < b]
+    e += [(a + n, b + n) for a in range(n) for b in range(n) if a < b]
+    e.append((n - 1, n))
+    return e
+
+
+def test_fiedler_separates_barbell(spark):
+    from llama_spark.operators.spectral import fiedler_vector
+
+    rows = fiedler_vector(edges_df(spark, _barbell(5)), max_iter=40).collect()
+    side = {r["id"]: r["fiedler"] >= 0 for r in rows}
+    left = {side[i] for i in range(5)}
+    right = {side[i] for i in range(5, 10)}
+    # each clique lands entirely on one side, and the sides differ
+    assert len(left) == 1 and len(right) == 1 and left != right
+    # unit L2 norm (normalized every iteration)
+    norm = math.sqrt(sum(r["fiedler"] ** 2 for r in rows))
+    assert abs(norm - 1.0) < 1e-9
+    # deflation: orthogonal to the all-ones vector
+    assert abs(sum(r["fiedler"] for r in rows)) < 1e-9
+    # sign canonicalization: the largest-|x| entry is non-negative
+    assert max((abs(r["fiedler"]), r["fiedler"]) for r in rows)[1] >= 0
+
+
+def test_spectral_cut_barbell_conductance(spark):
+    from llama_spark.operators.spectral import spectral_cut_summary
+
+    row = spectral_cut_summary(edges_df(spark, _barbell(5)), max_iter=40).head()
+    # the spectral cut is the single bridge edge
+    assert row["cut_edges"] == 1
+    # each side: K5 degrees 4*4 + bridge endpoint 5 → vol 21
+    assert row["vol_small"] == 21.0
+    # conductance counts directed (und) crossing edges: 2/21
+    assert row["conductance"] == round(2 / 21.0, 6)
+
+
+def test_fiedler_path_monotone(spark):
+    from llama_spark.operators.spectral import fiedler_vector
+
+    # Fiedler vector of a path graph is monotone along the path
+    rows = fiedler_vector(
+        edges_df(spark, [(i, i + 1) for i in range(8)]), max_iter=60
+    ).collect()
+    xs = [r["fiedler"] for r in sorted(rows, key=lambda r: r["id"])]
+    diffs = [b - a for a, b in zip(xs, xs[1:])]
+    assert all(d > 0 for d in diffs) or all(d < 0 for d in diffs)

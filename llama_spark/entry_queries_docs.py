@@ -2421,3 +2421,39 @@ r AS (
   LEFT JOIN nd ON nd.doc_id = d.doc_id)
 SELECT doc_id, reject_reason IS NULL AS keep, reject_reason FROM r"""
 DOCS_QUERIES["corpus_curation_gopher"] = q_corpus_curation_gopher
+
+
+# ------------------------------------------------ DSIR importance weights
+
+DSIR_LANG = "en"
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-unigram importance weights (Xie et al. 2023): per-doc
+    log-likelihood ratio of a lang='en' target bag model vs the raw corpus,
+    512 md5-hash buckets, add-1 smoothing — the importance-resampling
+    scorer production data-selection pipelines run before sampling."""
+    from .functions.text import DSIR_BUCKETS, dsir_weights
+
+    return dsir_weights(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        target_lang=DSIR_LANG,
+        buckets=DSIR_BUCKETS,
+    )
+
+
+DOCS_ORACLE["dsir_weights"] = f"""
+WITH toks AS MATERIALIZED ({TOKS_SQL}),
+tl AS MATERIALIZED (
+  SELECT t.doc_id, {HASH.format('t.tok')} % 512 AS b,
+         CASE WHEN d.lang = '{DSIR_LANG}' THEN 1 ELSE 0 END AS is_t
+  FROM toks t JOIN documents d ON d.doc_id = t.doc_id),
+bu AS MATERIALIZED (SELECT b, COUNT(*) AS cr, SUM(is_t) AS ct FROM tl GROUP BY b),
+tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM bu),
+lr AS (SELECT b,
+         ln((ct + 1e0) / ((SELECT nt FROM tot) + 512e0))
+       - ln((cr + 1e0) / ((SELECT nr FROM tot) + 512e0)) AS lr
+       FROM bu)
+SELECT tl.doc_id, ROUND(SUM(lr.lr), 6) AS dsir_weight
+FROM tl JOIN lr ON lr.b = tl.b GROUP BY tl.doc_id"""
+DOCS_QUERIES["dsir_weights"] = q_dsir_weights

@@ -898,3 +898,89 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
         stop_hits.cast("long").alias("stop_hits"),
         F.coalesce(keep, F.lit(False)).alias("keep"),
     )
+
+
+DSIR_BUCKETS = 512
+
+
+def dsir_weights(
+    documents: DataFrame, target_lang: str = "en", buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """Per-doc DSIR importance weight (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): the log-likelihood
+    ratio of the document under hashed-unigram bag models of a TARGET
+    corpus (here: ``lang = target_lang``) versus the RAW corpus,
+
+        w(doc) = Σ_tok [ ln p̂_t(b(tok)) − ln p̂_r(b(tok)) ]
+
+    with ``b(tok) = md5-hash(tok) mod buckets`` (the portable 60-bit hash
+    every dedup path uses) and add-1 smoothing over the bucket vocabulary.
+    Production pipelines resample docs ∝ exp(w); compose with
+    ``sample.weighted_sample`` for that step.
+
+    Plan shape at 100 TB: one token explode → one ``buckets``-row
+    aggregate (map-side combined; both corpus counts in the same pass) →
+    broadcast the tiny log-ratio table back onto the token stream → one
+    per-doc sum. No shuffle wider than the doc-id groupBy the explode
+    already implies."""
+    toks = tokenize(documents).join(
+        documents.select("doc_id", "lang"), "doc_id"
+    )
+    tl = toks.select(
+        "doc_id",
+        (token_hash(F.col("tok")) % F.lit(buckets)).alias("b"),
+        (F.col("lang") == F.lit(target_lang)).cast("long").alias("is_t"),
+    )
+    bu = tl.groupBy("b").agg(
+        F.count("*").alias("cr"), F.sum("is_t").alias("ct")
+    )
+    tot = bu.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    bf = float(buckets)
+    lr = bu.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.lit(bf)))
+            - F.log((F.col("cr") + F.lit(1.0)) / (F.col("nr") + F.lit(bf)))
+        ).alias("lr"),
+    )
+    return (
+        tl.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lr"), 6).alias("dsir_weight"))
+    )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII redaction — the scrub stage every released training
+    corpus runs (emails / IPv4 / NANP-style phone numbers replaced by
+    typed placeholder tokens), as pure Catalyst ``regexp_replace`` /
+    ``regexp_count`` expressions (Java-regex ∩ RE2 subset: no backrefs,
+    no lookaround — portable to any SQL engine and to RE2-based scrubbers).
+
+    Returns DataFrame[doc_id, n_emails, n_ips, n_phones, scrubbed] where
+    ``scrubbed`` is the redacted text. Order matters: IPv4 before phone
+    (a dotted IP would otherwise half-match the dotted phone form after
+    partial rewriting); email first (its local part may contain digits)."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL))
+    n_ips = F.regexp_count(t, F.lit(PII_IPV4))
+    n_phones = F.regexp_count(t, F.lit(PII_PHONE))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return documents.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )

@@ -59,3 +59,73 @@ def test_fiedler_path_monotone(spark):
     xs = [r["fiedler"] for r in sorted(rows, key=lambda r: r["id"])]
     diffs = [b - a for a, b in zip(xs, xs[1:])]
     assert all(d > 0 for d in diffs) or all(d < 0 for d in diffs)
+
+
+# ---- DSIR importance weights ----
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_weights_match_hand_model(spark):
+    import hashlib
+    import math
+
+    from llama_spark.functions.text import dsir_weights
+
+    rows = [
+        (1, "alpha alpha beta", "en"),
+        (2, "alpha gamma", "en"),
+        (3, "gamma gamma delta", "de"),
+        (4, "beta delta delta", "de"),
+    ]
+    B = 512
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    cr, ct = {}, {}
+    for _, text, lang in rows:
+        for tok in text.split():
+            b = bucket(tok)
+            cr[b] = cr.get(b, 0) + 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+    nr, nt = sum(cr.values()), sum(ct.values())
+    lr = {
+        b: math.log((ct.get(b, 0) + 1.0) / (nt + B))
+        - math.log((cr[b] + 1.0) / (nr + B))
+        for b in cr
+    }
+    expected = {
+        doc_id: round(sum(lr[bucket(t)] for t in text.split()), 6)
+        for doc_id, text, _ in rows
+    }
+    got = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_weights(_docs(spark, rows), buckets=B).collect()
+    }
+    assert got == expected
+    # target-lang docs score higher than off-target docs sharing no tokens
+    assert got[1] > got[3] and got[2] > got[3]
+
+
+# ---- PII scrubbing ----
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from llama_spark.functions.text import pii_scrub
+
+    rows = [
+        (1, "contact bob@example.com or 555-123-4567 via 10.0.0.1 now", "en"),
+        (2, "no pii here just words", "en"),
+        (3, "two mails a@b.io c.d@e-f.org and ip 192.168.1.255", "en"),
+    ]
+    got = {r["doc_id"]: r for r in pii_scrub(_docs(spark, rows)).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (1, 1, 1)
+    assert got[1]["scrubbed"] == "contact <EMAIL> or <PHONE> via <IP> now"
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 0, 0)
+    assert got[2]["scrubbed"] == rows[1][1]
+    assert got[3]["n_emails"] == 2 and got[3]["n_ips"] == 1
+    assert got[3]["scrubbed"] == "two mails <EMAIL> <EMAIL> and ip <IP>"

@@ -2225,6 +2225,101 @@ ORACLE["fiedler_cut"] = _fiedler_cut_sql()
 QUERIES["fiedler_cut"] = q_fiedler_cut
 
 
+# ----------------------------------------- balanced k-way partitioning
+
+PARTITION_K = 8
+PARTITION_ROUNDS = 6
+
+
+def q_graph_partition(spark, sf_dir):
+    """Spinner-style balanced label-propagation partition labels —
+    exact-integer scoring, so both engines' argmax agrees bit-for-bit."""
+    from .operators.partition import spinner_partition
+
+    return spinner_partition(
+        load_edges(spark, sf_dir), k=PARTITION_K, rounds=PARTITION_ROUNDS
+    ).select("id", "part")
+
+
+def q_partition_quality(spark, sf_dir):
+    """Degree-volume balance + edge-cut fraction of the Spinner partition."""
+    from .operators.partition import partition_quality
+
+    return partition_quality(
+        load_edges(spark, sf_dir), k=PARTITION_K, rounds=PARTITION_ROUNDS
+    )
+
+
+def _partition_ctes(k: int = PARTITION_K, rounds: int = PARTITION_ROUNDS) -> str:
+    """Unrolled Spinner rounds, integer score mirrored from
+    operators/partition.py: S = 4·w·total − k·deg·load; ties → current
+    label, then smaller label."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src)",
+        "tot AS (SELECT COUNT(*) AS t FROM und)",
+        f"s0 AS MATERIALIZED (SELECT id, d,"
+        f" ((id * 2654435761) % 1048576) % {k} AS part FROM deg)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""ld{i} AS (SELECT part AS lbl, SUM(d) AS load FROM s{i-1} GROUP BY part),
+cand{i} AS (
+  SELECT id, lbl, SUM(w) AS w FROM (
+    SELECT u.dst AS id, s.part AS lbl, 1 AS w
+    FROM s{i-1} s JOIN und u ON u.src = s.id
+    UNION ALL
+    SELECT id, part AS lbl, 0 AS w FROM s{i-1}
+  ) GROUP BY id, lbl),
+s{i} AS MATERIALIZED (
+  SELECT id, d, lbl AS part FROM (
+    SELECT c.id, p.d, c.lbl,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.id
+             ORDER BY 4*c.w*(SELECT t FROM tot) - {k}*p.d*ld.load DESC,
+                      (c.lbl = p.part) DESC, c.lbl
+           ) AS rn
+    FROM cand{i} c JOIN s{i-1} p ON p.id = c.id JOIN ld{i} ld ON ld.lbl = c.lbl
+  ) WHERE rn = 1)"""
+        )
+    return ",\n".join(ctes)
+
+
+def _graph_partition_sql() -> str:
+    return (
+        "WITH " + _partition_ctes()
+        + f"\nSELECT id, part FROM s{PARTITION_ROUNDS}"
+    )
+
+
+def _partition_quality_sql() -> str:
+    k, r = PARTITION_K, PARTITION_ROUNDS
+    return (
+        "WITH " + _partition_ctes()
+        + f""",
+cr AS (SELECT COUNT(*) AS crossing
+       FROM und u JOIN s{r} a ON a.id = u.src JOIN s{r} b ON b.id = u.dst
+       WHERE a.part <> b.part),
+lds AS (SELECT part, SUM(d) AS load FROM s{r} GROUP BY part),
+agg AS (SELECT COUNT(*) AS used, MAX(load) AS mx, MIN(load) AS mn FROM lds)
+SELECT {k} AS k,
+       (SELECT used FROM agg) AS n_parts_used,
+       (SELECT mx FROM agg) AS max_load,
+       (SELECT mn FROM agg) AS min_load,
+       ROUND(CAST((SELECT mx FROM agg) AS DOUBLE) * {k} / (SELECT t FROM tot), 6)
+         AS imbalance,
+       ROUND(CAST((SELECT crossing FROM cr) AS DOUBLE) / (SELECT t FROM tot), 6)
+         AS cut_frac"""
+    )
+
+
+ORACLE["graph_partition"] = _graph_partition_sql()
+QUERIES["graph_partition"] = q_graph_partition
+ORACLE["partition_quality"] = _partition_quality_sql()
+QUERIES["partition_quality"] = q_partition_quality
+
+
 # --------------------------------------------------- effective diameter
 
 EFF_DIAM_Q = 0.9

@@ -129,3 +129,40 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert got[2]["scrubbed"] == rows[1][1]
     assert got[3]["n_emails"] == 2 and got[3]["n_ips"] == 1
     assert got[3]["scrubbed"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+
+
+# ---- Spinner balanced partitioning ----
+
+
+def test_spinner_partition_separates_barbell(spark):
+    from llama_spark.operators.partition import spinner_partition
+
+    rows = spinner_partition(edges_df(spark, _barbell(5)), k=2, rounds=8).collect()
+    part = {r["id"]: r["part"] for r in rows}
+    assert set(part.values()) <= {0, 1}
+    left = {part[i] for i in range(5)}
+    right = {part[i] for i in range(5, 10)}
+    # each clique coheres; the balance penalty forces the cliques apart
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_partition_quality_barbell(spark):
+    from llama_spark.operators.partition import partition_quality
+
+    row = partition_quality(edges_df(spark, _barbell(5)), k=2, rounds=8).head()
+    # cut = the bridge (2 und directions) out of 42 und edges
+    assert row["cut_frac"] == round(2 / 42.0, 6)
+    assert row["n_parts_used"] == 2
+    assert row["max_load"] == 21 and row["min_load"] == 21
+    assert row["imbalance"] == 1.0
+
+
+def test_spinner_partition_covers_all_nodes(spark):
+    from llama_spark.operators.partition import spinner_partition
+
+    e = [(i, (i * 7 + 1) % 50) for i in range(50) if i != (i * 7 + 1) % 50]
+    rows = spinner_partition(edges_df(spark, e), k=4, rounds=5).collect()
+    ids = {r["id"] for r in rows}
+    expect = {a for a, _ in e} | {b for _, b in e}
+    assert ids == expect
+    assert all(0 <= r["part"] < 4 for r in rows)

@@ -286,6 +286,16 @@ def main() -> None:
     timed("embedding_cov16", lambda: embedding_covariance(emb, dims=16).count())
     timed("source_profile", lambda: source_profile(docs).count())
 
+    from llama_spark.functions.text import dsir_weights
+    from llama_spark.operators.partition import spinner_partition
+    from llama_spark.operators.spectral import fiedler_vector
+
+    timed("fiedler10", lambda: fiedler_vector(edges, max_iter=10).count())
+    timed(
+        "partition_k8", lambda: spinner_partition(edges, k=8, rounds=6).count()
+    )
+    timed("dsir_weights", lambda: dsir_weights(docs).count())
+
     timed("pages_extract_pagerank", pages_pipeline)
 
     # ---- execution: whole-list passes, then a retry pass for cheap rows ----

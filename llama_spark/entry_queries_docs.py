@@ -2457,3 +2457,62 @@ lr AS (SELECT b,
 SELECT tl.doc_id, ROUND(SUM(lr.lr), 6) AS dsir_weight
 FROM tl JOIN lr ON lr.b = tl.b GROUP BY tl.doc_id"""
 DOCS_QUERIES["dsir_weights"] = q_dsir_weights
+
+
+# ------------------------------------------- trained quality classifier
+
+
+def q_quality_classifier(spark, sf_dir):
+    """CCNet-style target-vs-crawl linear filter: full-batch logistic
+    regression (8 GD steps, lr 1.0, zero init) trained as one aggregate
+    per step over exact-rational token features; per-doc target
+    probability + keep verdict. The oracle replays the identical training
+    trajectory as unrolled scalar-CTE steps."""
+    from .functions.classify import quality_classifier
+
+    return quality_classifier(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _classifier_sql(steps: int = 8) -> str:
+    from .functions.text import STOPWORDS
+
+    stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    zexpr = "w.b0 + w.b1*f.x1 + w.b2*f.x2 + w.b3*f.x3 + w.b4*f.x4"
+    ctes = [
+        f"toks AS MATERIALIZED ({TOKS_SQL})",
+        f"""fe AS MATERIALIZED (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS DOUBLE)/100e0 AS x1,
+         CAST(SUM(length(t.tok)) AS DOUBLE)/COUNT(*) AS x2,
+         CAST(SUM(CASE WHEN t.tok IN ({stoplist}) THEN 1 ELSE 0 END) AS DOUBLE)
+           /COUNT(*) AS x3,
+         CAST(COUNT(DISTINCT t.tok) AS DOUBLE)/COUNT(*) AS x4,
+         CASE WHEN MAX(d.lang) = '{DSIR_LANG}' THEN 1e0 ELSE 0e0 END AS y
+  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+  GROUP BY t.doc_id)""",
+        "w0 AS (SELECT 0e0 AS b0, 0e0 AS b1, 0e0 AS b2, 0e0 AS b3, 0e0 AS b4)",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(
+            f"""g{t} AS (
+  SELECT AVG(e) AS g0, AVG(e*x1) AS g1, AVG(e*x2) AS g2,
+         AVG(e*x3) AS g3, AVG(e*x4) AS g4
+  FROM (SELECT (1e0/(1e0+EXP(-({zexpr}))) - f.y) AS e, f.x1, f.x2, f.x3, f.x4
+        FROM fe f CROSS JOIN w{t-1} w)),
+w{t} AS (SELECT w.b0 - 1e0*g.g0 AS b0, w.b1 - 1e0*g.g1 AS b1,
+                w.b2 - 1e0*g.g2 AS b2, w.b3 - 1e0*g.g3 AS b3,
+                w.b4 - 1e0*g.g4 AS b4
+         FROM w{t-1} w CROSS JOIN g{t} g)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT f.doc_id,
+       ROUND(1e0/(1e0+EXP(-({zexpr}))), 6) AS prob,
+       (1e0/(1e0+EXP(-({zexpr}))) >= 0.5e0) AS keep
+FROM fe f CROSS JOIN w{steps} w"""
+    )
+
+
+DOCS_ORACLE["quality_classifier"] = _classifier_sql()
+DOCS_QUERIES["quality_classifier"] = q_quality_classifier

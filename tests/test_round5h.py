@@ -166,3 +166,65 @@ def test_spinner_partition_covers_all_nodes(spark):
     expect = {a for a, _ in e} | {b for _, b in e}
     assert ids == expect
     assert all(0 <= r["part"] < 4 for r in rows)
+
+
+# ---- trained quality classifier ----
+
+
+def test_quality_classifier_matches_hand_gd(spark):
+    import math
+
+    from llama_spark.functions.classify import quality_classifier
+    from llama_spark.functions.text import STOPWORDS
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "a stitch in time saves nine and more", "en"),
+        (3, "der schnelle braune fuchs springt sehr hoch", "de"),
+        (4, "le renard brun rapide saute par dessus", "fr"),
+        (5, "the the the the repeated words words words", "en"),
+    ]
+    stop = set(STOPWORDS)
+    feats = {}
+    for doc_id, text, lang in rows:
+        toks = text.lower().split()
+        n = len(toks)
+        feats[doc_id] = (
+            [
+                n / 100.0,
+                sum(len(t) for t in toks) / n,
+                sum(t in stop for t in toks) / n,
+                len(set(toks)) / n,
+            ],
+            1.0 if lang == "en" else 0.0,
+        )
+    w = [0.0] * 5
+    for _ in range(8):
+        g = [0.0] * 5
+        for x, y in feats.values():
+            z = w[0] + sum(w[j + 1] * x[j] for j in range(4))
+            e = 1.0 / (1.0 + math.exp(-z)) - y
+            g[0] += e
+            for j in range(4):
+                g[j + 1] += e * x[j]
+        w = [w[j] - g[j] / len(feats) for j in range(5)]
+    expected = {}
+    for doc_id, (x, _y) in feats.items():
+        z = w[0] + sum(w[j + 1] * x[j] for j in range(4))
+        p = 1.0 / (1.0 + math.exp(-z))
+        expected[doc_id] = (round(p, 6), p >= 0.5)
+
+    got = {
+        r["doc_id"]: (r["prob"], r["keep"])
+        for r in quality_classifier(_docs(spark, rows)).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k][0] - expected[k][0]) < 1e-6, (k, got[k], expected[k])
+        assert got[k][1] == expected[k][1]
+    # direction check: after 8 steps the filter ranks target-lang docs
+    # above off-target docs on average (full separation needs more steps
+    # than this fixed-budget toy run)
+    en = [got[k][0] for k in (1, 2, 5)]
+    off = [got[k][0] for k in (3, 4)]
+    assert sum(en) / len(en) > sum(off) / len(off)

@@ -5945,3 +5945,70 @@ FROM agg CROSS JOIN bm CROSS JOIN cm"""
 
 ORACLE["partition_nmi"] = _nmi_sql()
 QUERIES["partition_nmi"] = q_partition_nmi
+
+
+# --------------------------------------------------------------- TPC-H Q10
+
+Q10_LO, Q10_HI = "1996-01-01", "1996-07-01"
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item revenue ranking): 4-way join with a
+    half-year order window and returnflag filter, decimal-exact revenue,
+    top-20 customers by (revenue desc, custkey) — full ordering key shared
+    with the oracle so the LIMIT cut is deterministic. The nation dim is
+    broadcast; orders⨝lineitem shuffles on the shared orderkey."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_LO)) & (F.col("o_orderdate") < F.lit(Q10_HI))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                (
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+                ).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("revenue", 4).alias("revenue"),
+            F.round("c_acctbal", 4).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE["tpch_q10"] = f"""
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+         CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                  AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '{Q10_LO} 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '{Q10_HI} 00:00:00'
+  GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name)
+SELECT c_custkey, c_name, ROUND(revenue, 4) AS revenue,
+       ROUND(c_acctbal, 4) AS c_acctbal, n_name
+FROM rev ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
+QUERIES["tpch_q10"] = q_tpch_q10

@@ -2516,3 +2516,48 @@ FROM fe f CROSS JOIN w{steps} w"""
 
 DOCS_ORACLE["quality_classifier"] = _classifier_sql()
 DOCS_QUERIES["quality_classifier"] = q_quality_classifier
+
+
+# ---------------------------------------------- HyperLogLog distinct sketch
+
+
+def q_hll_distinct_tokens(spark, sf_dir):
+    """HLL distinct-token estimate (p=10, portable-md5 register layout,
+    linear-counting small-range correction) next to the exact count —
+    the gate hash-matches the full estimator arithmetic cross-engine."""
+    from .functions.sketch import hll_distinct_tokens
+
+    return hll_distinct_tokens(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _hll_sql() -> str:
+    from .functions.sketch import HLL_ALPHA, HLL_P
+
+    m = 1 << HLL_P
+    am2 = repr(HLL_ALPHA * m * m)
+    zmax = 60 - HLL_P + 1
+    return f"""
+WITH toks AS MATERIALIZED ({TOKS_SQL}),
+h AS (SELECT {HASH.format('tok')} AS h FROM toks),
+regs AS (
+  SELECT h & {m - 1} AS b,
+         MAX(CASE WHEN (h >> {HLL_P}) = 0 THEN {zmax}
+                  ELSE {zmax} - length(bin(h >> {HLL_P})) END) AS M
+  FROM h GROUP BY b),
+agg AS (SELECT COUNT(*) AS cnt, SUM(POWER(2.0, -M)) AS s FROM regs),
+est AS (
+  SELECT cnt AS n_registers,
+         ROUND(CASE WHEN (CAST({am2} AS DOUBLE) / (s + ({m}e0 - cnt))) <= {2.5 * m}
+                         AND ({m} - cnt) > 0
+                    THEN {m}e0 * ln({m}e0 / CAST({m} - cnt AS DOUBLE))
+                    ELSE CAST({am2} AS DOUBLE) / (s + ({m}e0 - cnt)) END, 4)
+           AS hll_est
+  FROM agg),
+ex AS (SELECT COUNT(DISTINCT tok) AS exact_distinct FROM toks)
+SELECT n_registers, hll_est, exact_distinct,
+       ROUND(ABS(hll_est - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM est CROSS JOIN ex"""
+
+
+DOCS_ORACLE["hll_distinct_tokens"] = _hll_sql()
+DOCS_QUERIES["hll_distinct_tokens"] = q_hll_distinct_tokens

@@ -144,3 +144,79 @@ def grouped_quantiles(
         .agg(F.min("v").alias("value"))
         .select(F.col("grp").alias(group_col), "q_bp", "rank", "value")
     )
+
+
+HLL_P = 10  # 2^10 = 1024 registers
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / (1 << HLL_P))
+
+
+def hll_registers(values: DataFrame, col: str = "h", p: int = HLL_P) -> DataFrame:
+    """DataFrame[b, M] — HyperLogLog registers over already-hashed 60-bit
+    values (Flajolet et al. 2007): bucket = low p bits, rank = leading
+    zeros of the remaining 50 bits + 1, register = max rank per bucket.
+
+    The engine-private-layout objection to gating HLL (see module
+    docstring) doesn't apply here because the registers are built from
+    OUR portable md5 hash with exact integer ops — ``h & (m-1)`` /
+    ``h >> p`` bit ops and ``length(bin(w))`` for the leading-zero rank
+    (never float log2, whose boundary rounding flips ranks) — so any SQL
+    engine reproduces the identical register table.
+
+    Plan: one map-side-combined groupBy to ≤ m rows. At 100 TB this is
+    the textbook distributed sketch: partial registers merge with MAX."""
+    m = 1 << p
+    w = F.shiftright(F.col(col), p)
+    rho = F.when(w == 0, F.lit(51 - p + 10)).otherwise(
+        F.lit(60 - p + 1) - F.length(F.bin(w))
+    )
+    return (
+        values.select(
+            F.col(col).bitwiseAND(F.lit(m - 1)).alias("b"), rho.alias("r")
+        )
+        .groupBy("b")
+        .agg(F.max("r").alias("M"))
+    )
+
+
+def hll_estimate(regs: DataFrame, p: int = HLL_P) -> DataFrame:
+    """1-row DataFrame[n_registers, hll_est] from a register table —
+    harmonic-mean estimate with the small-range linear-counting
+    correction (E ≤ 2.5m and empty registers present)."""
+    m = 1 << p
+    agg = regs.agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("s"),
+    )
+    z_inv = F.col("s") + (F.lit(float(m)) - F.col("cnt"))
+    e_raw = F.lit(HLL_ALPHA * m * m) / z_inv
+    v = F.lit(m) - F.col("cnt")
+    e = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        F.col("cnt").alias("n_registers"), F.round(e, 4).alias("hll_est")
+    )
+
+
+def hll_distinct_tokens(documents: DataFrame, p: int = HLL_P) -> DataFrame:
+    """1-row DataFrame[n_registers, hll_est, exact_distinct, rel_err] —
+    the HLL distinct-token estimate next to the exact count (the gate
+    verifies the ESTIMATOR's arithmetic, and the artifact shows its
+    accuracy at this corpus size)."""
+    toks = tokenize(documents).select(token_hash(F.col("tok")).alias("h"))
+    est = hll_estimate(hll_registers(toks, "h", p), p)
+    exact = tokenize(documents).agg(F.countDistinct("tok").alias("exact_distinct"))
+    return (
+        est.crossJoin(exact)
+        .select(
+            "n_registers",
+            "hll_est",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("hll_est") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+    )

@@ -228,3 +228,43 @@ def test_quality_classifier_matches_hand_gd(spark):
     en = [got[k][0] for k in (1, 2, 5)]
     off = [got[k][0] for k in (3, 4)]
     assert sum(en) / len(en) > sum(off) / len(off)
+
+
+# ---- HyperLogLog sketch ----
+
+
+def test_hll_matches_hand_registers(spark):
+    import hashlib
+    import math
+
+    from llama_spark.functions.sketch import HLL_ALPHA, HLL_P, hll_distinct_tokens
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en"),
+        (2, "alpha beta eta theta iota kappa", "en"),
+        (3, "gamma delta lambda mu nu xi", "de"),
+    ]
+    m = 1 << HLL_P
+    regs: dict[int, int] = {}
+    toks = [t for _, text, _ in rows for t in text.lower().split()]
+    for tok in toks:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        b, w = h & (m - 1), h >> HLL_P
+        rho = (60 - HLL_P + 1) if w == 0 else (60 - HLL_P + 1) - w.bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    s = sum(2.0 ** -v for v in regs.values())
+    cnt = len(regs)
+    z_inv = s + (m - cnt)
+    e_raw = (HLL_ALPHA * m * m) / z_inv
+    if e_raw <= 2.5 * m and (m - cnt) > 0:
+        e = m * math.log(m / float(m - cnt))
+    else:
+        e = e_raw
+    exact = len(set(toks))
+    expected = (cnt, round(e, 4), exact, round(abs(round(e, 4) - exact) / exact, 4))
+
+    row = hll_distinct_tokens(_docs(spark, rows)).head()
+    got = (row["n_registers"], row["hll_est"], row["exact_distinct"], row["rel_err"])
+    assert got == expected
+    # small-range regime: linear counting keeps the estimate near exact
+    assert abs(row["hll_est"] - exact) / exact < 0.05

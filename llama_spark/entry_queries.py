@@ -2320,6 +2320,82 @@ ORACLE["partition_quality"] = _partition_quality_sql()
 QUERIES["partition_quality"] = q_partition_quality
 
 
+# ------------------------------------------------ 2-D spectral embedding
+
+SE_ITERS = 8
+
+
+def q_spectral_embedding(spark, sf_dir):
+    """2-D spectral embedding (orthogonal iteration on cI − L with
+    closed-form Gram-Schmidt from one 5-sum aggregate per round)."""
+    from .operators.spectral import spectral_embedding2
+
+    return spectral_embedding2(load_edges(spark, sf_dir), max_iter=SE_ITERS).select(
+        "id", F.round("e1", 6).alias("e1"), F.round("e2", 6).alias("e2")
+    )
+
+
+def _spectral_embedding_sql(iters: int = SE_ITERS) -> str:
+    """Unrolled orthogonal iteration mirroring operators/spectral.py
+    spectral_embedding2 operand-for-operand (DuckDB lateral column
+    aliases carry the chained scalar definitions m→u1n→beta→u2n)."""
+    nn = "(SELECT n FROM nn)"
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS d"
+        " FROM und GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
+        "cc AS (SELECT 1e0 + MAX(d) AS c FROM deg)",
+        "x0 AS MATERIALIZED (SELECT id, d,"
+        " CAST((id * 2654435761) % 1048576 AS DOUBLE)/1048576e0 - 0.5e0 AS x1,"
+        " CAST((id * 1566083941) % 1048576 AS DOUBLE)/1048576e0 - 0.5e0 AS x2"
+        " FROM deg)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""y{i} AS (
+  SELECT s.id, s.d,
+         ((SELECT c FROM cc) - s.d) * s.x1 + COALESCE(g.s1g, 0e0) AS y1,
+         ((SELECT c FROM cc) - s.d) * s.x2 + COALESCE(g.s2g, 0e0) AS y2
+  FROM x{i-1} s LEFT JOIN (
+    SELECT u.dst AS id, SUM(s2.x1) AS s1g, SUM(s2.x2) AS s2g
+    FROM x{i-1} s2 JOIN und u ON u.src = s2.id GROUP BY u.dst
+  ) g ON g.id = s.id),
+st{i} AS (SELECT SUM(y1) AS s1, SUM(y2) AS s2, SUM(y1*y1) AS s11,
+                 SUM(y2*y2) AS s22, SUM(y1*y2) AS s12 FROM y{i}),
+sc{i} AS (SELECT s1 / nn.n AS m1, s2 / nn.n AS m2,
+                 SQRT(s11 - (m1 * m1) * nn.n) AS u1n,
+                 (s12 - m1 * s2 - m2 * s1 + (m1 * m2) * nn.n) / u1n AS beta,
+                 SQRT(s22 - (m2 * m2) * nn.n - beta * beta) AS u2n
+          FROM st{i} CROSS JOIN nn),
+x{i} AS MATERIALIZED (
+  SELECT y.id, y.d,
+         (y.y1 - sc.m1) / sc.u1n AS x1,
+         (y.y2 - sc.m2 - (sc.beta / sc.u1n) * (y.y1 - sc.m1)) / sc.u2n AS x2
+  FROM y{i} y CROSS JOIN sc{i} sc)"""
+        )
+    ctes.append(
+        f"sg1 AS (SELECT CASE WHEN x1 >= 0e0 THEN 1e0 ELSE -1e0 END AS s"
+        f" FROM x{iters} ORDER BY ABS(x1) DESC, id LIMIT 1)"
+    )
+    ctes.append(
+        f"sg2 AS (SELECT CASE WHEN x2 >= 0e0 THEN 1e0 ELSE -1e0 END AS s"
+        f" FROM x{iters} ORDER BY ABS(x2) DESC, id LIMIT 1)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id, ROUND(x1 * (SELECT s FROM sg1), 6) AS e1,
+       ROUND(x2 * (SELECT s FROM sg2), 6) AS e2
+FROM x{iters}"""
+    )
+
+
+ORACLE["spectral_embedding"] = _spectral_embedding_sql()
+QUERIES["spectral_embedding"] = q_spectral_embedding
+
+
 # --------------------------------------------------- effective diameter
 
 EFF_DIAM_Q = 0.9

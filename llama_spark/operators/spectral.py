@@ -169,3 +169,124 @@ def spectral_cut_summary(edges: DataFrame, max_iter: int = FIEDLER_ITERS) -> Dat
         [(int(cut_pairs), float(vol_small), round(cond, 6))],
         "cut_edges long, vol_small double, conductance double",
     )
+
+
+def spectral_embedding2(
+    edges: DataFrame,
+    max_iter: int = FIEDLER_ITERS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame[id, e1, e2] — 2-D spectral embedding: the two smallest
+    non-trivial Laplacian eigendirections via ORTHOGONAL ITERATION on
+    M = cI − L (block power method with per-round Gram-Schmidt).
+
+    Both columns ride ONE gather join per round (the edge table is
+    streamed once, summing both coordinates), and the Gram-Schmidt step
+    is closed-form from a single 5-sum aggregate: with m_i = Σy_i/n,
+
+        x1' = (y1 − m1)/‖u1‖,         ‖u1‖² = s11 − n·m1²
+        β   = (s12 − m1·s2 − m2·s1 + (m1·m2)·n)/‖u1‖
+        x2' = (y2 − m2 − (β/‖u1‖)·(y1 − m1)) / sqrt(s22 − n·m2² − β²)
+
+    — exactly the operand order the SQL oracle replays. The one-pass
+    moment forms cancel like the fiedler update (gate-proven at 6 dp).
+    Embedding coordinates are the standard cheap vertex features for
+    downstream ML (cluster-id hashing, locality-aware relabeling)."""
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    deg = (
+        und.groupBy(F.col(SRC).alias("id"))
+        .agg(F.count("*").cast("double").alias("d"))
+        .repartition(p, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = deg.count()
+    if n == 0:
+        und.unpersist()
+        return deg.select(
+            "id", F.lit(0.0).alias("e1"), F.lit(0.0).alias("e2")
+        )
+    c = 1.0 + deg.agg(F.max("d")).head()[0]
+    n_d = float(n)
+
+    def h(const: int):
+        return (
+            ((F.col("id") * F.lit(const)) % F.lit(1048576)).cast("double")
+            / F.lit(1048576.0)
+            - F.lit(0.5)
+        )
+
+    state = materialize(
+        deg.select("id", "d", h(2654435761).alias("x1"), h(1566083941).alias("x2"))
+    )
+
+    for _ in range(max_iter):
+        gather = (
+            und.join(
+                state.select(
+                    F.col("id").alias(SRC),
+                    F.col("x1").alias("g1"),
+                    F.col("x2").alias("g2"),
+                ).hint("shuffle_hash"),
+                SRC,
+            )
+            .groupBy(F.col(DST).alias("id"))
+            .agg(F.sum("g1").alias("s1g"), F.sum("g2").alias("s2g"))
+        )
+        y = state.join(gather, "id", "left").select(
+            "id",
+            "d",
+            (
+                (F.lit(c) - F.col("d")) * F.col("x1")
+                + F.coalesce(F.col("s1g"), F.lit(0.0))
+            ).alias("y1"),
+            (
+                (F.lit(c) - F.col("d")) * F.col("x2")
+                + F.coalesce(F.col("s2g"), F.lit(0.0))
+            ).alias("y2"),
+        )
+        y = y.persist(StorageLevel.MEMORY_AND_DISK)
+        st = y.agg(
+            F.sum("y1").alias("s1"),
+            F.sum("y2").alias("s2"),
+            F.sum(F.col("y1") * F.col("y1")).alias("s11"),
+            F.sum(F.col("y2") * F.col("y2")).alias("s22"),
+            F.sum(F.col("y1") * F.col("y2")).alias("s12"),
+        )
+        m1 = F.col("s1") / F.lit(n_d)
+        m2 = F.col("s2") / F.lit(n_d)
+        u1n = F.sqrt(F.col("s11") - (m1 * m1) * F.lit(n_d))
+        beta = (
+            F.col("s12") - m1 * F.col("s2") - m2 * F.col("s1") + (m1 * m2) * F.lit(n_d)
+        ) / u1n
+        u2n = F.sqrt(F.col("s22") - (m2 * m2) * F.lit(n_d) - beta * beta)
+        prev = state
+        state = materialize(
+            y.crossJoin(F.broadcast(st)).select(
+                "id",
+                "d",
+                ((F.col("y1") - m1) / u1n).alias("x1"),
+                (
+                    (
+                        F.col("y2")
+                        - m2
+                        - (beta / u1n) * (F.col("y1") - m1)
+                    )
+                    / u2n
+                ).alias("x2"),
+            )
+        )
+        prev.unpersist()
+        y.unpersist()
+
+    out_cols = []
+    for col in ("x1", "x2"):
+        head = state.orderBy(F.abs(F.col(col)).desc(), "id").select(col).head()
+        sgn = 1.0 if head is None or head[0] >= 0.0 else -1.0
+        out_cols.append((F.col(col) * F.lit(sgn)).alias("e" + col[-1]))
+    out = state.select("id", *out_cols)
+    und.unpersist()
+    deg.unpersist()
+    return out

@@ -268,3 +268,41 @@ def test_hll_matches_hand_registers(spark):
     assert got == expected
     # small-range regime: linear counting keeps the estimate near exact
     assert abs(row["hll_est"] - exact) / exact < 0.05
+
+
+# ---- 2-D spectral embedding ----
+
+
+def test_spectral_embedding_orthonormal_and_harmonics(spark):
+    import math
+
+    from llama_spark.operators.spectral import spectral_embedding2
+
+    rows = spectral_embedding2(
+        edges_df(spark, [(i, i + 1) for i in range(11)]), max_iter=80
+    ).collect()
+    rows.sort(key=lambda r: r["id"])
+    e1 = [r["e1"] for r in rows]
+    e2 = [r["e2"] for r in rows]
+    # orthonormal pair, both orthogonal to 1
+    assert abs(math.sqrt(sum(v * v for v in e1)) - 1.0) < 1e-9
+    assert abs(math.sqrt(sum(v * v for v in e2)) - 1.0) < 1e-9
+    assert abs(sum(a * b for a, b in zip(e1, e2))) < 1e-9
+    assert abs(sum(e1)) < 1e-9 and abs(sum(e2)) < 1e-9
+    # path-graph harmonics: the Fiedler direction changes sign once,
+    # the next eigendirection twice
+    def sign_changes(xs):
+        return sum(1 for a, b in zip(xs, xs[1:]) if a * b < 0)
+
+    assert sign_changes(e1) == 1
+    assert sign_changes(e2) == 2
+
+
+def test_spectral_embedding_e1_matches_fiedler(spark):
+    from llama_spark.operators.spectral import fiedler_vector, spectral_embedding2
+
+    e = edges_df(spark, _barbell(4))
+    emb = {r["id"]: r["e1"] for r in spectral_embedding2(e, max_iter=30).collect()}
+    fv = {r["id"]: r["fiedler"] for r in fiedler_vector(e, max_iter=30).collect()}
+    # identical recurrence for the first coordinate → same vector
+    assert all(abs(emb[k] - fv[k]) < 1e-9 for k in fv)

@@ -6088,3 +6088,83 @@ SELECT c_custkey, c_name, ROUND(revenue, 4) AS revenue,
        ROUND(c_acctbal, 4) AS c_acctbal, n_name
 FROM rev ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
 QUERIES["tpch_q10"] = q_tpch_q10
+
+
+# --------------------------------------------- topic-sensitive PageRank
+
+TSPR_TOPICS = 4
+TSPR_MOD = 64
+TSPR_ITERS = 8
+
+
+def q_topic_pagerank(spark, sf_dir):
+    """Haveliwala topic-sensitive PageRank: 4 seeded teleport vectors
+    (seeds = id ≡ t mod 64) batched through ONE gather join per iteration."""
+    from .operators.pagerank import topic_sensitive_pagerank
+
+    out = topic_sensitive_pagerank(
+        load_edges(spark, sf_dir),
+        topic_of=F.when(
+            (F.col("id") % TSPR_MOD) < TSPR_TOPICS, F.col("id") % TSPR_MOD
+        ),
+        n_topics=TSPR_TOPICS,
+        max_iter=TSPR_ITERS,
+    )
+    n = out.count()  # scale like the other rank gates (V known: reuse rows)
+    return out.select(
+        "id",
+        *[
+            F.round(F.col(f"r{t}") * F.lit(float(n)), 6).alias(f"r{t}")
+            for t in range(TSPR_TOPICS)
+        ],
+    )
+
+
+def _topic_pagerank_sql(iters: int = TSPR_ITERS) -> str:
+    K, MOD = TSPR_TOPICS, TSPR_MOD
+    base = repr(1.0 - DAMPING)
+    d = repr(DAMPING)
+    e_cols = ",\n         ".join(
+        f"CASE WHEN nodes.id % {MOD} = {t}"
+        f" THEN 1e0/(SELECT c FROM sz WHERE t = {t}) ELSE 0e0 END AS e{t}"
+        for t in range(K)
+    )
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS od FROM edges GROUP BY src)",
+        f"sz AS MATERIALIZED (SELECT id % {MOD} AS t, COUNT(*) AS c"
+        f" FROM nodes WHERE id % {MOD} < {K} GROUP BY 1)",
+        f"e AS MATERIALIZED (SELECT nodes.id,\n         {e_cols}\n  FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT id, "
+        + ", ".join(f"e{t} AS r{t}" for t in range(K))
+        + " FROM e)",
+    ]
+    for i in range(1, iters + 1):
+        sums = ", ".join(
+            f"SUM(r.r{t} * (1e0 / d.od)) AS c{t}" for t in range(K)
+        )
+        upds = ",\n         ".join(
+            f"CAST({base} AS DOUBLE) * e.e{t}"
+            f" + CAST({d} AS DOUBLE) * COALESCE(c.c{t}, 0e0) AS r{t}"
+            for t in range(K)
+        )
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT e.id,
+         {upds}
+  FROM e LEFT JOIN (
+    SELECT ed.dst AS id, {sums}
+    FROM r{i-1} r JOIN edges ed ON ed.src = r.id JOIN deg d ON d.id = r.id
+    GROUP BY ed.dst
+  ) c ON e.id = c.id)"""
+        )
+    outs = ", ".join(
+        f"ROUND(r{t} * (SELECT n FROM nn), 6) AS r{t}" for t in range(K)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, {outs} FROM r{iters}"
+
+
+ORACLE["topic_pagerank"] = _topic_pagerank_sql()
+QUERIES["topic_pagerank"] = q_topic_pagerank

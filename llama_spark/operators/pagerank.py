@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..graph import DST, SRC, nodes_of
+from ..graph import DST, SRC, materialize, nodes_of
 from ..plans.fixpoint import FixpointResult, iterate
 
 
@@ -414,3 +414,116 @@ def pagerank_trace(
     nodes.unpersist()
     edges_inv.unpersist()
     return spark.createDataFrame(rows, "iter long, l1_residual double")
+
+
+def topic_sensitive_pagerank(
+    edges: DataFrame,
+    topic_of,
+    n_topics: int,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Topic-sensitive PageRank (Haveliwala, WWW 2002): K personalized
+    rank vectors — teleport restricted to each topic's seed set — computed
+    SIMULTANEOUSLY, returning DataFrame[id, r0..r{K-1}].
+
+    ``topic_of`` is a Column expression over ``id`` giving a seed's topic
+    in [0, n_topics) or NULL for non-seeds; e_t(v) = 1/|S_t| on members.
+
+    The production-relevant part is the batching: all K vectors ride ONE
+    gather join per iteration (the cached 1/out-degree edge table streams
+    once; the V-row state carries K rank + K teleport columns), so K
+    topics cost one topic's shuffle volume — the same multi-column
+    batching the sparse multi-source BFS and the 2-D spectral embedding
+    use. Per-vector arithmetic is exactly the pagerank.h recurrence
+    (dangling mass lost), so each column individually matches
+    ``personalized_pagerank`` on that seed set."""
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nodes = nodes_of(edges).repartition(p, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.count()
+    ks = list(range(n_topics))
+    if n == 0:
+        nodes.unpersist()
+        return nodes.select("id", *[F.lit(0.0).alias(f"r{t}") for t in ks])
+
+    out_deg = edges.groupBy(SRC).agg(F.count("*").alias("od"))
+    e_inv = (
+        edges.select(SRC, DST)
+        .join(out_deg, SRC)
+        .select(SRC, DST, (F.lit(1.0) / F.col("od")).alias("inv_deg"))
+        .repartition(p, SRC)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e_inv.count()
+
+    tagged = nodes.select("id", topic_of.cast("long").alias("_t"))
+    sizes = {
+        int(r["_t"]): int(r["cnt"])
+        for r in tagged.filter(F.col("_t").isNotNull())
+        .groupBy("_t")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    for t in ks:
+        if sizes.get(t, 0) == 0:
+            raise ValueError(f"topic {t} has no seed nodes")
+
+    e_cols = [
+        F.when(F.col("_t") == t, F.lit(1.0 / sizes[t]))
+        .otherwise(F.lit(0.0))
+        .alias(f"e{t}")
+        for t in ks
+    ]
+    state = materialize(
+        tagged.select(
+            "id",
+            *e_cols,
+            *[
+                F.when(F.col("_t") == t, F.lit(1.0 / sizes[t]))
+                .otherwise(F.lit(0.0))
+                .alias(f"r{t}")
+                for t in ks
+            ],
+        )
+    )
+
+    d = damping
+    for _ in range(max_iter):
+        contribs = (
+            e_inv.join(
+                state.select(
+                    F.col("id").alias(SRC),
+                    *[F.col(f"r{t}").alias(f"x{t}") for t in ks],
+                ).hint("shuffle_hash"),
+                SRC,
+            )
+            .groupBy(F.col(DST).alias("id"))
+            .agg(
+                *[
+                    F.sum(F.col(f"x{t}") * F.col("inv_deg")).alias(f"c{t}")
+                    for t in ks
+                ]
+            )
+        )
+        prev = state
+        state = materialize(
+            state.join(contribs, "id", "left").select(
+                "id",
+                *[F.col(f"e{t}") for t in ks],
+                *[
+                    (
+                        F.lit(1.0 - d) * F.col(f"e{t}")
+                        + F.lit(d) * F.coalesce(F.col(f"c{t}"), F.lit(0.0))
+                    ).alias(f"r{t}")
+                    for t in ks
+                ],
+            )
+        )
+        prev.unpersist()
+
+    out = state.select("id", *[f"r{t}" for t in ks])
+    e_inv.unpersist()
+    nodes.unpersist()
+    return out

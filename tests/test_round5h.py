@@ -306,3 +306,48 @@ def test_spectral_embedding_e1_matches_fiedler(spark):
     fv = {r["id"]: r["fiedler"] for r in fiedler_vector(e, max_iter=30).collect()}
     # identical recurrence for the first coordinate → same vector
     assert all(abs(emb[k] - fv[k]) < 1e-9 for k in fv)
+
+
+# ---- topic-sensitive PageRank ----
+
+
+def test_topic_pagerank_columns_match_personalized(spark):
+    from pyspark.sql import functions as F
+
+    from llama_spark.operators.pagerank import (
+        personalized_pagerank,
+        topic_sensitive_pagerank,
+    )
+
+    e = edges_df(
+        spark,
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (1, 5), (5, 0)],
+    )
+    out = {
+        r["id"]: r
+        for r in topic_sensitive_pagerank(
+            e, topic_of=F.when(F.col("id") % 3 < 2, F.col("id") % 3),
+            n_topics=2, max_iter=12,
+        ).collect()
+    }
+    ids = sorted(out)
+    for t, seeds in ((0, [0, 3]), (1, [1, 4])):
+        solo = {
+            r["id"]: r["rank"]
+            for r in personalized_pagerank(e, sources=seeds, max_iter=12).collect()
+        }
+        for i in ids:
+            assert abs(out[i][f"r{t}"] - solo[i]) < 1e-12, (t, i)
+
+
+def test_topic_pagerank_raises_on_empty_topic(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from llama_spark.operators.pagerank import topic_sensitive_pagerank
+
+    e = edges_df(spark, [(0, 1), (1, 0)])
+    with pytest.raises(ValueError):
+        topic_sensitive_pagerank(
+            e, topic_of=F.when(F.col("id") == 0, F.lit(0)), n_topics=2, max_iter=2
+        )

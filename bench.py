@@ -290,7 +290,20 @@ def main() -> None:
     from llama_spark.operators.partition import spinner_partition
     from llama_spark.operators.spectral import fiedler_vector
 
+    from pyspark.sql import functions as FF
+
+    from llama_spark.operators.pagerank import topic_sensitive_pagerank
+
     timed("fiedler10", lambda: fiedler_vector(edges, max_iter=10).count())
+    timed(
+        "topic_pagerank4",
+        lambda: topic_sensitive_pagerank(
+            edges,
+            topic_of=FF.when((FF.col("id") % 64) < 4, FF.col("id") % 64),
+            n_topics=4,
+            max_iter=8,
+        ).count(),
+    )
     timed(
         "partition_k8", lambda: spinner_partition(edges, k=8, rounds=6).count()
     )

@@ -6168,3 +6168,58 @@ def _topic_pagerank_sql(iters: int = TSPR_ITERS) -> str:
 
 ORACLE["topic_pagerank"] = _topic_pagerank_sql()
 QUERIES["topic_pagerank"] = q_topic_pagerank
+
+
+# --------------------------------------- normalized spectral bisection
+
+
+def q_fiedler_normalized(spark, sf_dir):
+    """Normalized-Laplacian Fiedler vector (Shi–Malik) — power iteration
+    on I + D^{-1/2}AD^{-1/2} with exact D^{1/2}·1 deflation, 10 steps."""
+    from .operators.spectral import fiedler_vector_normalized
+
+    v = fiedler_vector_normalized(load_edges(spark, sf_dir), max_iter=FIEDLER_ITERS)
+    return v.select("id", F.round("nfiedler", 6).alias("nfiedler"))
+
+
+def _fiedler_normalized_sql(iters: int = FIEDLER_ITERS) -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS d"
+        " FROM und GROUP BY src)",
+        "s2 AS (SELECT SUM(d) AS v FROM deg)",
+        "x0 AS MATERIALIZED (SELECT id, d, SQRT(d) AS sd,"
+        " CAST((id * 2654435761) % 1048576 AS DOUBLE)/1048576e0 - 0.5e0 AS x"
+        " FROM deg)",
+    ]
+    for i in range(1, iters + 1):
+        pr = f"((SELECT syd FROM st{i}) / (SELECT v FROM s2))"
+        ctes.append(
+            f"""y{i} AS (
+  SELECT s.id, s.d, s.sd, s.x + COALESCE(g.g, 0e0) / s.sd AS y
+  FROM x{i-1} s LEFT JOIN (
+    SELECT u.dst AS id, SUM(s2x.x / s2x.sd) AS g
+    FROM x{i-1} s2x JOIN und u ON u.src = s2x.id GROUP BY u.dst
+  ) g ON g.id = s.id),
+st{i} AS (SELECT SUM(y*sd) AS syd, SUM(y*y) AS syy FROM y{i}),
+x{i} AS MATERIALIZED (
+  SELECT id, d, sd,
+         (y - {pr} * sd)
+         / SQRT((SELECT syy FROM st{i})
+                - 2e0 * {pr} * (SELECT syd FROM st{i})
+                + ({pr} * {pr}) * (SELECT v FROM s2)) AS x
+  FROM y{i})"""
+        )
+    ctes.append(
+        f"sgn AS (SELECT CASE WHEN x >= 0e0 THEN 1e0 ELSE -1e0 END AS s"
+        f" FROM x{iters} ORDER BY ABS(x) DESC, id LIMIT 1)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(x * (SELECT s FROM sgn), 6) AS nfiedler FROM x{iters}"
+    )
+
+
+ORACLE["fiedler_normalized"] = _fiedler_normalized_sql()
+QUERIES["fiedler_normalized"] = q_fiedler_normalized

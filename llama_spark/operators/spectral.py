@@ -290,3 +290,99 @@ def spectral_embedding2(
     und.unpersist()
     deg.unpersist()
     return out
+
+
+def fiedler_vector_normalized(
+    edges: DataFrame,
+    max_iter: int = FIEDLER_ITERS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame[id, d, nfiedler] — Fiedler vector of the NORMALIZED
+    Laplacian L_n = I − D^{-1/2}AD^{-1/2} (Shi–Malik / Ng–Jordan–Weiss
+    normalized spectral bisection — the practical variant on power-law
+    degree graphs, where the unnormalized cut chases hub degrees).
+
+    Power iteration on M = 2I − L_n = I + D^{-1/2}AD^{-1/2}: no
+    degree-dependent shift constant needed (spec(M) ⊆ [0,2], dominant
+    eigenvector D^{1/2}·1 at exactly 2). Per round: gather Σ x_j/√d_j
+    over und edges, y = x + g/√d, deflate the D^{1/2}·1 direction
+    (p = Σy·√d / Σd — exact nullvector projection), L2-normalize via the
+    one-pass form ‖y−p·√d‖² = Σy² − 2·p·Σy√d + p²·Σd. Same cached-edge /
+    V-row-shuffle plan as ``fiedler_vector``; same 6 dp oracle contract."""
+    spark = edges.sparkSession
+    p_ = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = symmetrize(edges).repartition(p_, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    deg = (
+        und.groupBy(F.col(SRC).alias("id"))
+        .agg(F.count("*").cast("double").alias("d"))
+        .repartition(p_, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = deg.count()
+    if n == 0:
+        und.unpersist()
+        return deg.select("id", "d", F.lit(0.0).alias("nfiedler"))
+    s2 = float(deg.agg(F.sum("d")).head()[0])  # Σd = Σ(√d)², exact integer sum
+
+    state = materialize(
+        deg.select(
+            "id",
+            "d",
+            F.sqrt(F.col("d")).alias("sd"),
+            (
+                ((F.col("id") * F.lit(2654435761)) % F.lit(1048576)).cast("double")
+                / F.lit(1048576.0)
+                - F.lit(0.5)
+            ).alias("x"),
+        )
+    )
+
+    for _ in range(max_iter):
+        gather = (
+            und.join(
+                state.select(
+                    F.col("id").alias(SRC), (F.col("x") / F.col("sd")).alias("xs")
+                ).hint("shuffle_hash"),
+                SRC,
+            )
+            .groupBy(F.col(DST).alias("id"))
+            .agg(F.sum("xs").alias("g"))
+        )
+        y = state.join(gather, "id", "left").select(
+            "id",
+            "d",
+            "sd",
+            (F.col("x") + F.coalesce(F.col("g"), F.lit(0.0)) / F.col("sd")).alias("y"),
+        )
+        y = y.persist(StorageLevel.MEMORY_AND_DISK)
+        st = y.agg(
+            F.sum(F.col("y") * F.col("sd")).alias("syd"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        pr = F.col("syd") / F.lit(s2)
+        prev = state
+        state = materialize(
+            y.crossJoin(F.broadcast(st)).select(
+                "id",
+                "d",
+                "sd",
+                (
+                    (F.col("y") - pr * F.col("sd"))
+                    / F.sqrt(
+                        F.col("syy")
+                        - F.lit(2.0) * pr * F.col("syd")
+                        + (pr * pr) * F.lit(s2)
+                    )
+                ).alias("x"),
+            )
+        )
+        prev.unpersist()
+        y.unpersist()
+
+    head = state.orderBy(F.abs(F.col("x")).desc(), "id").select("x").head()
+    sign = 1.0 if head is None or head[0] >= 0.0 else -1.0
+    out = state.select("id", "d", (F.col("x") * F.lit(sign)).alias("nfiedler"))
+    und.unpersist()
+    deg.unpersist()
+    return out

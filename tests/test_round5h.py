@@ -351,3 +351,22 @@ def test_topic_pagerank_raises_on_empty_topic(spark):
         topic_sensitive_pagerank(
             e, topic_of=F.when(F.col("id") == 0, F.lit(0)), n_topics=2, max_iter=2
         )
+
+
+# ---- normalized-Laplacian Fiedler ----
+
+
+def test_fiedler_normalized_barbell_and_invariants(spark):
+    import math
+
+    from llama_spark.operators.spectral import fiedler_vector_normalized
+
+    rows = fiedler_vector_normalized(edges_df(spark, _barbell(5)), max_iter=40).collect()
+    side = {r["id"]: r["nfiedler"] >= 0 for r in rows}
+    assert len({side[i] for i in range(5)}) == 1
+    assert len({side[i] for i in range(5, 10)}) == 1
+    assert side[0] != side[9]
+    # unit L2 norm; orthogonal to D^{1/2}·1 (the normalized nullvector)
+    assert abs(math.sqrt(sum(r["nfiedler"] ** 2 for r in rows)) - 1.0) < 1e-9
+    dot = sum(r["nfiedler"] * math.sqrt(r["d"]) for r in rows)
+    assert abs(dot) < 1e-9

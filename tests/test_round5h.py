@@ -370,3 +370,42 @@ def test_fiedler_normalized_barbell_and_invariants(spark):
     assert abs(math.sqrt(sum(r["nfiedler"] ** 2 for r in rows)) - 1.0) < 1e-9
     dot = sum(r["nfiedler"] * math.sqrt(r["d"]) for r in rows)
     assert abs(dot) < 1e-9
+
+
+# ---- partition-count invariance (cross-validate -C analog) ----
+
+
+def test_spinner_partition_count_invariance(spark):
+    from llama_spark.operators.partition import spinner_partition
+
+    e = edges_df(spark, _barbell(6) + [(2, 8), (3, 10)])
+    a = {
+        r["id"]: r["part"]
+        for r in spinner_partition(e, k=3, rounds=4, num_partitions=2).collect()
+    }
+    b = {
+        r["id"]: r["part"]
+        for r in spinner_partition(e, k=3, rounds=4, num_partitions=16).collect()
+    }
+    # exact-integer scores → labels independent of physical partitioning
+    assert a == b
+
+
+def test_topic_pagerank_partition_count_stable(spark):
+    from pyspark.sql import functions as F
+
+    from llama_spark.operators.pagerank import topic_sensitive_pagerank
+
+    e = edges_df(spark, [(i, (i * 3 + 1) % 20) for i in range(20)])
+    kw = dict(
+        topic_of=F.when(F.col("id") % 5 < 2, F.col("id") % 5),
+        n_topics=2,
+        max_iter=6,
+    )
+    a = {r["id"]: (r["r0"], r["r1"])
+         for r in topic_sensitive_pagerank(e, num_partitions=2, **kw).collect()}
+    b = {r["id"]: (r["r0"], r["r1"])
+         for r in topic_sensitive_pagerank(e, num_partitions=16, **kw).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k][0] - b[k][0]) < 1e-12 and abs(a[k][1] - b[k][1]) < 1e-12

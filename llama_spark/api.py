@@ -521,6 +521,19 @@ class GraphSession:
 
         return community_conductance(self._e(), communities)
 
+    def simrank(self, **kw) -> DataFrame:
+        """Top-K co-cited pairs refined with two SimRank iterations
+        (simrank.simrank_refine)."""
+        from .operators.simrank import simrank_refine
+
+        return simrank_refine(self._e(), **kw)
+
+    def wl_colors(self, rounds: int = 3) -> DataFrame:
+        """1-WL structural color refinement (wl.wl_colors)."""
+        from .operators.wl import wl_colors
+
+        return wl_colors(self._e(), rounds=rounds)
+
     def pagerank_trace(self, **kw) -> DataFrame:
         """Per-iteration L1 convergence residuals (pagerank.pagerank_trace)."""
         from .operators.pagerank import pagerank_trace

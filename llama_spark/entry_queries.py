@@ -6223,3 +6223,121 @@ x{i} AS MATERIALIZED (
 
 ORACLE["fiedler_normalized"] = _fiedler_normalized_sql()
 QUERIES["fiedler_normalized"] = q_fiedler_normalized
+
+
+# ------------------------------------------------- SimRank (Jeh-Widom)
+
+SIMRANK_C = 0.8
+SIMRANK_TOP_K = 200
+
+
+def q_simrank(spark, sf_dir):
+    """Two SimRank iterations (Jeh & Widom 2002) refined over the top-K
+    co-cited candidate pairs — the recursive deepening of q_cocitation.
+    Uncapped wedges so the oracle sees identical pairs; the candidate cut
+    is integer-exact (strength DESC, a, b)."""
+    from .operators.simrank import simrank_refine
+
+    return simrank_refine(
+        load_edges(spark, sf_dir), c=SIMRANK_C, top_k=SIMRANK_TOP_K
+    )
+
+
+def _simrank_sql() -> str:
+    c = SIMRANK_C
+    return f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+din AS MATERIALIZED (SELECT dst AS x, COUNT(*) AS d FROM edges GROUP BY dst),
+cocit AS MATERIALIZED (
+  SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS common
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY e1.dst, e2.dst),
+s1 AS MATERIALIZED (
+  SELECT co.a, co.b, {c!r} * co.common / (da.d * db.d) AS s
+  FROM cocit co JOIN din da ON da.x = co.a JOIN din db ON db.x = co.b),
+cand AS MATERIALIZED (
+  SELECT a, b, common FROM cocit
+  ORDER BY common DESC, a, b LIMIT {SIMRANK_TOP_K}),
+expd AS (
+  SELECT cd.a, cd.b, ea.src AS i, eb.src AS j,
+         LEAST(ea.src, eb.src) AS p, GREATEST(ea.src, eb.src) AS q
+  FROM cand cd JOIN edges ea ON ea.dst = cd.a JOIN edges eb ON eb.dst = cd.b),
+contrib AS (
+  SELECT x.a, x.b,
+         SUM(CASE WHEN x.i = x.j THEN 1e0 ELSE COALESCE(s1.s, 0e0) END) AS tot
+  FROM expd x LEFT JOIN s1 ON s1.a = x.p AND s1.b = x.q
+  GROUP BY x.a, x.b)
+SELECT cd.a, cd.b, CAST(cd.common AS BIGINT) AS common,
+       ROUND({c!r} * cd.common / (da.d * db.d), 6) AS s1,
+       ROUND({c!r} * ct.tot / (da.d * db.d), 6) AS s2
+FROM cand cd
+JOIN contrib ct ON ct.a = cd.a AND ct.b = cd.b
+JOIN din da ON da.x = cd.a
+JOIN din db ON db.x = cd.b"""
+
+
+ORACLE["simrank"] = _simrank_sql()
+QUERIES["simrank"] = q_simrank
+
+
+# ------------------------------ Weisfeiler-Lehman color refinement (1-WL)
+
+WL_ROUNDS = 3
+
+
+def q_wl_refinement(spark, sf_dir):
+    """1-WL structural colors after 3 rounds (in/out multisets folded into
+    exact-BIGINT commutative md5-lane signatures — hub-safe, no neighbor-
+    list sort; see operators/wl.py)."""
+    from .operators.wl import wl_colors
+
+    return wl_colors(load_edges(spark, sf_dir), rounds=WL_ROUNDS)
+
+
+def _wl_sql() -> str:
+    def lane(col: str, lo: int) -> str:
+        return f"CAST(('0x' || substr({col}, {lo}, 8)) AS BIGINT)"
+
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "dino AS (SELECT dst AS id, COUNT(*) AS d FROM edges GROUP BY dst)",
+        "douto AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src)",
+        """c0 AS MATERIALIZED (
+  SELECT n.id,
+         md5('wl0:' || CAST(COALESCE(di.d, 0) AS VARCHAR)
+             || ':' || CAST(COALESCE(dou.d, 0) AS VARCHAR)) AS color
+  FROM nodes n LEFT JOIN dino di ON di.id = n.id
+  LEFT JOIN douto dou ON dou.id = n.id)""",
+    ]
+    for r in range(1, WL_ROUNDS + 1):
+        ctes.append(
+            f"""h{r} AS (SELECT id, {lane('color', 1)} AS ha,
+  {lane('color', 9)} AS hb FROM c{r-1}),
+i{r} AS (SELECT e.dst AS id, COUNT(*) AS ic, SUM(h.ha) AS ia, SUM(h.hb) AS ib
+  FROM edges e JOIN h{r} h ON h.id = e.src GROUP BY e.dst),
+o{r} AS (SELECT e.src AS id, COUNT(*) AS oc, SUM(h.ha) AS oa, SUM(h.hb) AS ob
+  FROM edges e JOIN h{r} h ON h.id = e.dst GROUP BY e.src),
+c{r} AS MATERIALIZED (
+  SELECT c.id,
+         md5(c.color
+             || ':' || CAST(COALESCE(i.ic, 0) AS VARCHAR)
+             || ':' || CAST(COALESCE(i.ia, 0) AS VARCHAR)
+             || ':' || CAST(COALESCE(i.ib, 0) AS VARCHAR)
+             || ':' || CAST(COALESCE(o.oc, 0) AS VARCHAR)
+             || ':' || CAST(COALESCE(o.oa, 0) AS VARCHAR)
+             || ':' || CAST(COALESCE(o.ob, 0) AS VARCHAR)) AS color
+  FROM c{r-1} c LEFT JOIN i{r} i ON i.id = c.id
+  LEFT JOIN o{r} o ON o.id = c.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT c.id, c.color, CAST(s.n AS BIGINT) AS class_size
+FROM c{WL_ROUNDS} c JOIN (
+  SELECT color, COUNT(*) AS n FROM c{WL_ROUNDS} GROUP BY color
+) s ON s.color = c.color"""
+    )
+
+
+ORACLE["wl_refinement"] = _wl_sql()
+QUERIES["wl_refinement"] = q_wl_refinement

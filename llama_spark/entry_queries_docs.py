@@ -2561,3 +2561,81 @@ FROM est CROSS JOIN ex"""
 
 DOCS_ORACLE["hll_distinct_tokens"] = _hll_sql()
 DOCS_QUERIES["hll_distinct_tokens"] = q_hll_distinct_tokens
+
+
+# --------------------------------------------- robust winnowing (MOSS)
+
+WINNOW_K = 3
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 2
+
+
+def q_winnowing(spark, sf_dir):
+    """Robust winnowing fingerprints (Schleimer-Wilkerson-Aiken 2003):
+    rightmost-min of every k-gram hash window — the positional
+    partial-overlap detector (functions/dedup.py::winnowing_fingerprints)."""
+    from .functions.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        k=WINNOW_K,
+        window=WINNOW_W,
+    )
+
+
+def q_winnowing_matches(spark, sf_dir):
+    """MOSS match report — doc pairs sharing >= min_shared distinct
+    winnowing fingerprints. Uncapped (max_df=None) to mirror the oracle."""
+    from .functions.dedup import winnowing_matches
+
+    return winnowing_matches(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        k=WINNOW_K,
+        window=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+    )
+
+
+def _winnow_fp_sql() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    gram_terms = " + ".join(
+        f"LEAD(h, {j}) OVER won * {3 ** j}" for j in range(k)
+    )
+    return f"""
+WITH toks AS MATERIALIZED ({TOKS_SQL}),
+h AS (SELECT doc_id, pos, {HASH.format('tok')} % 2147483647 AS h FROM toks),
+grams AS MATERIALIZED (
+  SELECT doc_id, pos, ({gram_terms}) % 2147483647 AS gh,
+         LEAD(h, {k - 1}) OVER won AS _full
+  FROM h
+  WINDOW won AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY _full IS NOT NULL),
+ng AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+cand AS (
+  SELECT g.doc_id, g.pos, g.gh, g.pos - t.off AS wid,
+         GREATEST(ng.n - {w - 1}, 1) AS maxw
+  FROM grams g JOIN ng USING (doc_id)
+  CROSS JOIN (SELECT UNNEST(range({w})) AS off) t
+  WHERE g.pos - t.off >= 1 AND g.pos - t.off <= GREATEST(ng.n - {w - 1}, 1)),
+sel AS (
+  SELECT doc_id, pos, gh,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, wid
+                            ORDER BY gh ASC, pos DESC) AS rn
+  FROM cand)
+SELECT DISTINCT doc_id, pos, CAST(gh AS BIGINT) AS fp FROM sel WHERE rn = 1"""
+
+
+def _winnow_match_sql() -> str:
+    return f"""
+WITH fps0 AS MATERIALIZED ({_winnow_fp_sql()}),
+fps AS (SELECT DISTINCT doc_id, fp FROM fps0)
+SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}"""
+
+
+DOCS_ORACLE["winnowing"] = _winnow_fp_sql()
+DOCS_QUERIES["winnowing"] = q_winnowing
+DOCS_ORACLE["winnowing_matches"] = _winnow_match_sql()
+DOCS_QUERIES["winnowing_matches"] = q_winnowing_matches

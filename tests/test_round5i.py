@@ -177,3 +177,94 @@ def test_wl_distinguishes_in_from_out_direction(spark):
     }
     assert c_out[0] != c_in[0]
     assert c_out[1] != c_in[1]
+
+
+# ------------------------------------------------- robust winnowing (MOSS)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _brute_winnow(text, k, w):
+    """Reference MOSS winnowing over whitespace tokens: Karp-Rabin grams
+    (mirrors functions/text.py hashing), rightmost-min per window."""
+    import hashlib
+
+    toks = [t for t in text.lower().split() if t]
+    P31 = 2147483647
+
+    def th(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % P31
+
+    hs = [th(t) for t in toks]
+    grams = [
+        (p + 1, sum(hs[p + j] * 3**j for j in range(k)) % P31)
+        for p in range(len(hs) - k + 1)
+    ]
+    if not grams:
+        return set()
+    n = len(grams)
+    sel = set()
+    for start in range(1, max(n - w + 1, 1) + 1):
+        win = [g for g in grams if start <= g[0] <= start + w - 1]
+        mn = min(v for _, v in win)
+        pos = max(p for p, v in win if v == mn)
+        sel.add((pos, mn))
+    return sel
+
+
+def test_winnowing_matches_reference_model(spark):
+    from llama_spark.functions.dedup import winnowing_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs",
+        "a b a b a b a b",  # repeated grams exercise the tie rule
+        "tiny doc",  # < k tokens -> no fingerprints
+        "one two three",  # exactly k tokens -> single gram
+    ]
+    got = winnowing_fingerprints(_docs_df(spark, texts), k=3, window=4)
+    by_doc = {}
+    for r in got.collect():
+        by_doc.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for i, t in enumerate(texts):
+        assert by_doc.get(i, set()) == _brute_winnow(t, 3, 4), f"doc {i}"
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Two docs sharing a token run of length >= window + k - 1 share at
+    least one fingerprint VALUE — the SWA theorem the scheme exists for."""
+    from llama_spark.functions.dedup import winnowing_matches
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w + k - 1
+    texts = [
+        "intro words here " + shared + " tail one",
+        "completely different prefix " + shared,
+        "no overlap with anything else at all",
+    ]
+    pairs = {
+        (r.a, r.b): r.shared
+        for r in winnowing_matches(
+            _docs_df(spark, texts), k=3, window=4, min_shared=1
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_winnowing_max_df_drops_boilerplate(spark):
+    from llama_spark.functions.dedup import winnowing_matches
+
+    boiler = "standard footer text common to every page here"
+    texts = [f"doc {i} body " + boiler for i in range(5)]
+    full = winnowing_matches(
+        _docs_df(spark, texts), k=3, window=4, min_shared=1
+    ).count()
+    capped = winnowing_matches(
+        _docs_df(spark, texts), k=3, window=4, min_shared=1, max_df=2
+    ).count()
+    assert full == 10  # all C(5,2) pairs share the boilerplate run
+    assert capped < full

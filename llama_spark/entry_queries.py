@@ -6341,3 +6341,80 @@ FROM c{WL_ROUNDS} c JOIN (
 
 ORACLE["wl_refinement"] = _wl_sql()
 QUERIES["wl_refinement"] = q_wl_refinement
+
+
+# ------------------------------------------- TPC-H Q12 / Q19 shapes
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-priority line counts): fact⨝dim join +
+    per-group CASE-split counts. Adapted to the synthetic schema (no
+    l_shipmode/l_commitdate): group by l_returnflag, 'late' = shipped
+    more than 60 days after order date, split counts by order priority
+    class — the same join + conditional-count plan as the real Q12."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+ORACLE["tpch_q12"] = """SELECT
+  l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag"""
+
+QUERIES["tpch_q12"] = q_tpch_q12
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive-band revenue): OR of three
+    conjunctive (brand, size-band, quantity-band) predicates over the
+    fact⨝dim join — the classic test that a disjunction of sargable
+    conjunctions still prunes at the scan and stays a single broadcast
+    join (no union-of-three-scans plan). Adapted: p_container is not in
+    the synthetic schema, so the bands are (p_brand, p_size, l_quantity)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    q, s, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    bands = (
+        ((b == "Brand#1") & s.between(1, 10) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 20) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 30) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(bands)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+ORACLE["tpch_q19"] = """SELECT
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)"""
+
+QUERIES["tpch_q19"] = q_tpch_q19

@@ -268,3 +268,45 @@ def test_winnowing_max_df_drops_boilerplate(spark):
     ).count()
     assert full == 10  # all C(5,2) pairs share the boilerplate run
     assert capped < full
+
+
+# ----------------------------------------------------- TPC-H Q12 / Q19
+
+
+def test_tpch_q12_q19_duckdb_crosscheck(spark):
+    import duckdb
+
+    from llama_spark.entry_queries import ORACLE, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    got12 = {
+        r["l_returnflag"]: (r["high_line_count"], r["low_line_count"])
+        for r in QUERIES["tpch_q12"](spark, sf).collect()
+    }
+    want12 = {
+        f: (h, lo) for f, h, lo in con.execute(ORACLE["tpch_q12"]).fetchall()
+    }
+    assert got12 == want12 and got12
+
+    got19 = QUERIES["tpch_q19"](spark, sf).collect()[0]
+    want19 = con.execute(ORACLE["tpch_q19"]).fetchone()
+    assert (got19["revenue"], got19["n_lines"]) == want19
+
+
+def test_tpch_q19_disjunction_stays_single_join(spark):
+    """The OR-of-bands predicate must not multiply scans: exactly one
+    join of lineitem against the broadcast part side."""
+    from llama_spark.entry_queries import QUERIES
+
+    plan = (
+        QUERIES["tpch_q19"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in plan

@@ -108,13 +108,23 @@ def main() -> None:
     # quiet window, measure it FIRST before the window closes; the 4-thread
     # leg is demonstrably noise-tolerant (per-leg records, BENCH/BASELINE.md)
     hi_first = os.environ.get("SCALING_ORDER", "lo_first") == "hi_first"
+    # Cool-down between legs: every banked hi-first sample shows the
+    # second leg launching into the first leg's JVM teardown (loadavg
+    # 9-14 at launch, iteration lists uniformly elevated). A short settle
+    # lets the drained JVM's threads actually exit before the next leg
+    # measures. 0 preserves the historical back-to-back behavior.
+    settle = float(os.environ.get("SCALING_SETTLE", "0"))
     lo_runs, hi_runs = [], []
     for _ in range(repeats):
         if hi_first:
             hi_runs.append(run(hi_cores, scale, iters))
+            if settle:
+                time.sleep(settle)
             lo_runs.append(run(lo_cores, scale, iters))
         else:
             lo_runs.append(run(lo_cores, scale, iters))
+            if settle:
+                time.sleep(settle)
             hi_runs.append(run(hi_cores, scale, iters))
     lo = min(lo_runs, key=lambda r: r["min_iter_sec"])
     hi = min(hi_runs, key=lambda r: r["min_iter_sec"])

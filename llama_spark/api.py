@@ -540,6 +540,14 @@ class GraphSession:
 
         return pagerank_trace(self._e(), **kw)
 
+    def textrank(self, pairs: DataFrame, **kw) -> DataFrame:
+        """TextRank scores over a weighted similarity pair list
+        (operators/textrank.textrank_from_pairs — N x the weighted
+        PageRank kernel; isolated ids via all_ids= at exactly 1-d)."""
+        from .operators.textrank import textrank_from_pairs
+
+        return textrank_from_pairs(pairs, **kw)
+
     def top_pages(self, k: int = 10, **kw) -> DataFrame:
         """Top-k urls by PageRank (flagship query: llama-pagerank.cc:253-270)."""
         ranks = self.pagerank(**kw)

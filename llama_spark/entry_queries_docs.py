@@ -2639,3 +2639,90 @@ DOCS_ORACLE["winnowing"] = _winnow_fp_sql()
 DOCS_QUERIES["winnowing"] = q_winnowing
 DOCS_ORACLE["winnowing_matches"] = _winnow_match_sql()
 DOCS_QUERIES["winnowing_matches"] = q_winnowing_matches
+
+
+# --------------------------------------------------- TextRank
+
+TR_ITERS = 8
+TR_DAMPING = 0.85
+
+
+def q_textrank(spark, sf_dir):
+    """TextRank document centrality over the tf-idf cosine similarity
+    graph (threshold APSS_T, df-cap NGRAM_MAX_DF) — the weighted-PageRank
+    kernel on a derived similarity graph; isolated docs at the exact
+    closed-form (1-d)."""
+    from .operators.textrank import textrank_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textrank_documents(
+        docs,
+        threshold=APSS_T,
+        max_df=NGRAM_MAX_DF,
+        damping=TR_DAMPING,
+        max_iter=TR_ITERS,
+    )
+    return out.select("doc_id", F.round(F.col("score"), 6).alias("score"))
+
+
+def _textrank_sql() -> str:
+    # the tf-idf APSS pair CTEs are the tfidf_cosine_pairs oracle verbatim;
+    # the iteration CTEs mirror _weighted_pagerank_sql (same 1/N-space
+    # arithmetic as the Spark kernel, scaled by N only at the end) over the
+    # symmetrized pair graph.
+    ctes = f"""WITH toks AS MATERIALIZED ({TOKS_SQL}),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+dfb AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+w AS (
+  SELECT t.doc_id, t.tok,
+         CAST(ROUND(ROUND(t.tf * ln((SELECT n FROM nd) / CAST(d.df AS DOUBLE)),
+                          4) * 10000.0) AS BIGINT) AS q
+  FROM tf t JOIN dfb d ON d.tok = t.tok
+  WHERE d.df <= {NGRAM_MAX_DF}),
+wz AS (SELECT * FROM w WHERE q <> 0),
+nrm AS (SELECT doc_id, sqrt(CAST(SUM(q * q) AS DOUBLE)) AS nr
+        FROM wz GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.q * b.q) AS dot
+  FROM wz a JOIN wz b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pr AS MATERIALIZED (
+  SELECT doc_a, doc_b, cos_sim FROM (
+    SELECT d.doc_a, d.doc_b,
+           ROUND(CAST(d.dot AS DOUBLE) / (na.nr * nb.nr), 6) AS cos_sim
+    FROM dots d JOIN nrm na ON na.doc_id = d.doc_a
+    JOIN nrm nb ON nb.doc_id = d.doc_b)
+  WHERE cos_sim >= {APSS_T}),
+sym AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst, cos_sim AS wt FROM pr
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst, cos_sim AS wt FROM pr),
+gn AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+nn AS (SELECT COUNT(*) AS n FROM gn),
+ow AS MATERIALIZED (SELECT src AS id, SUM(wt) AS ow FROM sym GROUP BY src),
+s0 AS MATERIALIZED (SELECT id, 1e0/(SELECT n FROM nn) AS rank FROM gn)"""
+    base_factor = repr(1.0 - TR_DAMPING)
+    for i in range(1, TR_ITERS + 1):
+        ctes += f""",
+s{i} AS MATERIALIZED (
+  SELECT gn.id,
+         CAST({base_factor} AS DOUBLE)/(SELECT n FROM nn)
+         + CAST({TR_DAMPING!r} AS DOUBLE) * COALESCE(c.contrib, 0e0) AS rank
+  FROM gn LEFT JOIN (
+    SELECT e.dst AS id, SUM(s.rank * (e.wt / o.ow)) AS contrib
+    FROM s{i-1} s JOIN sym e ON e.src = s.id JOIN ow o ON o.id = s.id
+    GROUP BY e.dst
+  ) c ON gn.id = c.id)"""
+    return (
+        ctes
+        + f"""
+SELECT id AS doc_id, ROUND(rank * (SELECT n FROM nn), 6) AS score FROM s{TR_ITERS}
+UNION ALL
+SELECT d.doc_id, ROUND(CAST({base_factor} AS DOUBLE), 6) AS score
+FROM documents d WHERE d.doc_id NOT IN (SELECT id FROM gn)"""
+    )
+
+
+DOCS_ORACLE["textrank"] = _textrank_sql()
+DOCS_QUERIES["textrank"] = q_textrank

@@ -1,0 +1,103 @@
+"""TextRank (Mihalcea & Tarau, EMNLP 2004) — unsupervised importance
+ranking over a SIMILARITY graph, the corpus-curation consumer of the
+weighted-PageRank kernel: rank documents (or sentences/terms) by how
+central they sit in the "similar content" graph, the classic extractive
+summarization / representative-sampling primitive a training-data
+pipeline uses to pick which near-duplicate cluster member to keep.
+
+TextRank's recurrence is
+
+    s_i = (1-d) + d * SUM_{j in In(i)} w_ji / SUM_k w_jk * s_j,  s0 = 1
+
+which is exactly N x weighted PageRank (teleport (1-d)/N, init 1/N):
+with s = N*r the PageRank update maps term-for-term onto the TextRank
+one, so the audited weighted kernel (operators/pagerank.py, per-edge
+w/Sigma-w factor precomputed once, cached hash(src) edge table, only the
+rank vector shuffling per iteration) executes it unchanged and the score
+is N-independent. Reference parity: the same vertex-centric gather the
+reference's pagerank benchmark runs (benchmark/benchmarks/pagerank.h),
+here over a derived similarity graph rather than the link graph.
+
+Scale shape: the similarity graph comes from tfidf_cosine_pairs (APSS
+with df-capped inverted index — per-token join work bounded by max_df^2)
+and the iteration is the weighted-PageRank plan audited for 100-TB runs.
+Isolated documents (no similarity edge >= threshold) never enter the
+fixpoint; their exact closed-form score is (1-d) — appended after the
+loop, not iterated."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC
+from .pagerank import pagerank_result
+
+
+def textrank_from_pairs(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    weight_col: str = "cos_sim",
+    damping: float = 0.85,
+    max_iter: int = 10,
+    all_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DataFrame[id, score] — TextRank over an undirected weighted pair
+    list (each pair becomes two directed edges). ``all_ids`` (one id
+    column named ``id_col``) appends members with NO qualifying pair at
+    the closed-form isolated score (1-damping); without it only nodes
+    that appear in ``pairs`` are returned."""
+    e = pairs.select(
+        F.col(a_col).cast("long").alias(SRC),
+        F.col(b_col).cast("long").alias(DST),
+        F.col(weight_col).cast("double").alias("_w"),
+    )
+    edges = e.unionByName(
+        e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "_w")
+    )
+    # cut the (possibly expensive) pair-derivation lineage ONCE — the kernel
+    # consumes edges from three actions (node count, factor build, iso
+    # anti-join) and would otherwise re-run the upstream APSS join each time
+    edges = edges.localCheckpoint(eager=True)
+    res = pagerank_result(
+        edges, damping=damping, max_iter=max_iter, weight_col="_w"
+    )
+    scored = res.state.select(
+        "id", (F.col("rank") * F.lit(float(res.n_nodes))).alias("score")
+    )
+    if all_ids is not None:
+        iso = (
+            all_ids.select(F.col(id_col).cast("long").alias("id"))
+            .distinct()
+            .join(scored.select("id"), "id", "left_anti")
+            .select("id", F.lit(1.0 - damping).alias("score"))
+        )
+        scored = scored.unionByName(iso)
+    return scored
+
+
+def textrank_documents(
+    documents: DataFrame,
+    threshold: float = 0.3,
+    max_df: int = 256,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    include_isolated: bool = True,
+) -> DataFrame:
+    """End-to-end document TextRank — DataFrame[doc_id, score] over the
+    tf-idf cosine similarity graph (edges = document pairs with cosine >=
+    ``threshold``, weights = the 6-dp-rounded cosine). The composition a
+    curation pipeline runs: APSS similarity graph -> weighted fixpoint ->
+    per-document centrality score."""
+    from ..functions.text import tfidf_cosine_pairs
+
+    pairs = tfidf_cosine_pairs(documents, threshold=threshold, max_df=max_df)
+    out = textrank_from_pairs(
+        pairs,
+        damping=damping,
+        max_iter=max_iter,
+        all_ids=documents if include_isolated else None,
+    )
+    return out.select(F.col("id").alias("doc_id"), "score")

@@ -259,6 +259,13 @@ def main() -> None:
     from llama_spark.operators.traversal import landmark_distances
 
     timed("heat_kernel_k6", lambda: heat_kernel_pagerank(edges).count())
+
+    from llama_spark.operators.diffusion import truncated_hitting_time
+
+    timed(
+        "hitting_time_h8",
+        lambda: truncated_hitting_time(edges, seeds=[0, 42, 1234]).count(),
+    )
     timed(
         "landmarks_k8q64",
         lambda: landmark_distances(
@@ -308,6 +315,13 @@ def main() -> None:
         "partition_k8", lambda: spinner_partition(edges, k=8, rounds=6).count()
     )
     timed("dsir_weights", lambda: dsir_weights(docs).count())
+
+    from llama_spark.operators.textrank import keyword_textrank, textrank_documents
+
+    timed("textrank8", lambda: textrank_documents(docs, max_iter=8).count())
+    timed(
+        "keyword_textrank8", lambda: keyword_textrank(docs, max_iter=8).count()
+    )
 
     timed("pages_extract_pagerank", pages_pipeline)
 

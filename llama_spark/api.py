@@ -496,6 +496,13 @@ class GraphSession:
 
         return heat_kernel_pagerank(self._e(), t=t, taylor_k=taylor_k)
 
+    def hitting_time(self, seeds: list[int], horizon: int = 8) -> DataFrame:
+        """Truncated hitting time E[min(first-hit of seeds, horizon)]
+        (diffusion.truncated_hitting_time)."""
+        from .operators.diffusion import truncated_hitting_time
+
+        return truncated_hitting_time(self._e(), seeds=seeds, horizon=horizon)
+
     def degree_gini(self) -> DataFrame:
         """Gini coefficient of the degree distribution (graph.degree_gini)."""
         from .graph import degree_gini

@@ -6418,3 +6418,85 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)"""
 
 QUERIES["tpch_q19"] = q_tpch_q19
+
+
+# ------------------------------------------- truncated hitting time
+
+HT_SEEDS = [0, 42, 1234]
+HT_HORIZON = 8
+
+
+def q_hitting_time(spark, sf_dir):
+    """Truncated hitting time to the TrustRank seed set (Sarkar-Moore
+    E[min(first-hit, H)] — exact finite recursion, horizon HT_HORIZON)."""
+    from .operators.diffusion import truncated_hitting_time
+
+    out = truncated_hitting_time(
+        load_edges(spark, sf_dir), seeds=HT_SEEDS, horizon=HT_HORIZON
+    )
+    return out.select("id", F.round(F.col("hitting"), 6).alias("hitting"))
+
+
+def _hitting_sql() -> str:
+    seeds = ", ".join(str(s) for s in sorted(set(HT_SEEDS)))
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS od "
+        "FROM edges GROUP BY src)",
+        "g0 AS MATERIALIZED (SELECT id, 0e0 AS h FROM nodes)",
+    ]
+    for k in range(1, HT_HORIZON + 1):
+        ctes.append(
+            f"""g{k} AS MATERIALIZED (
+  SELECT n.id,
+         CASE WHEN n.id IN ({seeds}) THEN 0e0
+              ELSE 1e0 + COALESCE(c.s, p.h) END AS h
+  FROM nodes n JOIN g{k-1} p ON p.id = n.id
+  LEFT JOIN (
+    SELECT e.src AS id, SUM(g.h * (1e0 / d.od)) AS s
+    FROM g{k-1} g JOIN edges e ON e.dst = g.id JOIN deg d ON d.id = e.src
+    GROUP BY e.src
+  ) c ON c.id = n.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(h, 6) AS hitting FROM g{HT_HORIZON}"
+    )
+
+
+ORACLE["hitting_time"] = _hitting_sql()
+QUERIES["hitting_time"] = q_hitting_time
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting-revenue-change — the pure scan-predicate-agg
+    shape (no join): every filter pushes to the parquet scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+ORACLE["tpch_q6"] = """SELECT
+  ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24"""
+
+QUERIES["tpch_q6"] = q_tpch_q6

@@ -2726,3 +2726,66 @@ FROM documents d WHERE d.doc_id NOT IN (SELECT id FROM gn)"""
 
 DOCS_ORACLE["textrank"] = _textrank_sql()
 DOCS_QUERIES["textrank"] = q_textrank
+
+
+KW_WINDOW = 2
+
+
+def q_keyword_textrank(spark, sf_dir):
+    """Corpus keyword salience: TextRank over the token co-occurrence
+    graph (window KW_WINDOW, exact-count weights, md5-lane token ids)."""
+    from .operators.textrank import keyword_textrank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = keyword_textrank(
+        docs, window=KW_WINDOW, damping=TR_DAMPING, max_iter=TR_ITERS
+    )
+    return out.select("tok", F.round(F.col("score"), 6).alias("score"))
+
+
+def _keyword_textrank_sql() -> str:
+    ctes = f"""WITH toks AS MATERIALIZED ({TOKS_SQL}),
+co AS MATERIALIZED (
+  SELECT LEAST(a.tok, b.tok) AS ta, GREATEST(a.tok, b.tok) AS tb
+  FROM toks a
+  CROSS JOIN (SELECT UNNEST(range(1, {KW_WINDOW + 1})) AS off) o
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + o.off
+  WHERE a.tok <> b.tok),
+wts AS MATERIALIZED (
+  SELECT {HASH.format('ta')} AS src0, {HASH.format('tb')} AS dst0,
+         CAST(COUNT(*) AS DOUBLE) AS wt
+  FROM co GROUP BY ta, tb),
+sym AS MATERIALIZED (
+  SELECT src0 AS src, dst0 AS dst, wt FROM wts
+  UNION ALL
+  SELECT dst0 AS src, src0 AS dst, wt FROM wts),
+gn AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+nn AS (SELECT COUNT(*) AS n FROM gn),
+ow AS MATERIALIZED (SELECT src AS id, SUM(wt) AS ow FROM sym GROUP BY src),
+s0 AS MATERIALIZED (SELECT id, 1e0/(SELECT n FROM nn) AS rank FROM gn)"""
+    base_factor = repr(1.0 - TR_DAMPING)
+    for i in range(1, TR_ITERS + 1):
+        ctes += f""",
+s{i} AS MATERIALIZED (
+  SELECT gn.id,
+         CAST({base_factor} AS DOUBLE)/(SELECT n FROM nn)
+         + CAST({TR_DAMPING!r} AS DOUBLE) * COALESCE(c.contrib, 0e0) AS rank
+  FROM gn LEFT JOIN (
+    SELECT e.dst AS id, SUM(s.rank * (e.wt / o.ow)) AS contrib
+    FROM s{i-1} s JOIN sym e ON e.src = s.id JOIN ow o ON o.id = s.id
+    GROUP BY e.dst
+  ) c ON gn.id = c.id)"""
+    return (
+        ctes
+        + f""",
+vocab AS (SELECT DISTINCT tok FROM toks)
+SELECT v.tok,
+       COALESCE(ROUND(s.rank * (SELECT n FROM nn), 6),
+                ROUND(CAST({base_factor} AS DOUBLE), 6)) AS score
+FROM vocab v
+LEFT JOIN s{TR_ITERS} s ON s.id = {HASH.format('v.tok')}"""
+    )
+
+
+DOCS_ORACLE["keyword_textrank"] = _keyword_textrank_sql()
+DOCS_QUERIES["keyword_textrank"] = q_keyword_textrank

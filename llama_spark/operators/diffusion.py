@@ -84,3 +84,84 @@ def heat_kernel_pagerank(
     ew.unpersist()
     nodes.unpersist()
     return out
+
+
+def truncated_hitting_time(
+    edges: DataFrame,
+    seeds: list[int],
+    horizon: int = 8,
+) -> DataFrame:
+    """Truncated hitting time (Sarkar & Moore, UAI 2007) — DataFrame[id,
+    hitting]: the expected number of random-walk steps from each node to
+    the FIRST visit of any seed, truncated at ``horizon`` — i.e.
+    E[min(τ_S, horizon)] exactly (walks not arrived by the horizon count
+    as exactly ``horizon``; a walk stuck on a dangling node likewise).
+    The classic random-walk proximity for link prediction and
+    trusted-set distance — the absorbing-walk companion of spam_mass's
+    TrustRank (same seed-set semantics) and of personalized PageRank
+    (which discounts by damping where this one counts steps).
+
+    Exact finite recursion (the time-decreasing horizon is implicit):
+    g_0 = 0 everywhere; g_k(v) = 0 on S, else 1 + Σ_u P(v,u)·g_{k-1}(u)
+    with P the out-degree-uniform walk matrix and a dangling node falling
+    back to its OWN g_{k-1} (stuck walk: g_k = k). g_k is then exactly
+    E[min(τ_S, k)] — no cap operator needed (g_k ≤ k holds inductively).
+    NOTE: a value-level cap h = min(T, 1+Ph) iterated to fixpoint is NOT
+    this quantity (it over-counts looping mass); the horizon must decay
+    with the recursion depth, which the g_k indexing provides.
+
+    Plan: same shape as the pagerank kernel but gathered on SRC — the
+    per-edge 1/out-degree factor table is built once, cached
+    hash-partitioned on DST (the join key), and only the V-row state
+    shuffles per step. Reference parity: the same vertex-centric fixpoint
+    loop as benchmark/benchmarks/pagerank.h, absorbing variant."""
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    seeds = sorted(set(seeds))
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nodes = nodes_of(edges).repartition(p, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return nodes.select("id", F.lit(0.0).alias("hitting"))
+
+    out_deg = edges.groupBy(SRC).agg(F.count("*").alias("od"))
+    ew = (
+        edges.select(SRC, DST)
+        .join(out_deg, SRC)
+        .select(SRC, DST, (F.lit(1.0) / F.col("od")).alias("inv"))
+        .repartition(p, DST)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ew.count()
+
+    is_seed = F.col("id").isin(seeds)
+    h = nodes.select("id", F.lit(0.0).alias("h")).localCheckpoint(eager=True)
+    tiny = n <= 100_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if tiny else df.hint("shuffle_hash")
+
+    for _ in range(horizon):
+        gathered = (
+            _hint(h).join(ew, h["id"] == ew[DST])
+            .select(F.col(SRC).alias("id"), (F.col("inv") * F.col("h")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        h = (
+            h.select("id", F.col("h").alias("_hp"))
+            .join(_hint(gathered), "id", "left")
+            .select(
+                "id",
+                F.when(is_seed, F.lit(0.0))
+                .otherwise(F.lit(1.0) + F.coalesce("s", F.col("_hp")))
+                .alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = h.select("id", F.col("h").alias("hitting"))
+    ew.unpersist()
+    nodes.unpersist()
+    return out

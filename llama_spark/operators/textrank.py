@@ -78,6 +78,59 @@ def textrank_from_pairs(
     return scored
 
 
+def keyword_textrank(
+    documents: DataFrame,
+    window: int = 2,
+    damping: float = 0.85,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Corpus keyword salience — DataFrame[tok, score]: TextRank's second
+    classic application (Mihalcea & Tarau 2004 §3.1), here at corpus
+    grain: tokens are nodes, edge weight = how often two DISTINCT tokens
+    co-occur within ``window`` positions anywhere in the corpus, score =
+    the weighted fixpoint. Tokens that never co-occur (single-token docs)
+    score the closed-form isolated (1-damping).
+
+    Scale shape: the co-occurrence join is a pure EQUI-join on
+    (doc_id, pos+off) with ``off`` exploded from 1..window — no theta
+    range join, no per-doc list materialization; weights are exact BIGINT
+    counts (engine-reproducible); token ids are the portable 60-bit md5
+    lane (functions/text.token_hash), so the fixpoint runs on longs and
+    the vocabulary joins back at the end."""
+    from ..functions.text import token_hash, tokenize
+
+    toks = tokenize(documents)  # doc_id, pos, tok
+    left = toks.select(
+        "doc_id",
+        "tok",
+        F.explode(F.array(*[F.lit(i) for i in range(1, window + 1)])).alias("_off"),
+        F.col("pos").alias("_p"),
+    ).select("doc_id", "tok", (F.col("_p") + F.col("_off")).alias("pos2"))
+    right = toks.select("doc_id", F.col("pos").alias("pos2"), F.col("tok").alias("tok2"))
+    co = (
+        left.join(right, ["doc_id", "pos2"])
+        .filter(F.col("tok") != F.col("tok2"))
+        .select(
+            F.least("tok", "tok2").alias("ta"),
+            F.greatest("tok", "tok2").alias("tb"),
+        )
+    )
+    wts = co.groupBy("ta", "tb").agg(F.count("*").cast("double").alias("w"))
+    pairs = wts.select(
+        token_hash(F.col("ta")).alias("ia"),
+        token_hash(F.col("tb")).alias("ib"),
+        "w",
+    )
+    scores = textrank_from_pairs(
+        pairs, a_col="ia", b_col="ib", weight_col="w",
+        damping=damping, max_iter=max_iter,
+    )
+    vocab = toks.select("tok").distinct().withColumn("id", token_hash(F.col("tok")))
+    return vocab.join(scores, "id", "left").select(
+        "tok", F.coalesce("score", F.lit(1.0 - damping)).alias("score")
+    )
+
+
 def textrank_documents(
     documents: DataFrame,
     threshold: float = 0.3,

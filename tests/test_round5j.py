@@ -92,3 +92,103 @@ def test_textrank_documents_end_to_end(spark):
     assert set(got) == {0, 1, 2, 3}
     assert got[3] == 0.15 or abs(got[3] - 0.15) < 1e-12
     assert min(got[0], got[1], got[2]) > got[3]
+
+
+def _model_keyword_textrank(texts, window, damping, iters):
+    """Independent dense model: corpus co-occurrence counts -> TextRank."""
+    w = {}
+    for text in texts:
+        toks = text.lower().split()
+        for i, a in enumerate(toks):
+            for off in range(1, window + 1):
+                if i + off >= len(toks):
+                    break
+                b = toks[i + off]
+                if a == b:
+                    continue
+                key = (min(a, b), max(a, b))
+                w[key] = w.get(key, 0) + 1
+    pairs = [(a, b, float(c)) for (a, b), c in w.items()]
+    scores = _model_textrank(pairs, damping, iters)
+    vocab = {t for text in texts for t in text.lower().split()}
+    return {t: scores.get(t, 1.0 - damping) for t in vocab}
+
+
+def test_keyword_textrank_matches_dense_model(spark):
+    texts = [
+        "graph ranking keyword graph extraction via graph ranking",
+        "keyword extraction with ranking",
+        "solo",
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from llama_spark.operators.textrank import keyword_textrank
+
+    got = {
+        r["tok"]: r["score"]
+        for r in keyword_textrank(docs, window=2, max_iter=6).collect()
+    }
+    want = _model_keyword_textrank(texts, 2, 0.85, 6)
+    assert set(got) == set(want)
+    for t in want:
+        assert abs(got[t] - want[t]) < 1e-9, (t, got[t], want[t])
+    # the isolated single-token doc scores the closed form
+    assert abs(got["solo"] - 0.15) < 1e-12
+    # the most connected token dominates
+    assert max(want, key=want.get) == "graph"
+
+
+def _model_hitting(edges, seeds, horizon):
+    """Dense truncated-hitting-time recursion: g_k = E[min(first-hit, k)]."""
+    nodes = sorted({x for e in edges for x in e})
+    out = {v: [d for s, d in edges if s == v] for v in nodes}
+    g = {v: 0.0 for v in nodes}
+    for _ in range(horizon):
+        ng = {}
+        for v in nodes:
+            if v in seeds:
+                ng[v] = 0.0
+            elif out[v]:
+                ng[v] = 1.0 + sum(g[u] for u in out[v]) / len(out[v])
+            else:
+                ng[v] = 1.0 + g[v]
+        g = ng
+    return g
+
+
+def test_hitting_time_matches_dense_model(spark):
+    """Probabilistic loop + dangling node vs the dense model; the v-node
+    value is the hand-computed E[min(tau,4)] = 2.25 (the value-level-cap
+    formulation would wrongly give 3.0)."""
+    from .conftest import edges_df
+    from llama_spark.operators.diffusion import truncated_hitting_time
+
+    edges = [(0, 2), (0, 1), (1, 0), (3, 0), (4, 4)]  # 2=seed; 4=self-loop
+    df = edges_df(spark, edges)
+    got = {
+        r["id"]: r["hitting"]
+        for r in truncated_hitting_time(df, seeds=[2], horizon=4).collect()
+    }
+    want = _model_hitting(edges, {2}, 4)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    assert abs(got[0] - 2.25) < 1e-12
+    assert got[2] == 0.0
+    # the self-loop node never arrives: exactly the horizon
+    assert abs(got[4] - 4.0) < 1e-12
+
+
+def test_hitting_time_dangling_counts_horizon(spark):
+    """A node with no out-edges is a stuck walk: hitting == horizon."""
+    from .conftest import edges_df
+    from llama_spark.operators.diffusion import truncated_hitting_time
+
+    df = edges_df(spark, [(0, 1)])  # 1 is dangling, seed is 0
+    got = {
+        r["id"]: r["hitting"]
+        for r in truncated_hitting_time(df, seeds=[0], horizon=6).collect()
+    }
+    assert got[0] == 0.0 and abs(got[1] - 6.0) < 1e-12

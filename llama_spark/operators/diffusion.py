@@ -113,8 +113,13 @@ def truncated_hitting_time(
     Plan: same shape as the pagerank kernel but gathered on SRC — the
     per-edge 1/out-degree factor table is built once, cached
     hash-partitioned on DST (the join key), and only the V-row state
-    shuffles per step. Reference parity: the same vertex-centric fixpoint
-    loop as benchmark/benchmarks/pagerank.h, absorbing variant."""
+    shuffles per step; the loop runs through plans/fixpoint.iterate, so
+    the state stays persisted/partitioned between lineage truncations and
+    each step costs ONE Spark job. Reference parity: the same
+    vertex-centric fixpoint loop as benchmark/benchmarks/pagerank.h,
+    absorbing variant."""
+    from ..plans.fixpoint import iterate
+
     if not seeds:
         raise ValueError("seeds must be non-empty")
     seeds = sorted(set(seeds))
@@ -137,20 +142,19 @@ def truncated_hitting_time(
     ew.count()
 
     is_seed = F.col("id").isin(seeds)
-    h = nodes.select("id", F.lit(0.0).alias("h")).localCheckpoint(eager=True)
     tiny = n <= 100_000
 
     def _hint(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if tiny else df.hint("shuffle_hash")
 
-    for _ in range(horizon):
+    def step(h: DataFrame, _i: int) -> DataFrame:
         gathered = (
             _hint(h).join(ew, h["id"] == ew[DST])
             .select(F.col(SRC).alias("id"), (F.col("inv") * F.col("h")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        h = (
+        return (
             h.select("id", F.col("h").alias("_hp"))
             .join(_hint(gathered), "id", "left")
             .select(
@@ -159,9 +163,15 @@ def truncated_hitting_time(
                 .otherwise(F.lit(1.0) + F.coalesce("s", F.col("_hp")))
                 .alias("h"),
             )
-            .localCheckpoint(eager=True)
         )
-    out = h.select("id", F.col("h").alias("hitting"))
+
+    result = iterate(
+        nodes.select("id", F.lit(0.0).alias("h")),
+        step,
+        max_iter=horizon,
+        name="hitting_time",
+    )
+    out = materialize(result.state.select("id", F.col("h").alias("hitting")))
     ew.unpersist()
     nodes.unpersist()
     return out

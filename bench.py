@@ -316,11 +316,18 @@ def main() -> None:
     )
     timed("dsir_weights", lambda: dsir_weights(docs).count())
 
-    from llama_spark.operators.textrank import keyword_textrank, textrank_documents
+    from llama_spark.operators.textrank import (
+        doc_keywords,
+        keyword_textrank,
+        textrank_documents,
+    )
 
     timed("textrank8", lambda: textrank_documents(docs, max_iter=8).count())
     timed(
         "keyword_textrank8", lambda: keyword_textrank(docs, max_iter=8).count()
+    )
+    timed(
+        "doc_keywords6", lambda: doc_keywords(docs, max_iter=6, top_k=5).count()
     )
 
     timed("pages_extract_pagerank", pages_pipeline)

@@ -2789,3 +2789,66 @@ LEFT JOIN s{TR_ITERS} s ON s.id = {HASH.format('v.tok')}"""
 
 DOCS_ORACLE["keyword_textrank"] = _keyword_textrank_sql()
 DOCS_QUERIES["keyword_textrank"] = q_keyword_textrank
+
+
+DK_ITERS = 6
+
+
+def q_doc_keywords(spark, sf_dir):
+    """Per-document keyword extraction: TextRank at document grain
+    (unnormalized 1-space recurrence, per-doc co-occurrence graphs
+    fixpointed simultaneously on the (doc_id, tok) composite key)."""
+    from .operators.textrank import doc_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = doc_keywords(
+        docs, window=KW_WINDOW, damping=TR_DAMPING, max_iter=DK_ITERS
+    )
+    return out.select("doc_id", "tok", F.round(F.col("score"), 6).alias("score"))
+
+
+def _doc_keywords_sql() -> str:
+    base = repr(1.0 - TR_DAMPING)
+    ctes = f"""WITH toks AS MATERIALIZED ({TOKS_SQL}),
+co AS MATERIALIZED (
+  SELECT a.doc_id, LEAST(a.tok, b.tok) AS ta, GREATEST(a.tok, b.tok) AS tb
+  FROM toks a
+  CROSS JOIN (SELECT UNNEST(range(1, {KW_WINDOW + 1})) AS off) o
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + o.off
+  WHERE a.tok <> b.tok),
+wts AS MATERIALIZED (
+  SELECT doc_id, ta, tb, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM co GROUP BY doc_id, ta, tb),
+sym AS MATERIALIZED (
+  SELECT doc_id, ta AS u, tb AS v, w FROM wts
+  UNION ALL
+  SELECT doc_id, tb AS u, ta AS v, w FROM wts),
+ow AS MATERIALIZED (SELECT doc_id, u, SUM(w) AS ow FROM sym GROUP BY doc_id, u),
+gn AS MATERIALIZED (SELECT DISTINCT doc_id, u FROM sym),
+s0 AS MATERIALIZED (SELECT doc_id, u, 1e0 AS s FROM gn)"""
+    for i in range(1, DK_ITERS + 1):
+        ctes += f""",
+s{i} AS MATERIALIZED (
+  SELECT gn.doc_id, gn.u,
+         CAST({base} AS DOUBLE)
+         + CAST({TR_DAMPING!r} AS DOUBLE) * COALESCE(c.cs, 0e0) AS s
+  FROM gn LEFT JOIN (
+    SELECT e.doc_id, e.v AS u, SUM(s.s * (e.w / o.ow)) AS cs
+    FROM s{i-1} s
+    JOIN sym e ON e.doc_id = s.doc_id AND e.u = s.u
+    JOIN ow o ON o.doc_id = e.doc_id AND o.u = e.u
+    GROUP BY e.doc_id, e.v
+  ) c ON c.doc_id = gn.doc_id AND c.u = gn.u)"""
+    return (
+        ctes
+        + f""",
+vocab AS (SELECT DISTINCT doc_id, tok FROM toks)
+SELECT v.doc_id, v.tok,
+       COALESCE(ROUND(s.s, 6), ROUND(CAST({base} AS DOUBLE), 6)) AS score
+FROM vocab v
+LEFT JOIN s{DK_ITERS} s ON s.doc_id = v.doc_id AND s.u = v.tok"""
+    )
+
+
+DOCS_ORACLE["doc_keywords"] = _doc_keywords_sql()
+DOCS_QUERIES["doc_keywords"] = q_doc_keywords

@@ -29,8 +29,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from ..graph import DST, SRC
+from ..graph import DST, SRC, materialize
 from .pagerank import pagerank_result
 
 
@@ -78,6 +79,30 @@ def textrank_from_pairs(
     return scored
 
 
+def _window_pairs(toks: DataFrame, window: int) -> DataFrame:
+    """DataFrame[doc_id, ta, tb] — one row per co-occurrence of two
+    DISTINCT tokens within ``window`` positions of each other in a
+    document (ta < tb canonical). Pure EQUI-join on (doc_id, pos+off)
+    with ``off`` exploded from 1..window — no theta range join, no
+    per-doc list materialization; skew is bounded by doc length."""
+    left = toks.select(
+        "doc_id",
+        "tok",
+        F.explode(F.array(*[F.lit(i) for i in range(1, window + 1)])).alias("_off"),
+        F.col("pos").alias("_p"),
+    ).select("doc_id", "tok", (F.col("_p") + F.col("_off")).alias("pos2"))
+    right = toks.select("doc_id", F.col("pos").alias("pos2"), F.col("tok").alias("tok2"))
+    return (
+        left.join(right, ["doc_id", "pos2"])
+        .filter(F.col("tok") != F.col("tok2"))
+        .select(
+            "doc_id",
+            F.least("tok", "tok2").alias("ta"),
+            F.greatest("tok", "tok2").alias("tb"),
+        )
+    )
+
+
 def keyword_textrank(
     documents: DataFrame,
     window: int = 2,
@@ -91,30 +116,15 @@ def keyword_textrank(
     the weighted fixpoint. Tokens that never co-occur (single-token docs)
     score the closed-form isolated (1-damping).
 
-    Scale shape: the co-occurrence join is a pure EQUI-join on
-    (doc_id, pos+off) with ``off`` exploded from 1..window — no theta
-    range join, no per-doc list materialization; weights are exact BIGINT
-    counts (engine-reproducible); token ids are the portable 60-bit md5
+    Scale shape: the co-occurrence join is the equi-join of
+    ``_window_pairs``; weights are exact BIGINT counts
+    (engine-reproducible); token ids are the portable 60-bit md5
     lane (functions/text.token_hash), so the fixpoint runs on longs and
     the vocabulary joins back at the end."""
     from ..functions.text import token_hash, tokenize
 
     toks = tokenize(documents)  # doc_id, pos, tok
-    left = toks.select(
-        "doc_id",
-        "tok",
-        F.explode(F.array(*[F.lit(i) for i in range(1, window + 1)])).alias("_off"),
-        F.col("pos").alias("_p"),
-    ).select("doc_id", "tok", (F.col("_p") + F.col("_off")).alias("pos2"))
-    right = toks.select("doc_id", F.col("pos").alias("pos2"), F.col("tok").alias("tok2"))
-    co = (
-        left.join(right, ["doc_id", "pos2"])
-        .filter(F.col("tok") != F.col("tok2"))
-        .select(
-            F.least("tok", "tok2").alias("ta"),
-            F.greatest("tok", "tok2").alias("tb"),
-        )
-    )
+    co = _window_pairs(toks, window)
     wts = co.groupBy("ta", "tb").agg(F.count("*").cast("double").alias("w"))
     pairs = wts.select(
         token_hash(F.col("ta")).alias("ia"),
@@ -129,6 +139,117 @@ def keyword_textrank(
     return vocab.join(scores, "id", "left").select(
         "tok", F.coalesce("score", F.lit(1.0 - damping)).alias("score")
     )
+
+
+def doc_keywords(
+    documents: DataFrame,
+    window: int = 2,
+    damping: float = 0.85,
+    max_iter: int = 8,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-document keyword extraction — DataFrame[doc_id, tok, score]:
+    TextRank's ORIGINAL use case (Mihalcea & Tarau 2004 §3.1) at document
+    grain. Each document gets its own token co-occurrence graph (edge
+    weight = within-window co-occurrence count inside THAT document); the
+    recurrence runs in unnormalized 1-space
+
+        s_{k+1}(v) = (1-d) + d · Σ_u (w_uv / Σ_x w_ux) · s_k(u),  s_0 = 1
+
+    which is per-component independent and needs NO per-document N — the
+    one TextRank form that fixpoints all documents simultaneously as a
+    single DataFrame keyed by (doc_id, tok). Tokens with no within-window
+    distinct neighbor score the closed-form isolated (1-damping).
+    ``top_k`` keeps the K best keywords per doc (score desc, tok asc),
+    adding a 1-based ``rank`` column — the per-doc window is bounded by
+    document vocabulary, never corpus size.
+
+    Scale shape: pairs from the ``_window_pairs`` equi-join (skew bounded
+    by doc length); the per-edge w/Σw factor table is built once,
+    persisted hash-partitioned on the gather key (doc_id, u); the loop
+    runs through plans/fixpoint.iterate, one job per iteration, only the
+    (doc_id, tok) state shuffling. Reference parity: the same
+    vertex-centric gather as benchmark/benchmarks/pagerank.h, here over
+    a forest of per-document graphs (node id = composite key)."""
+    from ..functions.text import tokenize
+    from ..plans.fixpoint import iterate
+
+    spark = documents.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = tokenize(documents)  # doc_id, pos, tok
+    wts = (
+        _window_pairs(toks, window)
+        .groupBy("doc_id", "ta", "tb")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    sym = wts.select(
+        "doc_id", F.col("ta").alias("u"), F.col("tb").alias("v"), "w"
+    ).unionByName(
+        wts.select("doc_id", F.col("tb").alias("u"), F.col("ta").alias("v"), "w")
+    )
+    ow = sym.groupBy("doc_id", "u").agg(F.sum("w").alias("ow"))
+    # per-edge factor w/Σw, partitioned on the per-iteration gather key so
+    # the big side never re-exchanges; (s · (w/ow)) multiplies bit-identically
+    # to the oracle's s · (w/ow) — IEEE multiplication is commutative
+    ef = (
+        sym.join(ow, ["doc_id", "u"])
+        .select("doc_id", "u", "v", (F.col("w") / F.col("ow")).alias("f"))
+        .repartition(p, "doc_id", "u")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ef.count()
+    nodes = (
+        ef.select("doc_id", "u")
+        .distinct()
+        .repartition(p, "doc_id", "u")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def step(s: DataFrame, _i: int) -> DataFrame:
+        contrib = (
+            s.hint("shuffle_hash")
+            .join(ef, ["doc_id", "u"])
+            .select("doc_id", F.col("v").alias("u"), (F.col("f") * F.col("s")).alias("c"))
+            .groupBy("doc_id", "u")
+            .agg(F.sum("c").alias("cs"))
+        )
+        return nodes.join(contrib.hint("shuffle_hash"), ["doc_id", "u"], "left").select(
+            "doc_id",
+            "u",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce("cs", F.lit(0.0))
+            ).alias("s"),
+        )
+
+    result = iterate(
+        nodes.select("doc_id", "u", F.lit(1.0).alias("s")),
+        step,
+        max_iter=max_iter,
+        name="doc_keywords",
+    )
+    scored = materialize(result.state)
+    ef.unpersist()
+    nodes.unpersist()
+    out = (
+        toks.select("doc_id", "tok")
+        .distinct()
+        .join(scored.withColumnRenamed("u", "tok"), ["doc_id", "tok"], "left")
+        .select(
+            "doc_id", "tok", F.coalesce("s", F.lit(1.0 - damping)).alias("score")
+        )
+    )
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        w_rank = Window.partitionBy("doc_id").orderBy(
+            F.desc("score"), F.asc("tok")
+        )
+        out = (
+            out.withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= top_k)
+        )
+    return out
 
 
 def textrank_documents(

@@ -192,3 +192,73 @@ def test_hitting_time_dangling_counts_horizon(spark):
         for r in truncated_hitting_time(df, seeds=[0], horizon=6).collect()
     }
     assert got[0] == 0.0 and abs(got[1] - 6.0) < 1e-12
+
+
+def _model_doc_keywords(texts, window, damping, iters):
+    """Independent dense model: per-document co-occurrence graph ->
+    per-document TextRank (1-space), isolated tokens at (1-d)."""
+    out = {}
+    for doc_id, text in enumerate(texts):
+        toks = text.lower().split()
+        w = {}
+        for i, a in enumerate(toks):
+            for off in range(1, window + 1):
+                if i + off >= len(toks):
+                    break
+                b = toks[i + off]
+                if a == b:
+                    continue
+                key = (min(a, b), max(a, b))
+                w[key] = w.get(key, 0) + 1
+        pairs = [(a, b, float(c)) for (a, b), c in w.items()]
+        scores = _model_textrank(pairs, damping, iters)
+        for t in set(toks):
+            out[(doc_id, t)] = scores.get(t, 1.0 - damping)
+    return out
+
+
+def test_doc_keywords_matches_dense_model(spark):
+    """Per-doc grain: the same token must be allowed DIFFERENT scores in
+    different documents (the corpus-grain operator cannot express this)."""
+    texts = [
+        "graph ranking keyword graph extraction via graph ranking",
+        "keyword extraction with ranking keyword",
+        "solo",
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from llama_spark.operators.textrank import doc_keywords
+
+    got = {
+        (r["doc_id"], r["tok"]): r["score"]
+        for r in doc_keywords(docs, window=2, max_iter=6).collect()
+    }
+    want = _model_doc_keywords(texts, 2, 0.85, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    # the isolated doc's only token scores the closed form
+    assert abs(got[(2, "solo")] - 0.15) < 1e-12
+    # same token, different docs, different scores (per-doc grain is real)
+    assert abs(got[(0, "keyword")] - got[(1, "keyword")]) > 1e-6
+
+
+def test_doc_keywords_top_k(spark):
+    texts = ["a b c a b c a b", "x y"]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from llama_spark.operators.textrank import doc_keywords
+
+    top = doc_keywords(docs, window=2, max_iter=4, top_k=2).collect()
+    by_doc = {}
+    for r in top:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["tok"], r["score"]))
+    assert len(by_doc[0]) == 2 and len(by_doc[1]) == 2
+    for doc_id, rows_ in by_doc.items():
+        rows_.sort()
+        assert [r[0] for r in rows_] == [1, 2]
+        assert rows_[0][2] >= rows_[1][2]

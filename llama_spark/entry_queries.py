@@ -6500,3 +6500,67 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_quantity < 24"""
 
 QUERIES["tpch_q6"] = q_tpch_q6
+
+
+# ------------------------------------------- bipartiteness (odd cycles)
+
+BIP_UNROLL = 32  # doubled-graph diameter can reach ~2x the original's
+
+
+def q_bipartite(spark, sf_dir):
+    """Per-component bipartiteness via one hash-min CC run on the
+    parity-doubled graph (odd-cycle detection, no new kernel)."""
+    from .operators.components import bipartite_check
+
+    return bipartite_check(load_edges(spark, sf_dir))
+
+
+def _bipartite_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "e AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst)",
+        "loops AS (SELECT DISTINCT src AS u FROM edges WHERE src = dst)",
+        """dd AS MATERIALIZED (
+  SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM e
+  UNION ALL SELECT dst * 2 AS src, src * 2 + 1 AS dst FROM e
+  UNION ALL SELECT u * 2 AS src, u * 2 + 1 AS dst FROM loops)""",
+        """nodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM dd UNION ALL SELECT dst AS id FROM dd))""",
+        """und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM dd UNION ALL SELECT dst AS src, src AS dst FROM dd
+  ) WHERE src <> dst)""",
+        "c0 AS MATERIALIZED (SELECT id, id AS component FROM nodes)",
+    ]
+    for i in range(1, BIP_UNROLL + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN m.nmin IS NOT NULL AND m.nmin < c.component
+              THEN m.nmin ELSE c.component END AS component
+  FROM c{i-1} c LEFT JOIN (
+    SELECT u.dst AS id, MIN(p.component) AS nmin
+    FROM c{i-1} p JOIN und u ON u.src = p.id
+    GROUP BY u.dst
+  ) m ON c.id = m.id
+)"""
+        )
+    ctes.append(
+        f"""per_node AS (
+  SELECT id // 2 AS id, MIN(component) AS cmin, MAX(component) AS cmax
+  FROM c{BIP_UNROLL} GROUP BY id // 2)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT CAST(cmin // 2 AS BIGINT) AS component,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       BOOL_AND(cmin <> cmax) AS is_bipartite
+FROM per_node GROUP BY 1"""
+    )
+
+
+ORACLE["bipartite"] = _bipartite_sql()
+QUERIES["bipartite"] = q_bipartite

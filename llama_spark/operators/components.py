@@ -1117,3 +1117,55 @@ def partition_nmi(
             ).alias("nmi"),
         )
     )
+
+
+def bipartite_check(edges: DataFrame) -> DataFrame:
+    """Odd-cycle detection — DataFrame[component, n_nodes, is_bipartite]:
+    per connected component (component = min member id, matching
+    :func:`connected_components`), whether the component is 2-colorable.
+    The classic structure probe for link graphs (host-page / query-click
+    graphs SHOULD be bipartite; an odd cycle is a wiring bug) — and the
+    textbook reduction that needs no new kernel:
+
+    Run hash-min CC once on the PARITY-DOUBLED graph — each undirected
+    edge {u,v} becomes {u⁺,v⁻} and {u⁻,v⁺} (copies 2u / 2u+1). A
+    same-parity walk u→u exists iff the component has an odd cycle, so the
+    two copies of u land in ONE doubled component iff u's component is
+    non-bipartite; otherwise the doubled component splits into exactly the
+    two color classes. Self-loops are odd cycles of length 1 and are
+    caught naturally ({u⁺,u⁻} merges the copies).
+
+    Per original node, both labels come back in one pivot (min/max over
+    the two parities), the original component id is
+    min(c⁺,c⁻) >> 1 (the doubled min label is 2·(min member id) + parity),
+    and the flag aggregates with bool_and — one CC run on a 2|V|/2|E|
+    graph, no new iteration shape. Reference parity: composition of the
+    hash-min kernel the reference's CC benchmark defines
+    (benchmark/benchmarks/*, hash-min label convergence)."""
+    e = drop_self_loops(edges.select(SRC, DST))
+    loops = (
+        edges.filter(F.col(SRC) == F.col(DST))
+        .select(F.col(SRC).alias("_u"))
+        .distinct()
+    )
+    doubled = e.select(
+        (F.col(SRC) * 2).alias(SRC), (F.col(DST) * 2 + 1).alias(DST)
+    ).unionByName(
+        e.select((F.col(DST) * 2).alias(SRC), (F.col(SRC) * 2 + 1).alias(DST))
+    ).unionByName(
+        loops.select((F.col("_u") * 2).alias(SRC), (F.col("_u") * 2 + 1).alias(DST))
+    )
+    cc = connected_components(doubled)
+    per_node = (
+        cc.groupBy((F.col("id") / 2).cast("long").alias("id"))
+        .agg(F.min("component").alias("_cmin"), F.max("component").alias("_cmax"))
+        .select(
+            "id",
+            (F.col("_cmin") / 2).cast("long").alias("component"),
+            (F.col("_cmin") != F.col("_cmax")).alias("_bip"),
+        )
+    )
+    return per_node.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min(F.col("_bip").cast("int")).cast("boolean").alias("is_bipartite"),
+    )

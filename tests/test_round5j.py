@@ -262,3 +262,47 @@ def test_doc_keywords_top_k(spark):
         rows_.sort()
         assert [r[0] for r in rows_] == [1, 2]
         assert rows_[0][2] >= rows_[1][2]
+
+
+def test_bipartite_check_shapes(spark):
+    """Even cycle + star bipartite; triangle and self-loop not; component
+    ids are min member ids and sizes are exact."""
+    from .conftest import edges_df
+    from llama_spark.operators.components import bipartite_check
+
+    edges = [
+        (0, 1), (1, 2), (2, 3), (3, 0),   # 4-cycle: bipartite
+        (10, 11), (10, 12), (10, 13),     # star: bipartite
+        (20, 21), (21, 22), (22, 20),     # triangle: odd cycle
+        (30, 30),                         # self-loop: odd cycle of length 1
+    ]
+    got = {
+        r["component"]: (r["n_nodes"], r["is_bipartite"])
+        for r in bipartite_check(edges_df(spark, edges)).collect()
+    }
+    assert got == {
+        0: (4, True),
+        10: (4, True),
+        20: (3, False),
+        30: (1, False),
+    }
+
+
+def test_bipartite_check_odd_even_paths(spark):
+    """A long even cycle stays bipartite; adding one chord of the wrong
+    parity flips exactly that component."""
+    from .conftest import edges_df
+    from llama_spark.operators.components import bipartite_check
+
+    cyc = [(i, (i + 1) % 8) for i in range(8)]
+    got = {r["component"]: r["is_bipartite"]
+           for r in bipartite_check(edges_df(spark, cyc)).collect()}
+    assert got == {0: True}
+    # chord (0,3) spans odd distance: every new cycle is even -> still OK
+    got2 = {r["component"]: r["is_bipartite"]
+            for r in bipartite_check(edges_df(spark, cyc + [(0, 3)])).collect()}
+    assert got2 == {0: True}
+    # same-parity chord (0,2) closes a 3-cycle -> flips the component
+    got3 = {r["component"]: r["is_bipartite"]
+            for r in bipartite_check(edges_df(spark, cyc + [(0, 2)])).collect()}
+    assert got3 == {0: False}

@@ -260,12 +260,13 @@ def main() -> None:
 
     timed("heat_kernel_k6", lambda: heat_kernel_pagerank(edges).count())
 
-    from llama_spark.operators.diffusion import truncated_hitting_time
+    from llama_spark.operators.diffusion import trophic_levels, truncated_hitting_time
 
     timed(
         "hitting_time_h8",
         lambda: truncated_hitting_time(edges, seeds=[0, 42, 1234]).count(),
     )
+    timed("trophic12", lambda: trophic_levels(edges, max_iter=12).count())
     timed(
         "landmarks_k8q64",
         lambda: landmark_distances(

@@ -503,6 +503,22 @@ class GraphSession:
 
         return truncated_hitting_time(self._e(), seeds=seeds, horizon=horizon)
 
+    def trophic_levels(
+        self, weight_col: str | None = None, max_iter: int = 12
+    ) -> DataFrame:
+        """MacKay-Johnson-Jones hierarchy heights (diffusion.trophic_levels);
+        compare differences, not absolutes."""
+        from .operators.diffusion import trophic_levels
+
+        return trophic_levels(self._e(), weight_col=weight_col, max_iter=max_iter)
+
+    def bipartite(self) -> DataFrame:
+        """Per-component bipartiteness via parity-doubled CC
+        (components.bipartite_check)."""
+        from .operators.components import bipartite_check
+
+        return bipartite_check(self._e())
+
     def degree_gini(self) -> DataFrame:
         """Gini coefficient of the degree distribution (graph.degree_gini)."""
         from .graph import degree_gini

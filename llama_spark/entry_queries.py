@@ -6564,3 +6564,65 @@ FROM per_node GROUP BY 1"""
 
 ORACLE["bipartite"] = _bipartite_sql()
 QUERIES["bipartite"] = q_bipartite
+
+
+# ------------------------------------------- trophic levels (hierarchy)
+
+TROPHIC_ITERS = 12
+TROPHIC_OMEGA = 0.5
+
+
+def q_trophic_levels(spark, sf_dir):
+    """MacKay-Johnson-Jones trophic levels (PNAS 2020): damped-Jacobi
+    iterate K of the hierarchy-height normal equations, weighted edges."""
+    from .graph import with_synthetic_weights
+    from .operators.diffusion import trophic_levels
+
+    out = trophic_levels(
+        with_synthetic_weights(load_edges(spark, sf_dir)),
+        weight_col="weight",
+        max_iter=TROPHIC_ITERS,
+        omega=TROPHIC_OMEGA,
+    )
+    return out.select("id", F.round(F.col("level"), 6).alias("level"))
+
+
+def _trophic_sql() -> str:
+    om = repr(TROPHIC_OMEGA)
+    keep = repr(1.0 - TROPHIC_OMEGA)
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "ew AS MATERIALIZED (SELECT src, dst, "
+        "1e0 + ((src*31 + dst) % 100)/100e0 AS w FROM edges)",
+        """sym AS MATERIALIZED (
+  SELECT src, dst, w FROM ew
+  UNION ALL SELECT dst AS src, src AS dst, w FROM ew)""",
+        """base AS MATERIALIZED (
+  SELECT id, SUM(iw) + SUM(ow) AS d, SUM(iw) - SUM(ow) AS v FROM (
+    SELECT dst AS id, w AS iw, 0e0 AS ow FROM ew
+    UNION ALL
+    SELECT src AS id, 0e0 AS iw, w AS ow FROM ew
+  ) GROUP BY id)""",
+        "h0 AS MATERIALIZED (SELECT id, 0e0 AS h FROM base)",
+    ]
+    for i in range(1, TROPHIC_ITERS + 1):
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT b.id,
+         CAST({keep} AS DOUBLE) * p.h
+         + CAST({om} AS DOUBLE) * (b.v + COALESCE(c.s, 0e0)) / b.d AS h
+  FROM base b JOIN h{i-1} p ON p.id = b.id
+  LEFT JOIN (
+    SELECT g.dst AS id, SUM(g.w * q.h) AS s
+    FROM h{i-1} q JOIN sym g ON g.src = q.id
+    GROUP BY g.dst
+  ) c ON c.id = b.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(h, 6) AS level FROM h{TROPHIC_ITERS}"
+    )
+
+
+ORACLE["trophic_levels"] = _trophic_sql()
+QUERIES["trophic_levels"] = q_trophic_levels

@@ -306,3 +306,64 @@ def test_bipartite_check_odd_even_paths(spark):
     got3 = {r["component"]: r["is_bipartite"]
             for r in bipartite_check(edges_df(spark, cyc + [(0, 2)])).collect()}
     assert got3 == {0: False}
+
+
+def _model_trophic(edges_w, iters, omega=0.5):
+    """Dense damped-Jacobi on the MacKay-Johnson-Jones normal equations
+    (diag(in_w+out_w) - A - A^T) h = in_w - out_w, h0 = 0."""
+    nodes = sorted({x for s, d, _ in edges_w for x in (s, d)})
+    iw = {v: 0.0 for v in nodes}
+    ow = {v: 0.0 for v in nodes}
+    nbr = {v: [] for v in nodes}
+    for s, d, w in edges_w:
+        iw[d] += w
+        ow[s] += w
+        nbr[d].append((s, w))
+        nbr[s].append((d, w))
+    h = {v: 0.0 for v in nodes}
+    for _ in range(iters):
+        nh = {}
+        for v in nodes:
+            s = sum(w * h[u] for u, w in nbr[v])
+            nh[v] = (1 - omega) * h[v] + omega * (iw[v] - ow[v] + s) / (iw[v] + ow[v])
+        h = nh
+    return h
+
+
+def test_trophic_levels_matches_dense_model(spark):
+    from pyspark.sql import functions as F
+
+    from .conftest import edges_df
+    from llama_spark.operators.diffusion import trophic_levels
+
+    raw = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 1), (4, 0)]
+    df = edges_df(spark, raw).withColumn(
+        "weight", (F.lit(1.0) + (F.col("src") * 31 + F.col("dst")) % 100 / 100.0)
+    )
+    edges_w = [(s, d, 1.0 + ((s * 31 + d) % 100) / 100.0) for s, d in raw]
+    got = {
+        r["id"]: r["level"]
+        for r in trophic_levels(df, weight_col="weight", max_iter=8).collect()
+    }
+    want = _model_trophic(edges_w, 8)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_trophic_levels_orders_a_path(spark):
+    """On a directed path the converged heights step by exactly +1; the
+    damped-Jacobi iterate must already be strictly increasing along the
+    edges (differences, not absolutes — h is defined up to a constant)."""
+    from .conftest import edges_df
+    from llama_spark.operators.diffusion import trophic_levels
+
+    df = edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {
+        r["id"]: r["level"] for r in trophic_levels(df, max_iter=12).collect()
+    }
+    assert got[0] < got[1] < got[2] < got[3]
+    # converged dense model: unit steps up to the free constant
+    want = _model_trophic([(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)], 4000)
+    for a, b in [(0, 1), (1, 2), (2, 3)]:
+        assert abs((want[b] - want[a]) - 1.0) < 1e-6

@@ -519,6 +519,16 @@ class GraphSession:
 
         return bipartite_check(self._e())
 
+    def trophic_incoherence(
+        self, weight_col: str | None = None, max_iter: int = 12
+    ) -> DataFrame:
+        """1-row F0 'how directed' scalar (diffusion.trophic_incoherence)."""
+        from .operators.diffusion import trophic_incoherence
+
+        return trophic_incoherence(
+            self._e(), weight_col=weight_col, max_iter=max_iter
+        )
+
     def degree_gini(self) -> DataFrame:
         """Gini coefficient of the degree distribution (graph.degree_gini)."""
         from .graph import degree_gini

@@ -6626,3 +6626,39 @@ def _trophic_sql() -> str:
 
 ORACLE["trophic_levels"] = _trophic_sql()
 QUERIES["trophic_levels"] = q_trophic_levels
+
+
+def q_trophic_incoherence(spark, sf_dir):
+    """Trophic incoherence F0 — the PNAS-2020 'how directed is this
+    network' scalar at the same damped-Jacobi iterate as trophic_levels."""
+    from .graph import with_synthetic_weights
+    from .operators.diffusion import trophic_incoherence
+
+    out = trophic_incoherence(
+        with_synthetic_weights(load_edges(spark, sf_dir)),
+        weight_col="weight",
+        max_iter=TROPHIC_ITERS,
+        omega=TROPHIC_OMEGA,
+    )
+    return out.select(F.round(F.col("f0"), 6).alias("f0"))
+
+
+def _trophic_f0_sql() -> str:
+    body = _trophic_sql()
+    # reuse the unrolled sweep CTEs; replace the final projection with the
+    # edge-gap aggregate (h differences only - the free constant cancels)
+    head = body[: body.rindex("\nSELECT id, ROUND(h, 6)")]
+    return (
+        head
+        + f"""
+SELECT ROUND(
+  SUM(e.w * (hv.h - hu.h - 1e0) * (hv.h - hu.h - 1e0)) / SUM(e.w), 6
+) AS f0
+FROM ew e
+JOIN h{TROPHIC_ITERS} hu ON hu.id = e.src
+JOIN h{TROPHIC_ITERS} hv ON hv.id = e.dst"""
+    )
+
+
+ORACLE["trophic_incoherence"] = _trophic_f0_sql()
+QUERIES["trophic_incoherence"] = q_trophic_incoherence

@@ -277,3 +277,43 @@ def trophic_levels(
     base.unpersist()
     gather.unpersist()
     return out
+
+
+def trophic_incoherence(
+    edges: DataFrame,
+    weight_col: str | None = None,
+    max_iter: int = 12,
+    omega: float = 0.5,
+) -> DataFrame:
+    """Trophic incoherence F₀ (MacKay, Johnson & Jones, PNAS 2020) — a
+    1-row DataFrame[f0]: the paper's headline "how directed is this
+    network" scalar, F₀ = Σ w_uv (h_v − h_u − 1)² / Σ w_uv evaluated at
+    the :func:`trophic_levels` height field. 0 = perfectly coherent
+    hierarchy (every edge climbs exactly one level, e.g. a DAG of
+    layers); 1 = the incoherence of a fully undirected/cyclic tangle.
+    F₀ only involves height DIFFERENCES, so the per-component free
+    constant in h cancels and the scalar is well-defined at any iterate.
+
+    Computed at the same deterministic damped-Jacobi iterate as the gate
+    (document: at iterate K, an upper bound that decreases toward the
+    true F₀ as K grows). One extra broadcast-join pass over the edge
+    table after the sweeps."""
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(SRC, DST, w.alias("_w"))
+    h = trophic_levels(
+        edges, weight_col=weight_col, max_iter=max_iter, omega=omega
+    )
+    hu = h.select(F.col("id").alias(SRC), F.col("level").alias("_hu"))
+    hv = h.select(F.col("id").alias(DST), F.col("level").alias("_hv"))
+    gap = F.col("_hv") - F.col("_hu") - F.lit(1.0)
+    return (
+        e.join(hu, SRC)
+        .join(hv, DST)
+        .agg(
+            (F.sum(F.col("_w") * gap * gap) / F.sum("_w")).alias("f0")
+        )
+    )

@@ -367,3 +367,25 @@ def test_trophic_levels_orders_a_path(spark):
     want = _model_trophic([(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)], 4000)
     for a, b in [(0, 1), (1, 2), (2, 3)]:
         assert abs((want[b] - want[a]) - 1.0) < 1e-6
+
+
+def test_trophic_incoherence_bounds(spark):
+    """A pure chain is near-coherent (F0 -> 0 as the iterate converges);
+    a 2-cycle is maximally incoherent (converged F0 = 1: h_u = h_v, every
+    edge misses its +1 by exactly 1). Exact values vs the dense model."""
+    from .conftest import edges_df
+    from llama_spark.operators.diffusion import trophic_incoherence
+
+    def model_f0(raw, iters):
+        h = _model_trophic([(s, d, 1.0) for s, d in raw], iters)
+        num = sum((h[d] - h[s] - 1.0) ** 2 for s, d in raw)
+        return num / len(raw)
+
+    chain = [(0, 1), (1, 2), (2, 3)]
+    got = trophic_incoherence(edges_df(spark, chain), max_iter=12).collect()[0]["f0"]
+    assert abs(got - model_f0(chain, 12)) < 1e-9
+    assert got < 0.2  # already close to coherent at iterate 12
+
+    cyc2 = [(0, 1), (1, 0)]
+    got2 = trophic_incoherence(edges_df(spark, cyc2), max_iter=12).collect()[0]["f0"]
+    assert abs(got2 - 1.0) < 1e-9  # symmetric pair: h equal from sweep 1

@@ -267,6 +267,13 @@ def main() -> None:
         lambda: truncated_hitting_time(edges, seeds=[0, 42, 1234]).count(),
     )
     timed("trophic12", lambda: trophic_levels(edges, max_iter=12).count())
+
+    from llama_spark.operators.centrality import nonbacktracking_centrality
+
+    timed(
+        "nonbacktracking6",
+        lambda: nonbacktracking_centrality(edges, max_iter=6).count(),
+    )
     timed(
         "landmarks_k8q64",
         lambda: landmark_distances(

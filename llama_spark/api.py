@@ -529,6 +529,13 @@ class GraphSession:
             self._e(), weight_col=weight_col, max_iter=max_iter
         )
 
+    def nonbacktracking(self, max_iter: int = 6) -> DataFrame:
+        """Non-backtracking (Hashimoto) centrality, exact BIGINT
+        (centrality.nonbacktracking_centrality)."""
+        from .operators.centrality import nonbacktracking_centrality
+
+        return nonbacktracking_centrality(self._e(), max_iter=max_iter)
+
     def degree_gini(self) -> DataFrame:
         """Gini coefficient of the degree distribution (graph.degree_gini)."""
         from .graph import degree_gini

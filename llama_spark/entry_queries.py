@@ -6662,3 +6662,42 @@ JOIN h{TROPHIC_ITERS} hv ON hv.id = e.dst"""
 
 ORACLE["trophic_incoherence"] = _trophic_f0_sql()
 QUERIES["trophic_incoherence"] = q_trophic_incoherence
+
+
+# ------------------------------------------- non-backtracking centrality
+
+NBC_ITERS = 6
+
+
+def q_nonbacktracking(spark, sf_dir):
+    """Non-backtracking centrality (Martin-Zhang-Newman): Hashimoto-matrix
+    power iteration over edge states — EXACT BIGINT, no rounding."""
+    from .operators.centrality import nonbacktracking_centrality
+
+    return nonbacktracking_centrality(load_edges(spark, sf_dir), max_iter=NBC_ITERS)
+
+
+def _nbc_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "x0 AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS x FROM edges)",
+    ]
+    for i in range(1, NBC_ITERS + 1):
+        ctes.append(
+            f"""x{i} AS MATERIALIZED (
+  SELECT e.src, e.dst,
+         COALESCE(t.t, 0) - COALESCE(r.x, 0) AS x
+  FROM edges e
+  LEFT JOIN (SELECT dst AS u, SUM(x) AS t FROM x{i-1} GROUP BY dst) t
+    ON t.u = e.src
+  LEFT JOIN x{i-1} r ON r.src = e.dst AND r.dst = e.src)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT dst AS id, CAST(SUM(x) AS BIGINT) AS nbc FROM x{NBC_ITERS} GROUP BY dst"""
+    )
+
+
+ORACLE["nonbacktracking"] = _nbc_sql()
+QUERIES["nonbacktracking"] = q_nonbacktracking

@@ -153,3 +153,74 @@ def eigenvector_centrality(
         metrics=metrics,
         n_nodes=n,
     )
+
+
+def nonbacktracking_centrality(
+    edges: DataFrame,
+    max_iter: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Non-backtracking centrality (Martin, Zhang & Newman, PRE 2014) —
+    DataFrame[id, nbc]: power iteration of the Hashimoto matrix B over
+    EDGE states,
+
+        x'_{(u,v)} = Σ_{(w,u), w≠v} x_{(w,u)}
+                   = (Σ into u) − x_{(v,u)},
+
+    then node score = Σ of incoming edge states. The walk may not
+    immediately reverse the edge it arrived on, which removes the
+    hub-localization failure of plain eigenvector centrality (a hub's
+    mass cannot slosh back and forth across one spoke).
+
+    EXACT BIGINT: B is a 0/1 matrix and x₀ = 1, so every iterate is an
+    integer — sums of longs are order-independent, making the gate
+    hash-exact with no rounding or normalization ambiguity. Magnitudes
+    grow like λ_B^K (λ_B ≤ max in-degree); the default K=6 keeps any
+    graph with λ_B < 1350 inside int64 — raise K only with that bound in
+    mind (the sf0.1 gate graph's λ_B ≈ 140 allows K ≤ 8).
+
+    Plan: an edge-state kernel by nature — the 2|E|-row state shuffles
+    twice per step (the into-u gather keyed by dst, then the reverse-edge
+    lookup keyed by (src,dst)); the edge table itself is cached once and
+    streamed. Nodes with no in-edges have no incoming state and are
+    absent from the output (same convention as the SQL oracle).
+    Reference parity: vertex-centric fixpoint family
+    (benchmark/benchmarks/pagerank.h), lifted to the directed-edge
+    double cover."""
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = _cached_edges(edges, p)
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        into = (
+            state.groupBy(F.col(DST).alias("_u"))
+            .agg(F.sum("x").alias("_t"))
+        )
+        rev = state.select(
+            F.col(DST).alias(SRC), F.col(SRC).alias(DST), F.col("x").alias("_xr")
+        )
+        return (
+            e.join(into, e[SRC] == F.col("_u"), "left")
+            .drop("_u")
+            .join(rev, [SRC, DST], "left")
+            .select(
+                SRC,
+                DST,
+                (
+                    F.coalesce("_t", F.lit(0).cast("long"))
+                    - F.coalesce("_xr", F.lit(0).cast("long"))
+                ).alias("x"),
+            )
+        )
+
+    result = iterate(
+        e.select(SRC, DST, F.lit(1).cast("long").alias("x")),
+        step,
+        max_iter=max_iter,
+        name="nonbacktracking",
+    )
+    out = materialize(
+        result.state.groupBy(F.col(DST).alias("id")).agg(F.sum("x").alias("nbc"))
+    )
+    e.unpersist()
+    return out

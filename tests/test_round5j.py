@@ -389,3 +389,57 @@ def test_trophic_incoherence_bounds(spark):
     cyc2 = [(0, 1), (1, 0)]
     got2 = trophic_incoherence(edges_df(spark, cyc2), max_iter=12).collect()[0]["f0"]
     assert abs(got2 - 1.0) < 1e-9  # symmetric pair: h equal from sweep 1
+
+
+def _model_nbc(edges, iters):
+    """Dense Hashimoto power iteration: x'_(u,v) = sum_{(w,u), w!=v} x_(w,u);
+    node score = sum of incoming edge states."""
+    es = sorted(set(edges))
+    x = {e: 1 for e in es}
+    for _ in range(iters):
+        nx = {}
+        for (u, v) in es:
+            nx[(u, v)] = sum(xv for (w, t), xv in x.items() if t == u and w != v)
+        x = nx
+    out = {}
+    for (u, v), xv in x.items():
+        out[v] = out.get(v, 0) + xv
+    return out
+
+
+def test_nonbacktracking_matches_dense_model(spark):
+    from .conftest import edges_df
+    from llama_spark.operators.centrality import nonbacktracking_centrality
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2), (2, 3), (3, 4)]
+    got = {
+        r["id"]: r["nbc"]
+        for r in nonbacktracking_centrality(edges_df(spark, edges), max_iter=5).collect()
+    }
+    want = _model_nbc(edges, 5)
+    assert got == want, (got, want)
+    # exact integers end to end
+    assert all(isinstance(v, int) for v in got.values())
+
+
+def test_nonbacktracking_tree_nilpotent_cycle_invariant(spark):
+    """A tree has NO non-backtracking walk longer than its diameter, so the
+    Hashimoto power hits exactly 0; a directed cycle has exactly one NB
+    successor per edge, so the state stays exactly 1."""
+    from .conftest import edges_df
+    from llama_spark.operators.centrality import nonbacktracking_centrality
+
+    # undirected path 0-1-2 (both directions): nilpotent by iteration 2
+    path = [(0, 1), (1, 0), (1, 2), (2, 1)]
+    got = {
+        r["id"]: r["nbc"]
+        for r in nonbacktracking_centrality(edges_df(spark, path), max_iter=3).collect()
+    }
+    assert set(got.values()) == {0}
+    # directed triangle: invariant at 1 per edge
+    tri = [(0, 1), (1, 2), (2, 0)]
+    got2 = {
+        r["id"]: r["nbc"]
+        for r in nonbacktracking_centrality(edges_df(spark, tri), max_iter=7).collect()
+    }
+    assert got2 == {0: 1, 1: 1, 2: 1}

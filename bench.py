@@ -274,6 +274,13 @@ def main() -> None:
         "nonbacktracking6",
         lambda: nonbacktracking_centrality(edges, max_iter=6).count(),
     )
+
+    from llama_spark.operators.trust import sybilrank
+
+    timed(
+        "sybilrank12",
+        lambda: sybilrank(edges, seeds=[0, 42, 1234], max_iter=12).count(),
+    )
     timed(
         "landmarks_k8q64",
         lambda: landmark_distances(

@@ -536,6 +536,15 @@ class GraphSession:
 
         return nonbacktracking_centrality(self._e(), max_iter=max_iter)
 
+    def sybilrank(
+        self, seeds: list[int], max_iter: int | None = None
+    ) -> DataFrame:
+        """Early-terminated degree-normalized trust from verified seeds
+        (trust.sybilrank)."""
+        from .operators.trust import sybilrank
+
+        return sybilrank(self._e(), seeds=seeds, max_iter=max_iter)
+
     def degree_gini(self) -> DataFrame:
         """Gini coefficient of the degree distribution (graph.degree_gini)."""
         from .graph import degree_gini

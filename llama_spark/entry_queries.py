@@ -6701,3 +6701,56 @@ SELECT dst AS id, CAST(SUM(x) AS BIGINT) AS nbc FROM x{NBC_ITERS} GROUP BY dst""
 
 ORACLE["nonbacktracking"] = _nbc_sql()
 QUERIES["nonbacktracking"] = q_nonbacktracking
+
+
+# ------------------------------------------- SybilRank
+
+SYBIL_ITERS = 12  # ceil(log2(4096)) — the paper's O(log n) early stop
+
+
+def q_sybilrank(spark, sf_dir):
+    """SybilRank (NSDI 2012): early-terminated degree-normalized trust
+    propagation from the TrustRank seed set over the undirected graph."""
+    from .operators.trust import sybilrank
+
+    return sybilrank(load_edges(spark, sf_dir), seeds=HT_SEEDS, max_iter=SYBIL_ITERS)
+
+
+def _sybilrank_sql() -> str:
+    seeds = sorted(set(HT_SEEDS))
+    seeds_in = ", ".join(str(s) for s in seeds)
+    t0 = repr(1.0 / len(seeds))
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg "
+        "FROM und GROUP BY src)",
+        f"""t0 AS MATERIALIZED (
+  SELECT id, CASE WHEN id IN ({seeds_in})
+                  THEN CAST({t0} AS DOUBLE) ELSE 0e0 END AS t
+  FROM nodes)""",
+    ]
+    for i in range(1, SYBIL_ITERS + 1):
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT n.id, COALESCE(c.s, 0e0) AS t
+  FROM nodes n LEFT JOIN (
+    SELECT u.dst AS id, SUM(p.t * (1e0 / d.deg)) AS s
+    FROM t{i-1} p JOIN und u ON u.src = p.id JOIN deg d ON d.id = u.src
+    GROUP BY u.dst
+  ) c ON c.id = n.id)"""
+        )
+    n_nodes = "(SELECT COUNT(*) FROM nodes)"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+scaled AS (SELECT id, ROUND(t * {n_nodes}, 6) AS trust_scaled FROM t{SYBIL_ITERS})
+SELECT s.id, s.trust_scaled,
+       ROUND(s.trust_scaled / d.deg, 6) AS rank
+FROM scaled s JOIN deg d ON d.id = s.id"""
+    )
+
+
+ORACLE["sybilrank"] = _sybilrank_sql()
+QUERIES["sybilrank"] = q_sybilrank

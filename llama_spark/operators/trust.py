@@ -81,3 +81,102 @@ def spam_mass(
             (F.col("pr_scaled") - F.col("trust_scaled")) / F.col("pr_scaled"), 6
         ).alias("rel_mass"),
     )
+
+
+def sybilrank(
+    edges: DataFrame,
+    seeds: list[int],
+    max_iter: int | None = None,
+) -> DataFrame:
+    """SybilRank (Cao, Sirivianos, Yang & Pregueiro, NSDI 2012) —
+    DataFrame[id, trust_scaled, rank]: degree-normalized landing
+    probability of an EARLY-TERMINATED random walk from a verified seed
+    set over the UNDIRECTED graph. The termination at O(log n) steps —
+    before mixing completes — IS the detector: the honest region mixes
+    internally in O(log n) but trust crosses the few attack edges into a
+    sybil region much more slowly, so at step ~log₂(n) honest nodes hold
+    near-stationary trust and sybils near none. (Run to convergence the
+    walk forgets the seeds entirely — the stationary distribution is
+    ∝ degree and carries no signal; that is why ``max_iter`` defaults to
+    ceil(log₂ n), the paper's choice, rather than "until converged".)
+    The final degree normalization removes the stationary bias so honest
+    nodes score ≈ uniformly.
+
+    trust t₀ = 1/|seeds| on the seeds; t' = Σ_{u~v} t(u)/deg(u)
+    (trust-conserving: Σt = 1 every step); rank(v) = t_K(v)/deg(v).
+    ``trust_scaled`` is t_K × N (the O(1) gate-scaling convention) and
+    ``rank`` divides the already-rounded scaled trust by degree, the
+    spam_mass cross-engine-determinism trick.
+
+    Plan: the pagerank shape — per-edge 1/deg factor table built once,
+    cached hash-partitioned on the gather key; only the V-row trust
+    vector shuffles per step, through plans/fixpoint.iterate (one job
+    per step). Reference parity: vertex-centric fixpoint family
+    (benchmark/benchmarks/pagerank.h), undirected early-terminated
+    variant."""
+    import math
+
+    from pyspark.storagelevel import StorageLevel
+
+    from ..graph import DST, SRC, materialize, nodes_of, symmetrize
+    from ..plans.fixpoint import iterate
+
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    seeds = sorted(set(seeds))
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = symmetrize(edges)
+    nodes = nodes_of(edges).repartition(p, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return nodes.select(
+            "id", F.lit(0.0).alias("trust_scaled"), F.lit(0.0).alias("rank")
+        )
+    k = max_iter if max_iter is not None else max(1, math.ceil(math.log2(n)))
+    deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("deg"))
+    ew = (
+        und.join(deg.select(F.col("id").alias(SRC), "deg"), SRC)
+        .select(SRC, DST, (F.lit(1.0) / F.col("deg")).alias("inv"))
+        .repartition(p, SRC)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ew.count()
+    tiny = n <= 100_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if tiny else df.hint("shuffle_hash")
+
+    init = nodes.select(
+        "id",
+        F.when(F.col("id").isin(seeds), F.lit(1.0 / len(seeds)))
+        .otherwise(F.lit(0.0))
+        .alias("t"),
+    )
+
+    def step(t: DataFrame, _i: int) -> DataFrame:
+        gathered = (
+            _hint(t).join(ew, t["id"] == ew[SRC])
+            .select(F.col(DST).alias("id"), (F.col("inv") * F.col("t")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        return nodes.join(_hint(gathered), "id", "left").select(
+            "id", F.coalesce("s", F.lit(0.0)).alias("t")
+        )
+
+    result = iterate(init, step, max_iter=k, name="sybilrank")
+    scaled = result.state.select(
+        "id", F.round(F.col("t") * F.lit(float(n)), 6).alias("trust_scaled")
+    )
+    out = materialize(
+        scaled.join(deg, "id").select(
+            "id",
+            "trust_scaled",
+            F.round(F.col("trust_scaled") / F.col("deg"), 6).alias("rank"),
+        )
+    )
+    ew.unpersist()
+    nodes.unpersist()
+    return out

@@ -443,3 +443,64 @@ def test_nonbacktracking_tree_nilpotent_cycle_invariant(spark):
         for r in nonbacktracking_centrality(edges_df(spark, tri), max_iter=7).collect()
     }
     assert got2 == {0: 1, 1: 1, 2: 1}
+
+
+def _model_sybilrank(edges, seeds, iters):
+    """Dense early-terminated trust propagation over the undirected
+    simple graph; returns (trust, degree) per node."""
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    nodes = sorted({x for e in und for x in e})
+    nbrs = {v: [d for s, d in und if s == v] for v in nodes}
+    t = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    for _ in range(iters):
+        nt = {v: 0.0 for v in nodes}
+        for u in nodes:
+            share = t[u] / len(nbrs[u])
+            for v in nbrs[u]:
+                nt[v] += share
+        t = nt
+    return t, {v: len(nbrs[v]) for v in nodes}
+
+
+def test_sybilrank_matches_dense_model(spark):
+    from .conftest import edges_df
+    from llama_spark.operators.trust import sybilrank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 0)]
+    got = {
+        r["id"]: (r["trust_scaled"], r["rank"])
+        for r in sybilrank(edges_df(spark, edges), seeds=[0, 2], max_iter=5).collect()
+    }
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):  # Spark/DuckDB ROUND is half-up; python round is half-even
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    t, deg = _model_sybilrank(edges, {0, 2}, 5)
+    n = len(t)
+    for v in t:
+        ts = r6(t[v] * n)
+        assert abs(got[v][0] - ts) < 1e-9, (v, got[v], ts)
+        assert abs(got[v][1] - r6(ts / deg[v])) < 1e-9
+
+
+def test_sybilrank_separates_sybil_region(spark):
+    """Two 4-cliques joined by ONE attack edge, seeds in the honest one:
+    at the O(log n) early stop every honest node outranks every sybil."""
+    from .conftest import edges_df
+    from llama_spark.operators.trust import sybilrank
+
+    honest = [(a, b) for a in range(4) for b in range(4) if a < b]
+    sybil = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    attack = [(3, 10)]
+    got = {
+        r["id"]: r["rank"]
+        for r in sybilrank(
+            edges_df(spark, honest + sybil + attack), seeds=[0, 1], max_iter=3
+        ).collect()
+    }
+    assert min(got[v] for v in range(4)) > max(got[v] for v in range(10, 14))

@@ -6754,3 +6754,52 @@ FROM scaled s JOIN deg d ON d.id = s.id"""
 
 ORACLE["sybilrank"] = _sybilrank_sql()
 QUERIES["sybilrank"] = q_sybilrank
+
+
+def q_hitting_time_weighted(spark, sf_dir):
+    """Weighted truncated hitting time: the walk steps with probability
+    w/sum(w) (synthetic SQL-portable weights), same exact g_k recursion."""
+    from .graph import with_synthetic_weights
+    from .operators.diffusion import truncated_hitting_time
+
+    out = truncated_hitting_time(
+        with_synthetic_weights(load_edges(spark, sf_dir)),
+        seeds=HT_SEEDS,
+        horizon=HT_HORIZON,
+        weight_col="weight",
+    )
+    return out.select("id", F.round(F.col("hitting"), 6).alias("hitting"))
+
+
+def _hitting_weighted_sql() -> str:
+    seeds = ", ".join(str(s) for s in sorted(set(HT_SEEDS)))
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "ew AS MATERIALIZED (SELECT src, dst, "
+        "1e0 + ((src*31 + dst) % 100)/100e0 AS w FROM edges)",
+        "ow AS MATERIALIZED (SELECT src AS id, SUM(w) AS ow "
+        "FROM ew GROUP BY src)",
+        "g0 AS MATERIALIZED (SELECT id, 0e0 AS h FROM nodes)",
+    ]
+    for k in range(1, HT_HORIZON + 1):
+        ctes.append(
+            f"""g{k} AS MATERIALIZED (
+  SELECT n.id,
+         CASE WHEN n.id IN ({seeds}) THEN 0e0
+              ELSE 1e0 + COALESCE(c.s, p.h) END AS h
+  FROM nodes n JOIN g{k-1} p ON p.id = n.id
+  LEFT JOIN (
+    SELECT e.src AS id, SUM(g.h * (e.w / o.ow)) AS s
+    FROM g{k-1} g JOIN ew e ON e.dst = g.id JOIN ow o ON o.id = e.src
+    GROUP BY e.src
+  ) c ON c.id = n.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(h, 6) AS hitting FROM g{HT_HORIZON}"
+    )
+
+
+ORACLE["hitting_time_weighted"] = _hitting_weighted_sql()
+QUERIES["hitting_time_weighted"] = q_hitting_time_weighted

@@ -90,6 +90,7 @@ def truncated_hitting_time(
     edges: DataFrame,
     seeds: list[int],
     horizon: int = 8,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Truncated hitting time (Sarkar & Moore, UAI 2007) — DataFrame[id,
     hitting]: the expected number of random-walk steps from each node to
@@ -131,11 +132,19 @@ def truncated_hitting_time(
         nodes.unpersist()
         return nodes.select("id", F.lit(0.0).alias("hitting"))
 
-    out_deg = edges.groupBy(SRC).agg(F.count("*").alias("od"))
+    # walk matrix: uniform 1/outdeg, or weight-proportional w/Σ_out w when
+    # weight_col is given (the weighted-walk variant — same recursion, the
+    # step distribution follows edge weights, ll_load_utils.h:1076-1090)
+    wexpr = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(SRC, DST, wexpr.alias("_w"))
+    out_w = e.groupBy(SRC).agg(F.sum("_w").alias("ow"))
     ew = (
-        edges.select(SRC, DST)
-        .join(out_deg, SRC)
-        .select(SRC, DST, (F.lit(1.0) / F.col("od")).alias("inv"))
+        e.join(out_w, SRC)
+        .select(SRC, DST, (F.col("_w") / F.col("ow")).alias("inv"))
         .repartition(p, DST)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -504,3 +504,47 @@ def test_sybilrank_separates_sybil_region(spark):
         ).collect()
     }
     assert min(got[v] for v in range(4)) > max(got[v] for v in range(10, 14))
+
+
+def test_hitting_time_weighted_matches_dense_model(spark):
+    """Weight-proportional step distribution: the heavier edge toward the
+    seed shortens the expected hit."""
+    from pyspark.sql import functions as F
+
+    from .conftest import edges_df
+    from llama_spark.operators.diffusion import truncated_hitting_time
+
+    raw = [(0, 1), (0, 2), (1, 2), (2, 1)]
+    wts = {(0, 1): 3.0, (0, 2): 1.0, (1, 2): 2.0, (2, 1): 1.0}
+    df = edges_df(spark, raw).withColumn(
+        "weight",
+        F.when((F.col("src") == 0) & (F.col("dst") == 1), 3.0)
+        .when((F.col("src") == 1) & (F.col("dst") == 2), 2.0)
+        .otherwise(1.0),
+    )
+    got = {
+        r["id"]: r["hitting"]
+        for r in truncated_hitting_time(
+            df, seeds=[2], horizon=5, weight_col="weight"
+        ).collect()
+    }
+
+    nodes = sorted({x for e in raw for x in e})
+    out = {v: [(d, wts[(s, d)]) for s, d in raw if s == v] for v in nodes}
+    g = {v: 0.0 for v in nodes}
+    for _ in range(5):
+        ng = {}
+        for v in nodes:
+            if v == 2:
+                ng[v] = 0.0
+            elif out[v]:
+                tw = sum(w for _, w in out[v])
+                ng[v] = 1.0 + sum(g[d] * w / tw for d, w in out[v])
+            else:
+                ng[v] = 1.0 + g[v]
+        g = ng
+    for v in g:
+        assert abs(got[v] - g[v]) < 1e-9, (v, got[v], g[v])
+    # node 0 routes 3/4 of its mass straight at the seed's neighbor graph:
+    # heavier path -> strictly shorter expected hit than uniform would give
+    assert got[0] < 2.0

@@ -545,6 +545,13 @@ class GraphSession:
 
         return sybilrank(self._e(), seeds=seeds, max_iter=max_iter)
 
+    def collective_influence(self, radius: int = 2) -> DataFrame:
+        """Morone-Makse CI over the exact distance-`radius` shell
+        (centrality.collective_influence)."""
+        from .operators.centrality import collective_influence
+
+        return collective_influence(self._e(), radius=radius)
+
     def degree_gini(self) -> DataFrame:
         """Gini coefficient of the degree distribution (graph.degree_gini)."""
         from .graph import degree_gini

@@ -6803,3 +6803,33 @@ def _hitting_weighted_sql() -> str:
 
 ORACLE["hitting_time_weighted"] = _hitting_weighted_sql()
 QUERIES["hitting_time_weighted"] = q_hitting_time_weighted
+
+
+def q_collective_influence(spark, sf_dir):
+    """Collective Influence CI_2 (Morone-Makse optimal percolation):
+    (deg-1) x sum of (deg-1) over the exact distance-2 shell, exact BIGINT."""
+    from .operators.centrality import collective_influence
+
+    return collective_influence(load_edges(spark, sf_dir), radius=2)
+
+
+ORACLE["collective_influence"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED ({UND_SQL}),
+deg AS MATERIALIZED (
+  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY src),
+hop2 AS MATERIALIZED (
+  SELECT DISTINCT a.src AS v, b.dst AS w
+  FROM und a JOIN und b ON b.src = a.dst
+  WHERE a.src <> b.dst),
+shell AS MATERIALIZED (
+  SELECT h.v, h.w FROM hop2 h
+  LEFT JOIN und u ON u.src = h.v AND u.dst = h.w
+  WHERE u.src IS NULL)
+SELECT d.id, CAST((d.deg - 1) * COALESCE(s.acc, 0) AS BIGINT) AS ci
+FROM deg d LEFT JOIN (
+  SELECT sh.v AS id, SUM(dw.deg - 1) AS acc
+  FROM shell sh JOIN deg dw ON dw.id = sh.w
+  GROUP BY sh.v
+) s ON s.id = d.id"""
+
+QUERIES["collective_influence"] = q_collective_influence

@@ -224,3 +224,68 @@ def nonbacktracking_centrality(
     )
     e.unpersist()
     return out
+
+
+def collective_influence(
+    edges: DataFrame,
+    radius: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Collective Influence (Morone & Makse, Nature 2015) —
+    DataFrame[id, ci]: CI_ℓ(v) = (deg v − 1) · Σ_{u ∈ ∂Ball(v,ℓ)} (deg u − 1)
+    over the undirected simple graph, the optimal-percolation influence
+    score: high-CI nodes are the ones whose removal fragments the giant
+    component fastest (weak hubs bridging hub clusters outrank raw
+    degree). ``radius`` ∈ {1, 2}; the frontier ∂Ball is the set of nodes
+    at EXACTLY distance ℓ (distance-2 = neighbors-of-neighbors minus
+    direct neighbors minus self, each counted once).
+
+    EXACT BIGINT (degrees are counts), so the gate is hash-exact. The
+    ℓ=2 expansion is one und⨝und self-join — the same Σ deg² cost class
+    as triangle counting, with the same 100-TB answer (degree-ordered /
+    hub-capped variants) if a graph's hubs make it the bottleneck.
+    Reference parity: degree-property scans (ll_mlcsr_sp.h degree
+    tables) composed with the common-neighbor join the triangle
+    benchmarks use (benchmark/benchmarks/tc_*)."""
+    from ..graph import symmetrize
+
+    if radius not in (1, 2):
+        raise ValueError(f"radius must be 1 or 2, got {radius}")
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = (
+        symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    und.count()
+    deg = und.groupBy(F.col(SRC).alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    if radius == 1:
+        shell = und.select(F.col(SRC).alias("v"), F.col(DST).alias("w"))
+    else:
+        hop2 = (
+            und.select(F.col(SRC).alias("v"), F.col(DST).alias("_m"))
+            .join(
+                und.select(F.col(SRC).alias("_m"), F.col(DST).alias("w")), "_m"
+            )
+            .select("v", "w")
+            .filter(F.col("v") != F.col("w"))
+            .distinct()
+        )
+        shell = hop2.join(
+            und.select(F.col(SRC).alias("v"), F.col(DST).alias("w")),
+            ["v", "w"],
+            "left_anti",
+        )
+    ball = shell.join(deg.select(F.col("id").alias("w"), F.col("deg").alias("_dw")), "w")
+    acc = ball.groupBy(F.col("v").alias("id")).agg(
+        F.sum(F.col("_dw") - F.lit(1)).alias("_s")
+    )
+    out = materialize(
+        deg.join(acc, "id", "left").select(
+            "id",
+            ((F.col("deg") - F.lit(1)) * F.coalesce("_s", F.lit(0))).alias("ci"),
+        )
+    )
+    und.unpersist()
+    return out

@@ -548,3 +548,47 @@ def test_hitting_time_weighted_matches_dense_model(spark):
     # node 0 routes 3/4 of its mass straight at the seed's neighbor graph:
     # heavier path -> strictly shorter expected hit than uniform would give
     assert got[0] < 2.0
+
+
+def test_collective_influence_hand_graph(spark):
+    """Barbell: two triangles joined by a bridge. The bridge endpoints see
+    the OTHER side through the distance-2 shell and outrank the triangle
+    tips — the Morone-Makse 'weak bridging hub beats raw degree' effect.
+    Values hand-computed."""
+    from .conftest import edges_df
+    from llama_spark.operators.centrality import collective_influence
+
+    # triangles {0,1,2} and {3,4,5}, bridge 2-3
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    got = {
+        r["id"]: r["ci"]
+        for r in collective_influence(edges_df(spark, edges), radius=2).collect()
+    }
+    # degrees: 0,1:2  2,3:3  4,5:2
+    # node 0: shell(2)={3}, ci=(2-1)*(3-1)=2 ; symmetric for 1,4,5
+    # node 2: shell(2)={4,5}, ci=(3-1)*((2-1)+(2-1))=4 ; symmetric for 3
+    assert got == {0: 2, 1: 2, 2: 4, 3: 4, 4: 2, 5: 2}
+
+
+def test_collective_influence_radius_one(spark):
+    from .conftest import edges_df
+    from llama_spark.operators.centrality import collective_influence
+
+    # star 0-{1,2,3}: CI_1(0) = (3-1)*sum over leaves (1-1) = 0;
+    # CI_1(leaf) = (1-1)*... = 0 — stars are percolation-trivial
+    got = {
+        r["id"]: r["ci"]
+        for r in collective_influence(
+            edges_df(spark, [(0, 1), (0, 2), (0, 3)]), radius=1
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+    # path 0-1-2-3: CI_1(1) = (2-1)*((1-1)+(2-1)) = 1; endpoints have
+    # deg-1 = 0 so their CI is 0 regardless of the shell
+    got2 = {
+        r["id"]: r["ci"]
+        for r in collective_influence(
+            edges_df(spark, [(0, 1), (1, 2), (2, 3)]), radius=1
+        ).collect()
+    }
+    assert got2 == {0: 0, 1: 1, 2: 1, 3: 0}

@@ -552,6 +552,15 @@ class GraphSession:
 
         return collective_influence(self._e(), radius=radius)
 
+    def who_to_follow(
+        self, user: int, k_trust: int = 64, top_n: int = 20
+    ) -> DataFrame:
+        """PPR circle-of-trust -> personalized-SALSA recommendations
+        (trust.who_to_follow)."""
+        from .operators.trust import who_to_follow
+
+        return who_to_follow(self._e(), user=user, k_trust=k_trust, top_n=top_n)
+
     def degree_gini(self) -> DataFrame:
         """Gini coefficient of the degree distribution (graph.degree_gini)."""
         from .graph import degree_gini

@@ -6833,3 +6833,100 @@ FROM deg d LEFT JOIN (
 ) s ON s.id = d.id"""
 
 QUERIES["collective_influence"] = q_collective_influence
+
+
+# ------------------------------------------- Who-To-Follow (WWW 2013)
+
+WTF_USER = 42
+WTF_K = 64
+WTF_ITERS = 8
+WTF_TOPN = 20
+
+
+def q_who_to_follow(spark, sf_dir):
+    """Who-To-Follow (Gupta et al., WWW 2013): personalized-PageRank
+    circle of trust -> personalized SALSA over its bipartite neighborhood
+    -> top-N new-account recommendations. Pure kernel composition."""
+    from .operators.trust import who_to_follow
+
+    return who_to_follow(
+        load_edges(spark, sf_dir),
+        user=WTF_USER,
+        k_trust=WTF_K,
+        ppr_iters=WTF_ITERS,
+        salsa_iters=WTF_ITERS,
+        top_n=WTF_TOPN,
+    )
+
+
+def _wtf_sql() -> str:
+    ev = f"(CASE WHEN nodes.id = {WTF_USER} THEN 1e0 ELSE 0e0 END)"
+    base_factor = repr(1.0 - DAMPING)
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS od "
+        "FROM edges GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT nodes.id, {ev} AS rank FROM nodes)",
+    ]
+    for i in range(1, WTF_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT nodes.id,
+         CAST({base_factor} AS DOUBLE) * {ev}
+         + CAST({DAMPING!r} AS DOUBLE) * COALESCE(c.contrib, 0e0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / d.od) AS contrib
+    FROM r{i-1} r JOIN edges e ON e.src = r.id JOIN deg d ON d.id = r.id
+    GROUP BY e.dst
+  ) c ON nodes.id = c.id)"""
+        )
+    ctes += [
+        f"""cot AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT id, ROW_NUMBER() OVER (
+      ORDER BY ROUND(rank * (SELECT n FROM nn), 6) DESC, id ASC) AS rn
+    FROM r{WTF_ITERS}
+  ) WHERE rn <= {WTF_K})""",
+        """bip AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edges e JOIN cot c ON c.id = e.src)""",
+        """bnodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM bip UNION ALL SELECT dst AS id FROM bip))""",
+        "bn AS (SELECT COUNT(*) AS n FROM bnodes)",
+        "bod AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM bip GROUP BY src)",
+        "bidg AS MATERIALIZED (SELECT dst, COUNT(*) AS idg FROM bip GROUP BY dst)",
+        "bns AS (SELECT COUNT(*) AS k FROM bod)",
+        "h0 AS MATERIALIZED (SELECT src AS id, 1e0/(SELECT k FROM bns) AS hub "
+        "FROM bod)",
+    ]
+    for i in range(1, WTF_ITERS + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(h.hub / d.od) AS ar
+  FROM h{i-1} h JOIN bip e ON e.src = h.id JOIN bod d ON d.src = e.src
+  GROUP BY e.dst),
+h{i} AS MATERIALIZED (
+  SELECT e.src AS id, SUM(a.ar / g.idg) AS hub
+  FROM a{i} a JOIN bip e ON e.dst = a.id JOIN bidg g ON g.dst = e.dst
+  GROUP BY e.src)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id, auth_scaled, rec_rank FROM (
+  SELECT id, auth_scaled,
+         ROW_NUMBER() OVER (ORDER BY auth_scaled DESC, id ASC) AS rec_rank
+  FROM (
+    SELECT a.id, ROUND(a.ar * (SELECT n FROM bn), 6) AS auth_scaled
+    FROM a{WTF_ITERS} a
+    WHERE a.ar > 0e0 AND a.id <> {WTF_USER}
+      AND a.id NOT IN (SELECT dst FROM edges WHERE src = {WTF_USER})
+  )
+) WHERE rec_rank <= {WTF_TOPN}"""
+    )
+
+
+ORACLE["who_to_follow"] = _wtf_sql()
+QUERIES["who_to_follow"] = q_who_to_follow

@@ -180,3 +180,69 @@ def sybilrank(
     ew.unpersist()
     nodes.unpersist()
     return out
+
+
+def who_to_follow(
+    edges: DataFrame,
+    user: int,
+    k_trust: int = 64,
+    ppr_iters: int = 8,
+    salsa_iters: int = 8,
+    top_n: int = 20,
+) -> DataFrame:
+    """Who-To-Follow (Gupta et al., WWW 2013 — production link
+    recommendation) — DataFrame[id, auth_scaled, rec_rank]: the two-stage
+    composition the paper runs per user:
+
+    1. **Circle of trust** — top ``k_trust`` nodes by personalized
+       PageRank from ``user`` (the user's egocentric random-walk
+       neighborhood). The cut orders by the ROUNDED ×N rank with an id
+       tiebreak, so the boundary is engine-exact.
+    2. **Personalized SALSA** — SALSA restricted to the bipartite
+       subgraph {(h, a) : h ∈ CoT}: CoT members are the hubs, anyone
+       they link to is a candidate authority; the alternating
+       equal-split walk ranks candidates by how much CoT attention
+       flows to them (TKC-free, unlike HITS).
+
+    Output: the ``top_n`` candidate authorities EXCLUDING ``user`` and
+    the accounts ``user`` already links to (the recommend-NEW filter),
+    ranked by rounded ×N₂ authority (N₂ = subgraph node count), id
+    tiebreak. Both stages are the audited kernels
+    (pagerank.personalized_pagerank_result, hits.salsa_result) — this
+    operator is pure composition, no new iteration shape."""
+    from pyspark.sql import Window
+
+    from ..graph import SRC
+    from .hits import salsa_result
+    from .pagerank import personalized_pagerank_result
+
+    ppr = personalized_pagerank_result(edges, sources=[user], max_iter=ppr_iters)
+    n = float(ppr.n_nodes or ppr.state.count())
+    scaled = ppr.state.select(
+        "id", F.round(F.col("rank") * F.lit(n), 6).alias("_t")
+    )
+    w_cot = Window.orderBy(F.desc("_t"), F.asc("id"))
+    cot = (
+        scaled.withColumn("_rn", F.row_number().over(w_cot))
+        .filter(F.col("_rn") <= k_trust)
+        .select("id")
+    )
+    bip = edges.join(
+        cot.withColumnRenamed("id", SRC), SRC, "left_semi"
+    ).localCheckpoint(eager=True)
+    sres = salsa_result(bip, max_iter=salsa_iters)
+    n2 = float(sres.n_nodes or sres.state.count())
+    followed = edges.filter(F.col(SRC) == user).select(
+        F.col("dst").alias("id")
+    )
+    cand = (
+        sres.state.filter(F.col("auth") > 0.0)
+        .filter(F.col("id") != user)
+        .join(followed, "id", "left_anti")
+        .select("id", F.round(F.col("auth") * F.lit(n2), 6).alias("auth_scaled"))
+    )
+    w_rec = Window.orderBy(F.desc("auth_scaled"), F.asc("id"))
+    return (
+        cand.withColumn("rec_rank", F.row_number().over(w_rec))
+        .filter(F.col("rec_rank") <= top_n)
+    )

@@ -592,3 +592,32 @@ def test_collective_influence_radius_one(spark):
         ).collect()
     }
     assert got2 == {0: 0, 1: 1, 2: 1, 3: 0}
+
+
+def test_who_to_follow_recommends_friends_consensus(spark):
+    """u follows a and b; both follow c; d is an unrelated account with
+    followers outside u's circle. The #1 recommendation must be c (the
+    circle-of-trust consensus), u and already-followed accounts excluded."""
+    from .conftest import edges_df
+    from llama_spark.operators.trust import who_to_follow
+
+    u, a, b, c, d, e_ = 0, 1, 2, 3, 4, 5
+    edges = [
+        (u, a), (u, b),
+        (a, c), (b, c),          # consensus target
+        (a, d),                  # single vote
+        (e_, d), (e_, 5),        # outside the circle (self-loop dropped)
+        (c, a),
+    ]
+    got = who_to_follow(
+        edges_df(spark, edges), user=u, k_trust=4, ppr_iters=6,
+        salsa_iters=6, top_n=5,
+    ).collect()
+    ids = [r["id"] for r in sorted(got, key=lambda r: r["rec_rank"])]
+    assert u not in ids and a not in ids and b not in ids  # new accounts only
+    assert ids[0] == c, ids
+    # ranks are 1..k contiguous and scores non-increasing
+    ranks = [r["rec_rank"] for r in sorted(got, key=lambda r: r["rec_rank"])]
+    assert ranks == list(range(1, len(ranks) + 1))
+    scores = [r["auth_scaled"] for r in sorted(got, key=lambda r: r["rec_rank"])]
+    assert all(x >= y for x, y in zip(scores, scores[1:]))

@@ -6930,3 +6930,168 @@ SELECT id, auth_scaled, rec_rank FROM (
 
 ORACLE["who_to_follow"] = _wtf_sql()
 QUERIES["who_to_follow"] = q_who_to_follow
+
+
+# ------------------------------------------- bridges / 2-edge-connectivity
+
+BR_DOUBLINGS = 6  # ancestor closure covers BFS depth ≤ 2^6
+BR_UNROLL = 24  # CC/BFS rounds on the sparsified graph (depth ≤ 13 measured)
+# The full modulo graph is far too dense to have bridges (avg degree ~25 at
+# sf0.01 → 0 cut edges, a trivially-matching gate). The bridge gates run on
+# a deterministic 1-in-11 sparsified subgraph instead: ~1.3 edges/node →
+# ~900 bridges at sf0.01, and 2-edge-CC genuinely differs from plain CC.
+BR_SPARSE_MOD = 11
+BR_EDGE_FILTER_SQL = f" AND (l_orderkey % {MODULUS} * 131 + l_partkey % {MODULUS}) % {BR_SPARSE_MOD} < 1"
+
+
+def load_sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_edges(spark, sf_dir)
+    return e.filter((F.col("src") * 131 + F.col("dst")) % BR_SPARSE_MOD < 1)
+
+
+def q_bridges(spark, sf_dir):
+    """Exact cut edges via the spanning-forest + cycle-coverage
+    characterisation (bridges.py module docstring) — the distributed
+    replacement for the sequential DFS-lowpoint pass."""
+    from .operators.bridges import bridges
+
+    return bridges(load_sparse_edges(spark, sf_dir))
+
+
+def q_two_edge_components(spark, sf_dir):
+    """2-edge-connected components: CC of the graph minus its bridges."""
+    from .operators.bridges import two_edge_components
+
+    return two_edge_components(load_sparse_edges(spark, sf_dir))
+
+
+def _bridge_ctes() -> list[str]:
+    """Shared CTE chain: deterministic BFS forest + ancestor closure +
+    exact non-tree coverage counting (mirrors operators/bridges.py 1:1 —
+    both engines pick parent = MIN neighbour one level up, so the forest
+    and therefore the bridge set are identical)."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL + BR_EDGE_FILTER_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "c0 AS MATERIALIZED (SELECT id, id AS component FROM nodes)",
+    ]
+    for i in range(1, BR_UNROLL + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN m.nmin IS NOT NULL AND m.nmin < c.component
+              THEN m.nmin ELSE c.component END AS component
+  FROM c{i-1} c LEFT JOIN (
+    SELECT u.dst AS id, MIN(p.component) AS nmin
+    FROM c{i-1} p JOIN und u ON u.src = p.id
+    GROUP BY u.dst
+  ) m ON c.id = m.id
+)"""
+        )
+    ctes.append(
+        f"d0 AS MATERIALIZED (SELECT id, CASE WHEN id = component THEN 0 END AS d "
+        f"FROM c{BR_UNROLL})"
+    )
+    for i in range(1, BR_UNROLL + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT p.id,
+         CASE WHEN p.d IS NOT NULL THEN p.d
+              ELSE m.nd END AS d
+  FROM d{i-1} p LEFT JOIN (
+    SELECT u.dst AS id, MIN(q.d + 1) AS nd
+    FROM d{i-1} q JOIN und u ON u.src = q.id
+    WHERE q.d IS NOT NULL
+    GROUP BY u.dst
+  ) m ON p.id = m.id
+)"""
+        )
+    ctes += [
+        f"""par AS MATERIALIZED (
+  SELECT u.dst AS id, MIN(u.src) AS parent
+  FROM und u JOIN d{BR_UNROLL} a ON a.id = u.src
+  JOIN d{BR_UNROLL} b ON b.id = u.dst
+  WHERE a.d = b.d - 1
+  GROUP BY u.dst)""",
+        """tree AS MATERIALIZED (
+  SELECT LEAST(parent, id) AS u, GREATEST(parent, id) AS v, id AS child
+  FROM par)""",
+        """cund AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM und WHERE src < dst)""",
+        """nt AS MATERIALIZED (
+  SELECT c.u, c.v FROM cund c
+  LEFT JOIN tree t ON t.u = c.u AND t.v = c.v
+  WHERE t.u IS NULL)""",
+        """a0 AS MATERIALIZED (
+  SELECT id, id AS anc FROM nodes
+  UNION
+  SELECT id, parent AS anc FROM par)""",
+    ]
+    for i in range(1, BR_DOUBLINGS + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT id, anc FROM a{i-1}
+  UNION
+  SELECT x.id, y.anc FROM a{i-1} x JOIN a{i-1} y ON y.id = x.anc)"""
+        )
+    ctes += [
+        f"""ep AS MATERIALIZED (
+  SELECT u AS w, u, v FROM nt UNION ALL SELECT v AS w, u, v FROM nt)""",
+        f"""pea AS MATERIALIZED (
+  SELECT a.anc, e.u, e.v, COUNT(*) AS cnt
+  FROM ep e JOIN a{BR_DOUBLINGS} a ON a.id = e.w
+  GROUP BY a.anc, e.u, e.v)""",
+        """cov AS MATERIALIZED (
+  SELECT anc AS child,
+         SUM(cnt) - 2 * SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS covered
+  FROM pea GROUP BY anc)""",
+        """brs AS MATERIALIZED (
+  SELECT t.u, t.v FROM tree t
+  LEFT JOIN cov c ON c.child = t.child
+  WHERE COALESCE(c.covered, 0) = 0)""",
+    ]
+    return ctes
+
+
+def _bridges_sql() -> str:
+    return "WITH " + ",\n".join(_bridge_ctes()) + "\nSELECT u, v FROM brs"
+
+
+def _two_edge_components_sql() -> str:
+    ctes = _bridge_ctes()
+    ctes.append(
+        """kund AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM (
+    SELECT c.u, c.v FROM cund c
+    LEFT JOIN brs b ON b.u = c.u AND b.v = c.v
+    WHERE b.u IS NULL)
+  UNION ALL
+  SELECT v AS src, u AS dst FROM (
+    SELECT c.u, c.v FROM cund c
+    LEFT JOIN brs b ON b.u = c.u AND b.v = c.v
+    WHERE b.u IS NULL))"""
+    )
+    ctes.append("k0 AS MATERIALIZED (SELECT id, id AS component FROM nodes)")
+    for i in range(1, BR_UNROLL + 1):
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN m.nmin IS NOT NULL AND m.nmin < c.component
+              THEN m.nmin ELSE c.component END AS component
+  FROM k{i-1} c LEFT JOIN (
+    SELECT u.dst AS id, MIN(p.component) AS nmin
+    FROM k{i-1} p JOIN kund u ON u.src = p.id
+    GROUP BY u.dst
+  ) m ON c.id = m.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, component FROM k{BR_UNROLL}"
+    )
+
+
+ORACLE["bridges"] = _bridges_sql()
+QUERIES["bridges"] = q_bridges
+ORACLE["two_edge_components"] = _two_edge_components_sql()
+QUERIES["two_edge_components"] = q_two_edge_components

@@ -1,0 +1,217 @@
+"""Bridges and 2-edge-connected components — exact, distributed.
+
+Reference semantics: the classic single-node bridge finder is a DFS
+lowpoint pass (the same inherently-sequential family as LLAMA's
+``tarjan_scc``, benchmark/benchmarks/tarjan_scc.h:61-156, and the retired
+``ll_dfs_template.h``). The distributed formulation used here is the
+spanning-forest + cycle-coverage characterisation (the observation behind
+Pritchard's cycle-space sampling, PODC 2006, and the AGM graph-sketch
+line): fix ANY spanning forest of the undirected graph; every non-tree
+edge lies on a cycle, so every bridge is a tree edge, and a tree edge
+(parent(c) — c) is a bridge iff NO non-tree edge has exactly one endpoint
+inside subtree(c). We count those endpoints exactly — no sampling, no
+false positives.
+
+Spark plan (exact integer arithmetic end-to-end):
+
+1. hash-min CC → per-component root = min node id (components.py kernel).
+2. BFS from all roots at once → depth(v) (one frontier wave; components
+   are disjoint so no root key is needed).
+3. parent(v) = MIN neighbour at depth(v)-1 → a deterministic BFS forest
+   (both engines pick the same forest, so the oracle matches exactly).
+4. Ancestor closure by pointer doubling over the parent relation —
+   O(log depth) self-joins; |A| = Σ_v depth(v) rows. On a web graph the
+   BFS depth from the giant component's min id is O(log V)-ish tens, so
+   A is O(V · depth): the same state bound HyperBall-style neighbourhood
+   functions pay, and each doubling round is one shuffle.
+5. Explode non-tree edges to endpoints, join the ancestor table once:
+   hits(c)  = #non-tree endpoints inside subtree(c),
+   both(c)  = #non-tree edges with BOTH endpoints inside subtree(c);
+   covered(c) = hits(c) − 2·both(c);  bridge ⇔ covered(c) = 0.
+
+At 100-TB scale every step is a hash shuffle on node id (no windows, no
+per-vertex sorts, no driver loops); the only super-linear state is the
+ancestor table, bounded by V·diameter — the standard price of exact cut
+structure without a sequential DFS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..graph import DST, SRC, nodes_of, symmetrize
+from .components import connected_components
+
+
+def bfs_forest(edges: DataFrame, max_iter: int = 100) -> DataFrame:
+    """Deterministic BFS spanning forest → DataFrame[id, root, depth, parent].
+
+    root = min node id of the component (hash-min CC label); depth = BFS
+    level from that root; parent = MIN neighbour one level up (NULL at
+    roots). Both choices are order-free aggregates, so the forest is
+    partition-count invariant and replayable in ANSI SQL.
+    """
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+
+    comp = connected_components(edges)
+    roots = comp.filter(F.col("id") == F.col("component")).select("id")
+
+    def _hint(df: DataFrame, rows: int) -> DataFrame:
+        # frontier side broadcast while tiny, else shuffled-hash so the
+        # cached symmetrized edge table streams (traversal.py policy)
+        return F.broadcast(df) if rows <= 100_000 else df.hint("shuffle_hash")
+
+    level0 = roots.withColumn("depth", F.lit(0).cast("long")).localCheckpoint(
+        eager=True
+    )
+    levels: list[DataFrame] = [level0]
+    counts: list[int] = [level0.count()]
+    frontier = level0
+    for depth in range(max_iter):
+        visited = levels[0]
+        for lv in levels[1:]:
+            visited = visited.unionByName(lv)
+        fr = frontier.select("id")
+        cand = (
+            _hint(fr, counts[-1])
+            .join(und, fr["id"] == und[SRC])
+            .select(F.col(DST).alias("id"))
+            .distinct()
+        )
+        nxt = (
+            cand.join(_hint(visited.select("id"), sum(counts)), ["id"], "left_anti")
+            .withColumn("depth", F.lit(depth + 1).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == 0:
+            break
+        levels.append(nxt)
+        counts.append(n_nxt)
+        frontier = nxt
+
+    depths = levels[0]
+    for lv in levels[1:]:
+        depths = depths.unionByName(lv)
+
+    dep_u = depths.select(F.col("id").alias(SRC), F.col("depth").alias("d_src"))
+    dep_v = depths.select(F.col("id").alias(DST), F.col("depth").alias("d_dst"))
+    parents = (
+        und.join(dep_u, SRC)
+        .join(dep_v, DST)
+        .filter(F.col("d_src") == F.col("d_dst") - 1)
+        .groupBy(F.col(DST).alias("id"))
+        .agg(F.min(SRC).alias("parent"))
+    )
+    out = (
+        depths.join(comp.withColumnRenamed("component", "root"), "id")
+        .join(parents, "id", "left")
+        .select("id", "root", "depth", "parent")
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    return out
+
+
+def _ancestors(forest: DataFrame, max_doublings: int = 12) -> DataFrame:
+    """Inclusive ancestor closure DataFrame[id, anc] by pointer doubling:
+    (v, v) ∪ (v, parent(v)), then A ← A ∪ (A ∘ A) until fixpoint —
+    O(log depth) rounds, each one distinct-shuffle."""
+    anc = (
+        forest.select(F.col("id"), F.col("id").alias("anc"))
+        .unionByName(
+            forest.filter(F.col("parent").isNotNull()).select(
+                "id", F.col("parent").alias("anc")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = anc.count()
+    for _ in range(max_doublings):
+        hop = anc.select(F.col("id").alias("anc"), F.col("anc").alias("anc2"))
+        grown = (
+            anc.unionByName(
+                anc.join(hop, "anc").select("id", F.col("anc2").alias("anc"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_new = grown.count()
+        anc = grown
+        if n_new == n:
+            break
+        n = n_new
+    return anc
+
+
+def bridges(edges: DataFrame) -> DataFrame:
+    """Exact cut edges → DataFrame[u, v] with u < v (canonical undirected).
+
+    An edge is a bridge iff its removal disconnects its component. Exact
+    coverage counting over a deterministic BFS forest (module docstring);
+    no randomisation, so the result is bit-stable across partitionings.
+    """
+    forest = bfs_forest(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    forest.count()
+
+    und = symmetrize(edges)
+    cund = (
+        und.filter(F.col(SRC) < F.col(DST))
+        .select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
+        .distinct()
+    )
+    tree = forest.filter(F.col("parent").isNotNull()).select(
+        F.least("parent", "id").alias("u"),
+        F.greatest("parent", "id").alias("v"),
+        F.col("id").alias("child"),
+    )
+    nt = cund.join(tree.select("u", "v"), ["u", "v"], "left_anti")
+
+    anc = _ancestors(forest)
+    ep = nt.select(F.col("u").alias("w"), "u", "v").unionByName(
+        nt.select(F.col("v").alias("w"), "u", "v")
+    )
+    per_edge_anc = (
+        ep.join(anc, ep["w"] == anc["id"])
+        .groupBy("anc", "u", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    covered = per_edge_anc.groupBy(F.col("anc").alias("child")).agg(
+        (F.sum("cnt") - 2 * F.sum((F.col("cnt") == 2).cast("long"))).alias("covered")
+    )
+    out = (
+        tree.join(covered, "child", "left")
+        .filter(F.coalesce(F.col("covered"), F.lit(0)) == 0)
+        .select("u", "v")
+    )
+    out = out.localCheckpoint(eager=True)
+    forest.unpersist()
+    return out
+
+
+def two_edge_components(edges: DataFrame) -> DataFrame:
+    """2-edge-connected components → DataFrame[id, component] (component =
+    min node id of the class): connected components of the graph with its
+    bridges deleted; isolated-by-deletion vertices keep their own id."""
+    br = bridges(edges)
+    und = symmetrize(edges)
+    cund = (
+        und.filter(F.col(SRC) < F.col(DST))
+        .select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
+        .distinct()
+    )
+    kept = cund.join(br, ["u", "v"], "left_anti").select(
+        F.col("u").alias(SRC), F.col("v").alias(DST)
+    )
+    comp = connected_components(kept)
+    return (
+        nodes_of(edges)
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )

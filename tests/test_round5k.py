@@ -1,0 +1,76 @@
+"""Continuation-4 operators: bridges / 2-edge-connected components."""
+
+from __future__ import annotations
+
+from tests.conftest import edges_df
+
+
+def _ncomp(es, nodes):
+    par = {n: n for n in nodes}
+
+    def find(x):
+        while par[x] != x:
+            par[x] = par[par[x]]
+            x = par[x]
+        return x
+
+    for a, b in es:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            par[ra] = rb
+    return len({find(n) for n in nodes})
+
+
+def _brute_bridges(es, nodes):
+    base = _ncomp(es, nodes)
+    return sorted(e for e in es if _ncomp([x for x in es if x != e], nodes) > base)
+
+
+# barbell: two triangles joined by a 2-path through node 6 — bridges are
+# exactly the path edges (2,6) and (6,3); plus a pendant leaf 7 off node 0.
+BARBELL = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 6), (6, 3), (0, 7)]
+
+
+def test_bridges_barbell(spark):
+    from llama_spark.operators.bridges import bridges, two_edge_components
+
+    df = edges_df(spark, BARBELL)
+    got = sorted((r.u, r.v) for r in bridges(df).collect())
+    assert got == [(0, 7), (2, 6), (3, 6)]
+
+    comp = {r.id: r.component for r in two_edge_components(df).collect()}
+    # triangles collapse to their min id; cut vertices/leaves stay singletons
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6, 7: 7}
+
+
+def test_bridges_matches_brute_force(spark):
+    from llama_spark.operators.bridges import bridges
+
+    import random
+
+    rng = random.Random(13)
+    n, m = 18, 22
+    es = set()
+    while len(es) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    es = sorted(es)
+    nodes = sorted({x for e in es for x in e})
+    df = edges_df(spark, es)
+    got = sorted((r.u, r.v) for r in bridges(df).collect())
+    assert got == _brute_bridges(es, nodes)
+
+
+def test_bfs_forest_is_deterministic_tree(spark):
+    from llama_spark.operators.bridges import bfs_forest
+
+    df = edges_df(spark, BARBELL)
+    rows = {r.id: r for r in bfs_forest(df).collect()}
+    # one root per component (min id), parent NULL exactly there
+    assert rows[0].parent is None and rows[0].depth == 0 and rows[0].root == 0
+    assert all(r.parent is not None for i, r in rows.items() if i != 0)
+    # parent = MIN neighbour one level up: node 2's parent is 0 (not 1)
+    assert rows[2].parent == 0 and rows[2].depth == 1
+    # depth increases by exactly 1 along parent links
+    assert all(i == 0 or rows[i].depth == rows[r.parent].depth + 1 for i, r in rows.items())

@@ -7095,3 +7095,57 @@ ORACLE["bridges"] = _bridges_sql()
 QUERIES["bridges"] = q_bridges
 ORACLE["two_edge_components"] = _two_edge_components_sql()
 QUERIES["two_edge_components"] = q_two_edge_components
+
+
+# ------------------------------------------- temporal reachability
+
+TR_SOURCES = [0, 7, 42]
+TR_NODE_MOD = 150  # contact-partner space = the events user domain
+TR_UNROLL = 12
+
+
+def q_temporal_reachability(spark, sf_dir):
+    """Earliest-arrival time-respecting reachability (Wu et al., VLDB 2014)
+    over the events stream viewed as timestamped contacts: each event is a
+    contact user_id → (user_id*31 + event_id) % 150 at unix_micros(ts)."""
+    from .operators.temporal import temporal_reachability
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    contacts = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 31 + F.col("event_id")) % TR_NODE_MOD).alias("dst"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    return temporal_reachability(contacts, sources=TR_SOURCES, start=0)
+
+
+def _temporal_reachability_sql() -> str:
+    src_rows = ", ".join(f"({s}, 0)" for s in sorted(set(TR_SOURCES)))
+    ctes = [
+        f"""tc AS MATERIALIZED (
+  SELECT DISTINCT user_id AS src,
+         (user_id * 31 + event_id) % {TR_NODE_MOD} AS dst,
+         epoch_us(ts) AS t
+  FROM events
+  WHERE user_id <> (user_id * 31 + event_id) % {TR_NODE_MOD})""",
+        f"r0 AS MATERIALIZED (SELECT * FROM (VALUES {src_rows}) AS v(id, arrival))",
+    ]
+    for k in range(1, TR_UNROLL + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT COALESCE(p.id, c.id) AS id,
+         LEAST(COALESCE(p.arrival, c.cand), COALESCE(c.cand, p.arrival)) AS arrival
+  FROM r{k-1} p FULL JOIN (
+    SELECT tc.dst AS id, MIN(tc.t) AS cand
+    FROM r{k-1} q JOIN tc ON tc.src = q.id AND tc.t >= q.arrival
+    GROUP BY tc.dst
+  ) c ON c.id = p.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(id AS BIGINT) AS id, CAST(arrival AS BIGINT) AS arrival FROM r{TR_UNROLL}"
+    )
+
+
+ORACLE["temporal_reachability"] = _temporal_reachability_sql()
+QUERIES["temporal_reachability"] = q_temporal_reachability

@@ -74,3 +74,44 @@ def test_bfs_forest_is_deterministic_tree(spark):
     assert rows[2].parent == 0 and rows[2].depth == 1
     # depth increases by exactly 1 along parent links
     assert all(i == 0 or rows[i].depth == rows[r.parent].depth + 1 for i, r in rows.items())
+
+
+def test_temporal_reachability_respects_time(spark):
+    from llama_spark.operators.temporal import temporal_reachability
+
+    # 0 -(t=10)-> 1 -(t=5)-> 2 : the t=5 contact happened BEFORE arrival at
+    # 1, so 2 is only reachable via the later t=20 contact; 3 never is.
+    contacts = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 5), (1, 2, 20), (2, 3, 15)],
+        "src long, dst long, t long",
+    )
+    got = {r.id: r.arrival for r in temporal_reachability(contacts, [0]).collect()}
+    assert got == {0: 0, 1: 10, 2: 20}
+
+
+def test_temporal_reachability_matches_brute_force(spark):
+    import random
+
+    from llama_spark.operators.temporal import temporal_reachability
+
+    rng = random.Random(5)
+    n, m = 12, 40
+    cs = [
+        (rng.randrange(n), rng.randrange(n), rng.randrange(1, 100))
+        for _ in range(m)
+    ]
+    cs = [(a, b, t) for a, b, t in cs if a != b]
+    sources = [0, 3]
+
+    arr = {s: 0 for s in sources}
+    changed = True
+    while changed:
+        changed = False
+        for a, b, t in cs:
+            if a in arr and t >= arr[a] and (b not in arr or t < arr[b]):
+                arr[b] = t
+                changed = True
+
+    df = spark.createDataFrame(cs, "src long, dst long, t long")
+    got = {r.id: r.arrival for r in temporal_reachability(df, sources).collect()}
+    assert got == arr

@@ -7149,3 +7149,96 @@ def _temporal_reachability_sql() -> str:
 
 ORACLE["temporal_reachability"] = _temporal_reachability_sql()
 QUERIES["temporal_reachability"] = q_temporal_reachability
+
+
+# ------------------------------------------- influence maximization
+
+IM_POOL = 8
+IM_K = 3
+IM_HORIZON = 4  # bounded-IC cascade horizon (hops)
+
+
+def q_influence_max(spark, sf_dir):
+    """Greedy bounded-IC(p=1) influence maximization (Kempe-Kleinberg-
+    Tardos greedy, cascade truncated at 4 rounds): top-8 out-degree
+    candidate pool, one batched multi-source BFS, 3 exact
+    marginal-coverage greedy picks."""
+    from .operators.influence import influence_max
+
+    return influence_max(
+        load_sparse_edges(spark, sf_dir), k=IM_K, pool=IM_POOL, horizon=IM_HORIZON
+    )
+
+
+def _influence_max_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL + BR_EDGE_FILTER_SQL})",
+        f"""cand AS MATERIALIZED (
+  SELECT src AS id FROM edges GROUP BY src
+  ORDER BY COUNT(*) DESC, src ASC LIMIT {IM_POOL})""",
+        "q0 AS MATERIALIZED (SELECT id AS root, id FROM cand)",
+    ]
+    for k in range(1, IM_HORIZON + 1):
+        ctes.append(
+            f"""q{k} AS MATERIALIZED (
+  SELECT root, id FROM q{k-1}
+  UNION
+  SELECT q.root, e.dst AS id FROM q{k-1} q JOIN edges e ON e.src = q.id)"""
+        )
+    ctes.append(f"reach AS MATERIALIZED (SELECT root, id FROM q{IM_HORIZON})")
+    prev_cov = None
+    prev_picks: list[str] = []
+    for s in range(1, IM_K + 1):
+        not_picked = (
+            " AND ".join(f"r.root <> (SELECT seed FROM p{j})" for j in prev_picks)
+            or "TRUE"
+        )
+        cand_not_picked = (
+            " AND ".join(f"cand.id <> (SELECT seed FROM p{j})" for j in prev_picks)
+            or "TRUE"
+        )
+        uncovered = (
+            f"LEFT JOIN c{s-1} cv ON cv.id = r.id WHERE cv.id IS NULL AND "
+            if prev_cov
+            else "WHERE "
+        )
+        ctes.append(
+            f"""g{s} AS MATERIALIZED (
+  SELECT r.root, COUNT(*) AS gain
+  FROM reach r {uncovered}{not_picked}
+  GROUP BY r.root)"""
+        )
+        ctes.append(
+            f"""gz{s} AS MATERIALIZED (
+  SELECT cand.id AS root, COALESCE(g{s}.gain, 0) AS gain
+  FROM cand LEFT JOIN g{s} ON g{s}.root = cand.id
+  WHERE {cand_not_picked})"""
+        )
+        ctes.append(
+            f"""p{s} AS MATERIALIZED (
+  SELECT root AS seed, gain FROM gz{s}
+  ORDER BY gain DESC, root ASC LIMIT 1)"""
+        )
+        if prev_cov:
+            ctes.append(
+                f"""c{s} AS MATERIALIZED (
+  SELECT id FROM c{s-1}
+  UNION
+  SELECT id FROM reach WHERE root = (SELECT seed FROM p{s}))"""
+            )
+        else:
+            ctes.append(
+                f"""c{s} AS MATERIALIZED (
+  SELECT DISTINCT id FROM reach WHERE root = (SELECT seed FROM p{s}))"""
+            )
+        prev_cov = f"c{s}"
+        prev_picks.append(str(s))
+    sel = "\nUNION ALL\n".join(
+        f"SELECT seed, CAST({s} AS INT) AS step, CAST(gain AS BIGINT) AS gain FROM p{s}"
+        for s in range(1, IM_K + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+ORACLE["influence_max"] = _influence_max_sql()
+QUERIES["influence_max"] = q_influence_max

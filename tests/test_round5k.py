@@ -115,3 +115,43 @@ def test_temporal_reachability_matches_brute_force(spark):
     df = spark.createDataFrame(cs, "src long, dst long, t long")
     got = {r.id: r.arrival for r in temporal_reachability(df, sources).collect()}
     assert got == arr
+
+
+def test_influence_max_matches_brute_force(spark):
+    import random
+
+    from llama_spark.operators.influence import influence_max
+
+    rng = random.Random(11)
+    n = 30
+    es = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(50)})
+    es = [(a, b) for a, b in es if a != b]
+    df = edges_df(spark, es)
+
+    # brute-force bounded-IC greedy: reach within H hops, exact marginal
+    H, POOL, K = 3, 6, 3
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+    outdeg = {a: len(v) for a, v in adj.items()}
+    cands = sorted(outdeg, key=lambda x: (-outdeg[x], x))[:POOL]
+
+    def reach(s):
+        seen, frontier = {s}, {s}
+        for _ in range(H):
+            frontier = {w for u in frontier for w in adj.get(u, ())} - seen
+            seen |= frontier
+        return seen
+
+    covered, want = set(), []
+    for step in range(1, K + 1):
+        remaining = [c for c in cands if c not in {s for s, _, _ in want}]
+        best = max(remaining, key=lambda c: (len(reach(c) - covered), -c))
+        want.append((best, step, len(reach(best) - covered)))
+        covered |= reach(best)
+
+    got = sorted(
+        (r.seed, r.step, r.gain)
+        for r in influence_max(df, k=K, pool=POOL, horizon=H).collect()
+    )
+    assert got == sorted(want)

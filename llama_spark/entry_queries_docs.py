@@ -2852,3 +2852,168 @@ LEFT JOIN s{DK_ITERS} s ON s.doc_id = v.doc_id AND s.u = v.tok"""
 
 DOCS_ORACLE["doc_keywords"] = _doc_keywords_sql()
 DOCS_QUERIES["doc_keywords"] = q_doc_keywords
+
+
+# ------------------------------------------- anchor-text aggregation
+
+ANCHOR_DOCS = 500  # doc_id domain (0..499 at every SF)
+ANCHOR_FANOUT = 3
+ANCHOR_TOPK = 3
+
+
+def q_anchor_text(spark, sf_dir):
+    """End-to-end html → anchors → per-target aggregation through the REAL
+    extraction path (extract.py mapInPandas, input-hint html contract):
+    build a deterministic pages table from documents (each doc links to 3
+    modulo-derived targets, anchor text = its first 3 tokens), parse the
+    html back with the pinned Arrow-batched extractor, aggregate each
+    target's top anchor strings. The oracle never sees the html — it
+    derives the same rows relationally, so the gate checks the whole
+    construct→parse round trip."""
+    from .sources.extract import anchor_text_summary, extract_anchor_texts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    first3 = F.array_join(F.slice(toks, 1, 3), " ")
+    frag = [F.lit("<html><body>")]
+    for j in range(1, ANCHOR_FANOUT + 1):
+        tgt = (F.col("doc_id") * 7 + j) % ANCHOR_DOCS
+        frag += [
+            F.lit('<a href="http://site/p'),
+            tgt.cast("string"),
+            F.lit('">'),
+            first3,
+            F.lit("</a>"),
+        ]
+    frag.append(F.lit("</body></html>"))
+    pages = d.select(
+        F.concat(F.lit("http://site/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(*frag).cast("binary").alias("html"),
+    )
+    return anchor_text_summary(extract_anchor_texts(pages), top_k=ANCHOR_TOPK)
+
+
+def _anchor_text_sql() -> str:
+    return f"""WITH d AS MATERIALIZED (
+  SELECT doc_id,
+         array_to_string(
+           list_slice(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> ''), 1, 3), ' ') AS first3
+  FROM documents),
+anchors AS MATERIALIZED (
+  SELECT 'http://site/p' || CAST((d.doc_id * 7 + j.j) % {ANCHOR_DOCS} AS VARCHAR)
+           AS dst_url,
+         d.first3 AS anchor
+  FROM d CROSS JOIN (VALUES (1), (2), (3)) AS j(j)),
+counts AS MATERIALIZED (
+  SELECT dst_url, anchor, COUNT(*) AS cnt FROM anchors GROUP BY dst_url, anchor),
+inlinks AS MATERIALIZED (
+  SELECT dst_url, COUNT(*) AS n_inlinks FROM anchors GROUP BY dst_url)
+SELECT c.dst_url, c.anchor, c.cnt, i.n_inlinks, c.rank
+FROM (
+  SELECT dst_url, anchor, cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY dst_url
+                                 ORDER BY cnt DESC, anchor ASC) AS INT) AS rank
+  FROM counts
+) c JOIN inlinks i ON i.dst_url = c.dst_url
+WHERE c.rank <= {ANCHOR_TOPK}"""
+
+
+DOCS_ORACLE["anchor_text"] = _anchor_text_sql()
+DOCS_QUERIES["anchor_text"] = q_anchor_text
+
+
+# ------------------------------------------- redirect-chain resolution
+
+RD_DOCS = 500
+RD_DOUBLINGS = 6  # resolves chains up to 2^6 = 64 hops
+
+
+def q_redirect_resolution(spark, sf_dir):
+    """Terminal-target resolution of a url redirect map by pointer doubling
+    (operators/redirects.py): every doc whose id is not a multiple of 3
+    redirects to (id*13+7) % 500; chains resolve to the first multiple of
+    3 hit, cycles among non-terminals come back resolved=false."""
+    from .operators.redirects import resolve_redirects
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(F.lit("http://site/p"), F.col("doc_id").cast("string"))
+    tgt = F.concat(
+        F.lit("http://site/p"),
+        ((F.col("doc_id") * 13 + 7) % RD_DOCS).cast("string"),
+    )
+    redirects = d.filter(F.col("doc_id") % 3 != 0).select(
+        url.alias("src"), tgt.alias("dst")
+    )
+    return resolve_redirects(redirects, max_doublings=RD_DOUBLINGS)
+
+
+def _redirect_resolution_sql() -> str:
+    ctes = [
+        f"""m AS MATERIALIZED (
+  SELECT 'http://site/p' || CAST(doc_id AS VARCHAR) AS src,
+         'http://site/p' || CAST((doc_id * 13 + 7) % {RD_DOCS} AS VARCHAR) AS dst
+  FROM documents WHERE doc_id % 3 <> 0)""",
+        """rnodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM m UNION ALL SELECT dst FROM m))""",
+        """j0 AS MATERIALIZED (
+  SELECT n.id, COALESCE(m.dst, n.id) AS v,
+         CAST(CASE WHEN m.dst IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps
+  FROM rnodes n LEFT JOIN m ON m.src = n.id)""",
+    ]
+    for k in range(1, RD_DOUBLINGS + 1):
+        ctes.append(
+            f"""j{k} AS MATERIALIZED (
+  SELECT a.id, b.v, a.steps + b.steps AS steps
+  FROM j{k-1} a JOIN j{k-1} b ON b.id = a.v)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+term AS MATERIALIZED (SELECT DISTINCT src AS v FROM m)
+SELECT j.id AS url,
+       CASE WHEN t.v IS NULL THEN j.v END AS final,
+       CASE WHEN t.v IS NULL THEN j.steps END AS hops,
+       t.v IS NULL AS resolved
+FROM j{RD_DOUBLINGS} j LEFT JOIN term t ON t.v = j.v"""
+    )
+
+
+DOCS_ORACLE["redirect_resolution"] = _redirect_resolution_sql()
+DOCS_QUERIES["redirect_resolution"] = q_redirect_resolution
+
+
+# ------------------------------------------- positional phrase search
+
+PHRASE = "table hash"
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase query over the positional inverted index
+    (functions/search.py) — (k-1) adjacency self-joins on term-filtered
+    postings, the pinned tokenizer shared with every text gate."""
+    from .functions.search import phrase_search
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return phrase_search(d, PHRASE)
+
+
+def _phrase_search_sql() -> str:
+    words = PHRASE.lower().split()
+    joins, conds = [], [f"t0.tok = '{words[0]}'"]
+    for i, w in enumerate(words[1:], start=1):
+        joins.append(
+            f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+        )
+        conds.append(f"t{i}.tok = '{w}'")
+    return f"""WITH toks AS MATERIALIZED ({TOKS_SQL}),
+m AS (
+  SELECT t0.doc_id, t0.pos FROM toks t0
+  {' '.join(joins)}
+  WHERE {' AND '.join(conds)})
+SELECT doc_id, COUNT(*) AS n_matches, CAST(MIN(pos) AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id"""
+
+
+DOCS_ORACLE["phrase_search"] = _phrase_search_sql()
+DOCS_QUERIES["phrase_search"] = q_phrase_search

@@ -155,3 +155,59 @@ def test_influence_max_matches_brute_force(spark):
         for r in influence_max(df, k=K, pool=POOL, horizon=H).collect()
     )
     assert got == sorted(want)
+
+
+def test_resolve_redirects_chains_and_cycles(spark):
+    from llama_spark.operators.redirects import resolve_redirects
+
+    # a→b→c (c terminal), d→e→d (2-cycle), f→f would be a self-cycle but
+    # the map is functional so test a long chain instead: g→h→i→c
+    m = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("e", "d"), ("g", "h"), ("h", "i"), ("i", "c")],
+        "src string, dst string",
+    )
+    rows = {r.url: (r.final, r.hops, r.resolved) for r in resolve_redirects(m).collect()}
+    assert rows["a"] == ("c", 2, True)
+    assert rows["b"] == ("c", 1, True)
+    assert rows["c"] == ("c", 0, True)
+    assert rows["g"] == ("c", 3, True)
+    assert rows["d"] == (None, None, False)
+    assert rows["e"] == (None, None, False)
+
+
+def test_resolve_redirects_chain_longer_than_horizon(spark):
+    from llama_spark.operators.redirects import resolve_redirects
+
+    chain = [(f"u{i}", f"u{i+1}") for i in range(10)]  # 10 hops
+    m = spark.createDataFrame(chain, "src string, dst string")
+    # 2^2 = 4 < 10 → the head cannot resolve within the horizon
+    rows = {r.url: r.resolved for r in resolve_redirects(m, max_doublings=2).collect()}
+    assert rows["u0"] is False and rows["u9"] is True
+    # 2^4 = 16 ≥ 10 → everything resolves
+    rows = {r.url: (r.final, r.hops) for r in resolve_redirects(m, max_doublings=4).collect()}
+    assert rows["u0"] == ("u10", 10)
+
+
+def test_phrase_search_exact_positions(spark):
+    from llama_spark.functions.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the quick brown dog"),
+            (2, "quick brown"),
+            (3, "the quick red fox"),
+            (4, "brown quick the"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(docs, "quick brown").collect()
+    }
+    assert got == {1: (2, 2), 2: (1, 1)}
+    # 3-word phrase spans the repeat boundary only once
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(docs, "quick brown fox").collect()
+    }
+    assert got == {1: (1, 2)}

@@ -7242,3 +7242,91 @@ def _influence_max_sql() -> str:
 
 ORACLE["influence_max"] = _influence_max_sql()
 QUERIES["influence_max"] = q_influence_max
+
+
+# ----------------------------- biconnected blocks / articulation points
+
+BCC_UNROLL = 16  # coverage-graph CC fixpoint measured ≤ 8 at every SF
+
+
+def q_biconnected_blocks(spark, sf_dir):
+    """Biconnected components per edge: blocks = CC of the tree-edge ↔
+    covering-non-tree-edge bipartite graph (common-cycle equivalence;
+    bridges.py docstring). Sparsified subgraph like the bridge gates."""
+    from .operators.bridges import biconnected_blocks
+
+    return biconnected_blocks(load_sparse_edges(spark, sf_dir))
+
+
+def q_articulation_points(spark, sf_dir):
+    """Cut vertices: ≥ 2 distinct incident blocks (block-tree rule)."""
+    from .operators.bridges import articulation_points
+
+    return articulation_points(load_sparse_edges(spark, sf_dir))
+
+
+def _bcc_ctes() -> list[str]:
+    ctes = _bridge_ctes()
+    ctes += [
+        "bbase AS (SELECT MAX(id) + 1 AS b FROM nodes)",
+        """cover AS MATERIALIZED (
+  SELECT anc AS x, -(u * (SELECT b FROM bbase) + v) - 1 AS y
+  FROM pea WHERE cnt = 1)""",
+        """coveru AS MATERIALIZED (
+  SELECT x, y FROM cover UNION ALL SELECT y AS x, x AS y FROM cover)""",
+        """bc0 AS MATERIALIZED (
+  SELECT DISTINCT x AS id, x AS c
+  FROM (SELECT x FROM cover UNION ALL SELECT y FROM cover))""",
+    ]
+    for i in range(1, BCC_UNROLL + 1):
+        ctes.append(
+            f"""bc{i} AS MATERIALIZED (
+  SELECT l.id, LEAST(l.c, COALESCE(m.nmin, l.c)) AS c
+  FROM bc{i-1} l LEFT JOIN (
+    SELECT u.y AS id, MIN(p.c) AS nmin
+    FROM bc{i-1} p JOIN coveru u ON u.x = p.id
+    GROUP BY u.y
+  ) m ON m.id = l.id)"""
+        )
+    ctes += [
+        f"""blk AS MATERIALIZED (
+  SELECT c AS component, MIN(id) AS block FROM bc{BCC_UNROLL}
+  WHERE id >= 0 GROUP BY c)""",
+        f"""tree_blocks AS MATERIALIZED (
+  SELECT t.u, t.v, COALESCE(b.block, t.child) AS block
+  FROM tree t
+  LEFT JOIN bc{BCC_UNROLL} l ON l.id = t.child
+  LEFT JOIN blk b ON b.component = l.c)""",
+        f"""nt_blocks AS MATERIALIZED (
+  SELECT n.u, n.v, b.block
+  FROM nt n
+  JOIN bc{BCC_UNROLL} l ON l.id = -(n.u * (SELECT b FROM bbase) + n.v) - 1
+  JOIN blk b ON b.component = l.c)""",
+        """all_blocks AS MATERIALIZED (
+  SELECT u, v, block FROM tree_blocks
+  UNION ALL SELECT u, v, block FROM nt_blocks)""",
+    ]
+    return ctes
+
+
+def _biconnected_blocks_sql() -> str:
+    return "WITH " + ",\n".join(_bcc_ctes()) + "\nSELECT u, v, block FROM all_blocks"
+
+
+def _articulation_points_sql() -> str:
+    return (
+        "WITH " + ",\n".join(_bcc_ctes())
+        + """
+SELECT id FROM (
+  SELECT id, COUNT(DISTINCT block) AS nb FROM (
+    SELECT u AS id, block FROM all_blocks
+    UNION SELECT v AS id, block FROM all_blocks
+  ) GROUP BY id
+) WHERE nb >= 2"""
+    )
+
+
+ORACLE["biconnected_blocks"] = _biconnected_blocks_sql()
+QUERIES["biconnected_blocks"] = q_biconnected_blocks
+ORACLE["articulation_points"] = _articulation_points_sql()
+QUERIES["articulation_points"] = q_articulation_points

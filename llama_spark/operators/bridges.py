@@ -58,46 +58,51 @@ def bfs_forest(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     und = symmetrize(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
 
-    comp = connected_components(edges)
-    roots = comp.filter(F.col("id") == F.col("component")).select("id")
+    # Fused CC + BFS: one delta fixpoint over lexicographic (component,
+    # depth) — each vertex converges to (min reachable id, BFS distance to
+    # it), i.e. the hash-min label AND the depth from the component root in
+    # a single kernel instead of a CC fixpoint followed by a BFS wave.
+    from ..plans.fixpoint import iterate
 
-    def _hint(df: DataFrame, rows: int) -> DataFrame:
-        # frontier side broadcast while tiny, else shuffled-hash so the
-        # cached symmetrized edge table streams (traversal.py policy)
-        return F.broadcast(df) if rows <= 100_000 else df.hint("shuffle_hash")
-
-    level0 = roots.withColumn("depth", F.lit(0).cast("long")).localCheckpoint(
-        eager=True
+    nodes = nodes_of(edges)
+    init = nodes.select(
+        "id",
+        F.col("id").alias("comp"),
+        F.lit(0).cast("long").alias("depth"),
+        F.lit(True).alias("changed"),
     )
-    levels: list[DataFrame] = [level0]
-    counts: list[int] = [level0.count()]
-    frontier = level0
-    for depth in range(max_iter):
-        visited = levels[0]
-        for lv in levels[1:]:
-            visited = visited.unionByName(lv)
-        fr = frontier.select("id")
-        cand = (
-            _hint(fr, counts[-1])
-            .join(und, fr["id"] == und[SRC])
-            .select(F.col(DST).alias("id"))
-            .distinct()
-        )
-        nxt = (
-            cand.join(_hint(visited.select("id"), sum(counts)), ["id"], "left_anti")
-            .withColumn("depth", F.lit(depth + 1).cast("long"))
-            .localCheckpoint(eager=True)
-        )
-        n_nxt = nxt.count()
-        if n_nxt == 0:
-            break
-        levels.append(nxt)
-        counts.append(n_nxt)
-        frontier = nxt
 
-    depths = levels[0]
-    for lv in levels[1:]:
-        depths = depths.unionByName(lv)
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        frontier = state.filter(F.col("changed")).select("id", "comp", "depth")
+        cand = (
+            frontier.join(und, frontier["id"] == und[SRC])
+            .groupBy(F.col(DST).alias("id"))
+            .agg(
+                F.min(F.struct(F.col("comp"), (F.col("depth") + 1).alias("depth"))).alias(
+                    "c"
+                )
+            )
+        )
+        improved = F.col("c").isNotNull() & (
+            (F.col("c.comp") < F.col("comp"))
+            | ((F.col("c.comp") == F.col("comp")) & (F.col("c.depth") < F.col("depth")))
+        )
+        return state.join(cand, "id", "left").select(
+            "id",
+            F.when(improved, F.col("c.comp")).otherwise(F.col("comp")).alias("comp"),
+            F.when(improved, F.col("c.depth")).otherwise(F.col("depth")).alias("depth"),
+            improved.alias("changed"),
+        )
+
+    res = iterate(
+        init,
+        step,
+        max_iter=max_iter,
+        updated_metric=F.sum(F.col("changed").cast("long")),
+        truncate_every=1,
+        name="bfs_forest",
+    )
+    depths = res.state.select("id", F.col("comp").alias("root"), "depth")
 
     dep_u = depths.select(F.col("id").alias(SRC), F.col("depth").alias("d_src"))
     dep_v = depths.select(F.col("id").alias(DST), F.col("depth").alias("d_dst"))
@@ -109,8 +114,7 @@ def bfs_forest(edges: DataFrame, max_iter: int = 100) -> DataFrame:
         .agg(F.min(SRC).alias("parent"))
     )
     out = (
-        depths.join(comp.withColumnRenamed("component", "root"), "id")
-        .join(parents, "id", "left")
+        depths.join(parents, "id", "left")
         .select("id", "root", "depth", "parent")
         .localCheckpoint(eager=True)
     )
@@ -214,4 +218,100 @@ def two_edge_components(edges: DataFrame) -> DataFrame:
         nodes_of(edges)
         .join(comp, "id", "left")
         .select("id", F.coalesce("component", "id").alias("component"))
+    )
+
+
+
+def biconnected_blocks(edges: DataFrame) -> DataFrame:
+    """Biconnected components → DataFrame[u, v, block] — one row per
+    canonical undirected edge, block = MIN tree-edge child id in its block
+    (every block contains at least one spanning-forest edge).
+
+    Characterisation: "lies on a common cycle" is an equivalence relation
+    on edges whose classes are exactly the blocks; fundamental cycles
+    generate it, so blocks = connected components of the bipartite graph
+    {tree edges} ∪ {non-tree edges} with an edge wherever a non-tree
+    edge's fundamental cycle covers a tree edge. The exact coverage pairs
+    are the cnt=1 rows the bridge computation already materialises —
+    Tarjan-Vishkin's auxiliary graph is the sparsified version of this;
+    we run hash-min CC on the dense certificate directly (size
+    Σ fundamental-cycle lengths = O(E·depth), the same bound as the
+    ancestor table). Uncovered tree edges are bridges = singleton blocks.
+
+    Node ids must fit u·(max_id+1)+v in a long (the non-tree-edge encoding
+    used to key the bipartite CC) — true for any graph with < 2^31 ids.
+    """
+    forest = bfs_forest(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    forest.count()
+
+    und = symmetrize(edges)
+    cund = (
+        und.filter(F.col(SRC) < F.col(DST))
+        .select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
+        .distinct()
+    )
+    tree = forest.filter(F.col("parent").isNotNull()).select(
+        F.least("parent", "id").alias("u"),
+        F.greatest("parent", "id").alias("v"),
+        F.col("id").alias("child"),
+    )
+    nt = cund.join(tree.select("u", "v"), ["u", "v"], "left_anti")
+
+    anc = _ancestors(forest)
+    ep = nt.select(F.col("u").alias("w"), "u", "v").unionByName(
+        nt.select(F.col("v").alias("w"), "u", "v")
+    )
+    per_edge_anc = (
+        ep.join(anc, ep["w"] == anc["id"])
+        .groupBy("anc", "u", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    b = (
+        forest.agg(F.max("id")).collect()[0][0] or 0
+    ) + 1  # encoding base: one 1-row agg
+    nt_id = -(F.col("u") * F.lit(b) + F.col("v")) - 1
+    cover = per_edge_anc.filter(F.col("cnt") == 1).select(
+        F.col("anc").alias(SRC), nt_id.alias(DST)
+    )
+    comp = connected_components(cover)
+
+    tree_comp = tree.join(
+        comp.withColumnRenamed("id", "child"), "child", "left"
+    )
+    block_of_comp = (
+        tree_comp.filter(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(F.min("child").alias("block"))
+    )
+    tree_blocks = (
+        tree_comp.join(block_of_comp, "component", "left")
+        .select("u", "v", F.coalesce("block", "child").alias("block"))
+    )
+    nt_blocks = (
+        nt.withColumn("ntid", nt_id)
+        .join(comp.withColumnRenamed("id", "ntid"), "ntid")
+        .join(block_of_comp, "component")
+        .select("u", "v", "block")
+    )
+    out = tree_blocks.unionByName(nt_blocks).localCheckpoint(eager=True)
+    forest.unpersist()
+    return out
+
+
+def articulation_points(edges: DataFrame) -> DataFrame:
+    """Exact cut vertices → DataFrame[id]: a vertex is an articulation
+    point iff its incident edges span ≥ 2 distinct biconnected blocks
+    (textbook block-tree characterisation — uniform for roots, no DFS
+    lowpoints)."""
+    blocks = biconnected_blocks(edges)
+    vb = (
+        blocks.select(F.col("u").alias("id"), "block")
+        .unionByName(blocks.select(F.col("v").alias("id"), "block"))
+        .distinct()
+    )
+    return (
+        vb.groupBy("id")
+        .agg(F.countDistinct("block").alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select("id")
     )

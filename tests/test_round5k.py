@@ -211,3 +211,63 @@ def test_phrase_search_exact_positions(spark):
         for r in phrase_search(docs, "quick brown fox").collect()
     }
     assert got == {1: (1, 2)}
+
+
+def test_articulation_points_barbell_and_bowtie(spark):
+    from llama_spark.operators.bridges import articulation_points, biconnected_blocks
+
+    got = sorted(r.id for r in articulation_points(edges_df(spark, BARBELL)).collect())
+    assert got == [0, 2, 3, 6]
+
+    # bowtie: two triangles sharing vertex 0 — 0 is the only cut vertex,
+    # and the blocks are exactly the two triangles
+    bowtie = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 0)]
+    df = edges_df(spark, bowtie)
+    assert sorted(r.id for r in articulation_points(df).collect()) == [0]
+    blocks = {}
+    for r in biconnected_blocks(df).collect():
+        blocks.setdefault(r.block, set()).add((r.u, r.v))
+    assert len(blocks) == 2
+    assert {frozenset(b) for b in blocks.values()} == {
+        frozenset({(0, 1), (1, 2), (0, 2)}),
+        frozenset({(0, 3), (3, 4), (0, 4)}),
+    }
+
+
+def test_articulation_points_matches_brute_force(spark):
+    import random
+
+    from llama_spark.operators.bridges import articulation_points
+
+    def ncomp(es, nodes):
+        par = {n: n for n in nodes}
+
+        def find(x):
+            while par[x] != x:
+                par[x] = par[par[x]]
+                x = par[x]
+            return x
+
+        for a, b in es:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                par[ra] = rb
+        return len({find(n) for n in nodes})
+
+    rng = random.Random(29)
+    n, m = 16, 20
+    es = set()
+    while len(es) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    es = sorted(es)
+    nodes = sorted({x for e in es for x in e})
+    base = ncomp(es, nodes)
+    want = sorted(
+        v
+        for v in nodes
+        if ncomp([e for e in es if v not in e], [x for x in nodes if x != v]) > base
+    )
+    got = sorted(r.id for r in articulation_points(edges_df(spark, es)).collect())
+    assert got == want

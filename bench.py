@@ -347,6 +347,60 @@ def main() -> None:
 
     timed("pages_extract_pagerank", pages_pipeline)
 
+    # continuation-4: cut structure, temporal, influence, web-index rows.
+    # Cut-structure rows run on the 1-in-11 sparsified subgraph (same as
+    # their gates): the full modulo graph is one 4-hop ball with zero
+    # bridges and a single block — structurally trivial AND slower.
+    from llama_spark.operators.bridges import articulation_points, bridges
+    from llama_spark.operators.influence import influence_max
+    from llama_spark.operators.redirects import resolve_redirects
+    from llama_spark.operators.temporal import temporal_reachability
+
+    sparse = edges.filter((FF.col("src") * 131 + FF.col("dst")) % 11 < 1)
+
+    timed("bridges_sparse", lambda: bridges(sparse).count())
+    timed("articulation_sparse", lambda: articulation_points(sparse).count())
+    timed(
+        "influence_k3h4",
+        lambda: influence_max(sparse, k=3, pool=8, horizon=4).count(),
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    contacts = ev.select(
+        FF.col("user_id").alias("src"),
+        ((FF.col("user_id") * 31 + FF.col("event_id")) % 150).alias("dst"),
+        FF.unix_micros(FF.col("ts").cast("timestamp")).alias("t"),
+    )
+    timed(
+        "temporal_reach",
+        lambda: temporal_reachability(contacts, [0, 7, 42]).count(),
+    )
+
+    def _redirects() -> None:
+        d = docs.select("doc_id")
+        url = FF.concat(FF.lit("http://site/p"), FF.col("doc_id").cast("string"))
+        tgt = FF.concat(
+            FF.lit("http://site/p"),
+            ((FF.col("doc_id") * 13 + 7) % 500).cast("string"),
+        )
+        m = d.filter(FF.col("doc_id") % 3 != 0).select(
+            url.alias("src"), tgt.alias("dst")
+        )
+        resolve_redirects(m).count()
+
+    timed("redirect_resolution", _redirects)
+
+    from llama_spark.functions.search import phrase_search
+
+    timed("phrase_search", lambda: phrase_search(docs, "table hash").count())
+
+    from llama_spark.entry_queries_docs import DOCS_QUERIES
+
+    timed(
+        "anchor_text",
+        lambda: DOCS_QUERIES["anchor_text"](spark, sf_dir).count(),
+    )
+
     # ---- execution: whole-list passes, then a retry pass for cheap rows ----
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to those rows (for
     # targeted quiet-window re-measurement of contested queries)

@@ -345,6 +345,15 @@ def main() -> None:
         "doc_keywords6", lambda: doc_keywords(docs, max_iter=6, top_k=5).count()
     )
 
+    from llama_spark.operators.bc import weighted_betweenness_centrality
+
+    timed(
+        "weighted_betweenness_k4",
+        lambda: weighted_betweenness_centrality(
+            with_synthetic_weights(edges), roots=[0, 1, 2, 3]
+        ).count(),
+    )
+
     timed("pages_extract_pagerank", pages_pipeline)
 
     # continuation-4: cut structure, temporal, influence, web-index rows.

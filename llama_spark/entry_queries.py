@@ -7330,3 +7330,110 @@ ORACLE["biconnected_blocks"] = _biconnected_blocks_sql()
 QUERIES["biconnected_blocks"] = q_biconnected_blocks
 ORACLE["articulation_points"] = _articulation_points_sql()
 QUERIES["articulation_points"] = q_articulation_points
+
+
+# ------------------------------------------- weighted betweenness (Brandes)
+
+WBC_BF_UNROLL = 10  # Bellman-Ford fixpoint measured at 6 rounds (sf0.01)
+WBC_SD_UNROLL = 8  # sigma/delta DAG depth measured at 6 rounds
+
+
+def q_weighted_betweenness(spark, sf_dir):
+    """Weighted Brandes from the first 4 node ids (same root rule as the
+    unweighted `betweenness` gate), synthetic SQL-portable weights,
+    exact-integer distances/path counts (bc.py::weighted_betweenness)."""
+    from .graph import with_synthetic_weights
+    from .operators.bc import weighted_betweenness_centrality
+
+    edges = load_edges(spark, sf_dir)
+    roots = [
+        r["id"]
+        for r in edges.selectExpr("src AS id")
+        .union(edges.selectExpr("dst AS id"))
+        .distinct()
+        .orderBy("id")
+        .limit(BC_ROOTS_K)
+        .collect()
+    ]
+    bc = weighted_betweenness_centrality(with_synthetic_weights(edges), roots)
+    return bc.select("id", F.round("bc", 6).alias("bc"))
+
+
+def _wbc_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        """ew AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(FLOOR((1e0 + ((src*31 + dst) % 100)/100e0) * 128e0) AS BIGINT) + 1 AS w
+  FROM edges)""",
+        f"wroots AS (SELECT id AS root FROM nodes ORDER BY id LIMIT {BC_ROOTS_K})",
+        "b0 AS MATERIALIZED (SELECT root, root AS id, CAST(0 AS BIGINT) AS dist FROM wroots)",
+    ]
+    for k in range(1, WBC_BF_UNROLL + 1):
+        ctes.append(
+            f"""b{k} AS MATERIALIZED (
+  SELECT COALESCE(p.root, c.root) AS root, COALESCE(p.id, c.id) AS id,
+         LEAST(COALESCE(p.dist, c.cand), COALESCE(c.cand, p.dist)) AS dist
+  FROM b{k-1} p FULL JOIN (
+    SELECT q.root, e.dst AS id, MIN(q.dist + e.w) AS cand
+    FROM b{k-1} q JOIN ew e ON e.src = q.id GROUP BY q.root, e.dst
+  ) c ON c.root = p.root AND c.id = p.id)"""
+        )
+    D = f"b{WBC_BF_UNROLL}"
+    ctes += [
+        f"""wdag AS MATERIALIZED (
+  SELECT a.root, e.src AS u, e.dst AS v
+  FROM ew e
+  JOIN {D} a ON a.id = e.src
+  JOIN {D} b ON b.root = a.root AND b.id = e.dst
+  WHERE a.dist + e.w = b.dist)""",
+        f"""sg0 AS MATERIALIZED (
+  SELECT root, id, CAST(CASE WHEN id = root THEN 1 ELSE 0 END AS BIGINT) AS sigma
+  FROM {D})""",
+    ]
+    for k in range(1, WBC_SD_UNROLL + 1):
+        ctes.append(
+            f"""sg{k} AS MATERIALIZED (
+  SELECT s.root, s.id,
+         CAST(CASE WHEN s.id = s.root THEN 1 ELSE 0 END AS BIGINT)
+           + COALESCE(c.acc, 0) AS sigma
+  FROM (SELECT root, id FROM {D}) s LEFT JOIN (
+    SELECT d.root, d.v AS id, SUM(g.sigma) AS acc
+    FROM sg{k-1} g JOIN wdag d ON d.root = g.root AND d.u = g.id
+    GROUP BY d.root, d.v
+  ) c ON c.root = s.root AND c.id = s.id)"""
+        )
+    S = f"sg{WBC_SD_UNROLL}"
+    ctes += [
+        f"""wfac AS MATERIALIZED (
+  SELECT d.root, d.u, d.v,
+         CAST(su.sigma AS DOUBLE) / CAST(sv.sigma AS DOUBLE) AS f
+  FROM wdag d
+  JOIN {S} su ON su.root = d.root AND su.id = d.u
+  JOIN {S} sv ON sv.root = d.root AND sv.id = d.v)""",
+        f"dl0 AS MATERIALIZED (SELECT root, id, 0e0 AS delta FROM {D})",
+    ]
+    for k in range(1, WBC_SD_UNROLL + 1):
+        ctes.append(
+            f"""dl{k} AS MATERIALIZED (
+  SELECT s.root, s.id, COALESCE(c.acc, 0e0) AS delta
+  FROM (SELECT root, id FROM {D}) s LEFT JOIN (
+    SELECT f.root, f.u AS id, SUM(f.f * (1e0 + g.delta)) AS acc
+    FROM dl{k-1} g JOIN wfac f ON f.root = g.root AND f.v = g.id
+    GROUP BY f.root, f.u
+  ) c ON c.root = s.root AND c.id = s.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT n.id, ROUND(COALESCE(b.bc, 0e0), 6) AS bc
+FROM nodes n LEFT JOIN (
+  SELECT id, SUM(delta) AS bc FROM dl{WBC_SD_UNROLL}
+  WHERE id <> root GROUP BY id
+) b ON b.id = n.id"""
+    )
+
+
+ORACLE["weighted_betweenness"] = _wbc_sql()
+QUERIES["weighted_betweenness"] = q_weighted_betweenness

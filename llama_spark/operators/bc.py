@@ -357,3 +357,142 @@ def edge_betweenness(
         jf.unpersist()
     e.unpersist()
     return out
+
+
+def weighted_betweenness_centrality(
+    edges: DataFrame,
+    roots: list[int],
+    weight_col: str = "weight",
+    weight_resolution: int = 128,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Weighted Brandes (Brandes 2001 §4, Dijkstra variant) from K roots →
+    DataFrame[id, bc: double].
+
+    Phases, all multi-root keyed like the unweighted kernel:
+    1. Exact-integer multi-source Bellman-Ford (traversal.multi_source_sssp:
+       ŵ = floor(w·res)+1, BIGINT distances — DAG membership below is an
+       exact integer equality, no float epsilon).
+    2. Shortest-path DAG: edge (u,v) is on some shortest path from root
+       iff dist(u) + ŵ(u,v) = dist(v) — one edge-table join against the
+       distance state, persisted once.
+    3. σ path counts (exact BIGINT) by full-recompute fixpoint
+       σ ← [v=root] + Σ_in σ(u): on a DAG this converges to the exact
+       counts in (max shortest-path hop length) rounds — the weighted
+       replacement for the unweighted kernel's per-level σ-push, since
+       weighted "levels" are not discrete.
+    4. δ dependency fixpoint δ ← Σ_out (σ_v/σ_w)(1 + δ(w)) run the same
+       number of rounds (the DAG depth bound is identical); the per-edge
+       factor σ_v/σ_w is precomputed once.
+    bc(v) = Σ_roots δ(v), v ≠ root.
+    Work: O(L·|DAG|) per phase, L = max shortest-path hops — the price of
+    no discrete levels; every join is a hash join on (root, id).
+    """
+    from ..graph import drop_self_loops
+    from .traversal import multi_source_sssp
+
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    roots = sorted(set(roots))
+
+    dists = multi_source_sssp(
+        edges, roots, weight_col=weight_col, weight_resolution=weight_resolution,
+        max_iter=max_iter,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dists.count()
+
+    rel = (
+        drop_self_loops(edges)
+        .select(
+            SRC,
+            DST,
+            (
+                F.floor(
+                    F.col(weight_col).cast("double") * F.lit(float(weight_resolution))
+                ).cast("long")
+                + F.lit(1).cast("long")
+            ).alias("w"),
+        )
+        .groupBy(SRC, DST)
+        .agg(F.min("w").alias("w"))
+    )
+    du = dists.select("root", F.col("id").alias(SRC), F.col("dist").alias("du"))
+    dv = dists.select("root", F.col("id").alias(DST), F.col("dist").alias("dv"))
+    dag = (
+        rel.join(du, SRC)
+        .join(dv, ["root", DST])
+        .filter(F.col("du") + F.col("w") == F.col("dv"))
+        .select("root", F.col(SRC).alias("u"), F.col(DST).alias("v"))
+        .repartition(p, "u")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dag.count()
+
+    reached = dists.select("root", "id")
+    base = (F.col("id") == F.col("root")).cast("long")
+    sigma = reached.withColumn("sigma", base).localCheckpoint(eager=True)
+    prev_total = -1
+    rounds = 0
+    for _ in range(max_iter):
+        contrib = (
+            sigma.withColumnRenamed("id", "u")
+            .join(dag, ["root", "u"])
+            .groupBy("root", F.col("v").alias("id"))
+            .agg(F.sum("sigma").alias("acc"))
+        )
+        sigma = (
+            reached.join(contrib, ["root", "id"], "left")
+            .select(
+                "root", "id", (base + F.coalesce("acc", F.lit(0))).alias("sigma")
+            )
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        total = sigma.agg(F.sum("sigma")).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
+
+    s_u = sigma.select("root", F.col("id").alias("u"), F.col("sigma").alias("su"))
+    s_v = sigma.select("root", F.col("id").alias("v"), F.col("sigma").alias("sv"))
+    fac = (
+        dag.join(s_u, ["root", "u"])
+        .join(s_v, ["root", "v"])
+        .select(
+            "root", "u", "v",
+            (F.col("su").cast("double") / F.col("sv").cast("double")).alias("f"),
+        )
+        .repartition(p, "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    fac.count()
+
+    delta = reached.withColumn("delta", F.lit(0.0)).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        contrib = (
+            delta.withColumnRenamed("id", "v")
+            .join(fac, ["root", "v"])
+            .groupBy("root", F.col("u").alias("id"))
+            .agg(F.sum(F.col("f") * (F.lit(1.0) + F.col("delta"))).alias("acc"))
+        )
+        delta = (
+            reached.join(contrib, ["root", "id"], "left")
+            .select("root", "id", F.coalesce("acc", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+
+    bc = (
+        delta.filter(F.col("id") != F.col("root"))
+        .groupBy("id")
+        .agg(F.sum("delta").alias("bc"))
+    )
+    out = (
+        nodes_of(edges)
+        .join(bc, "id", "left")
+        .select("id", F.coalesce("bc", F.lit(0.0)).alias("bc"))
+        .localCheckpoint(eager=True)
+    )
+    dists.unpersist()
+    dag.unpersist()
+    fac.unpersist()
+    return out

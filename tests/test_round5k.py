@@ -271,3 +271,63 @@ def test_articulation_points_matches_brute_force(spark):
     )
     got = sorted(r.id for r in articulation_points(edges_df(spark, es)).collect())
     assert got == want
+
+
+def test_weighted_betweenness_matches_model(spark):
+    import heapq
+    import math
+
+    from llama_spark.operators.bc import weighted_betweenness_centrality
+
+    # direct edge (0,3,w=2) beats 0→1→2→3? quantized: route choice depends
+    # on exact integer weights — the model replays the same quantization
+    edges = [
+        (0, 1, 1.0), (1, 2, 1.0), (0, 2, 3.0), (2, 3, 1.0),
+        (0, 3, 2.0), (3, 4, 1.0), (1, 4, 5.0),
+    ]
+    roots = [0, 1]
+    res = 128
+    adj: dict = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, math.floor(w * res) + 1))
+
+    def brandes(root):
+        dist = {root: 0}
+        pq = [(0, root)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, 10**18):
+                continue
+            for v, w in adj.get(u, ()):
+                if d + w < dist.get(v, 10**18):
+                    dist[v] = d + w
+                    heapq.heappush(pq, (d + w, v))
+        dag: dict = {}
+        for u in dist:
+            for v, w in adj.get(u, ()):
+                if v in dist and dist[u] + w == dist[v]:
+                    dag.setdefault(u, []).append(v)
+        sigma = {v: 0 for v in dist}
+        sigma[root] = 1
+        order = sorted(dist, key=lambda v: dist[v])
+        for u in order:
+            for v in dag.get(u, ()):
+                sigma[v] += sigma[u]
+        delta = {v: 0.0 for v in dist}
+        for u in reversed(order):
+            for v in dag.get(u, ()):
+                delta[u] += sigma[u] / sigma[v] * (1 + delta[v])
+        return delta
+
+    want: dict = {}
+    for r in roots:
+        for v, x in brandes(r).items():
+            if v != r:
+                want[v] = want.get(v, 0.0) + x
+    df = edges_df(spark, edges, weight=True)
+    got = {
+        r.id: round(r.bc, 9)
+        for r in weighted_betweenness_centrality(df, roots).collect()
+    }
+    nodes = sorted({x for a, b, _ in edges for x in (a, b)})
+    assert got == {v: round(want.get(v, 0.0), 9) for v in nodes}

@@ -3017,3 +3017,41 @@ FROM m GROUP BY doc_id"""
 
 DOCS_ORACLE["phrase_search"] = _phrase_search_sql()
 DOCS_QUERIES["phrase_search"] = q_phrase_search
+
+
+# ---------------------------- leakage-safe (cluster-keyed) dataset splits
+
+
+def q_leakage_safe_splits(spark, sf_dir):
+    """Split assignment keyed by the near-dup CLUSTER id — no verified
+    near-duplicate pair ever straddles train/val/test (the dedup-before-
+    split rule; composes the gated dedup_clusters + dataset_splits)."""
+    from .functions.cluster import leakage_safe_splits
+
+    return leakage_safe_splits(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        seed=SPLIT_SEED,
+        threshold=0.5,
+    )
+
+
+DOCS_ORACLE["leakage_safe_splits"] = f"""WITH RECURSIVE pairs AS MATERIALIZED (
+{DOCS_ORACLE["lsh_verified_dedup"]}
+),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach AS (SELECT a, b FROM und
+          UNION SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+cl AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+       FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+bk AS (SELECT doc_id, cluster,
+              {HASH.format(f"concat(CAST(cluster AS VARCHAR), ':split:{SPLIT_SEED}')")} % 100
+                AS bucket
+       FROM cl)
+SELECT doc_id, cluster, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM bk"""
+DOCS_QUERIES["leakage_safe_splits"] = q_leakage_safe_splits

@@ -456,3 +456,44 @@ def pca_top_component(
     return spark.createDataFrame(
         [(i, rnd(v[i], 6)) for i in range(dims)], "dim long, loading double"
     )
+
+
+def leakage_safe_splits(
+    documents: DataFrame,
+    fractions: tuple[int, int, int] = (90, 5, 5),
+    seed: int = 42,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """DataFrame[doc_id, cluster, bucket, split] — train/val/test assignment
+    keyed by the NEAR-DUP CLUSTER id, not the document id: every document
+    in a verified near-duplicate cluster lands in the same split, so a
+    training document's near-copy can never leak into val/test (the
+    standard eval-contamination failure of per-document splitting; cf. the
+    dedup-before-split practice in large-corpus training pipelines).
+    Composition of two gated operators: dedup_clusters (MinHash LSH →
+    exact verify → CC closure) → hash-bucket split of the cluster id —
+    same stability contract as ``dataset_splits`` (pure function of
+    content-derived ids; appending docs never reassigns existing
+    clusters)."""
+    from .dedup import dedup_clusters
+    from .text import token_hash
+
+    a, b, c = fractions
+    if a + b + c != 100:
+        raise ValueError(f"fractions must sum to 100, got {fractions}")
+    cl = dedup_clusters(documents, threshold=threshold).select("doc_id", "cluster")
+    bucket = F.pmod(
+        token_hash(
+            F.concat(F.col("cluster").cast("string"), F.lit(f":split:{seed}"))
+        ),
+        F.lit(100),
+    )
+    return cl.select("doc_id", "cluster", bucket.alias("bucket")).select(
+        "doc_id",
+        "cluster",
+        "bucket",
+        F.when(F.col("bucket") < a, F.lit("train"))
+        .when(F.col("bucket") < a + b, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -331,3 +331,37 @@ def test_weighted_betweenness_matches_model(spark):
     }
     nodes = sorted({x for a, b, _ in edges for x in (a, b)})
     assert got == {v: round(want.get(v, 0.0), 9) for v in nodes}
+
+
+def test_leakage_safe_splits_cluster_coherent(spark):
+    from llama_spark.functions.cluster import leakage_safe_splits
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, base),                      # near-dup cluster {0,1,2}
+            (1, base + " lambda"),
+            (2, base + " mu"),
+            (10, "completely different words here about spark engines"),
+            (11, "another unrelated document mentioning graphs and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in leakage_safe_splits(docs, threshold=0.3).collect()}
+    assert len(rows) == 5
+    # the near-dup trio shares a cluster AND therefore a split
+    assert rows[0].cluster == rows[1].cluster == rows[2].cluster == 0
+    assert rows[0].split == rows[1].split == rows[2].split
+    # singletons cluster to themselves
+    assert rows[10].cluster == 10 and rows[11].cluster == 11
+    # split is a pure function of the cluster id (stability contract)
+    from llama_spark.functions.cluster import dataset_splits
+
+    ref = {
+        r.doc_id: r.split
+        for r in dataset_splits(
+            spark.createDataFrame([(0,), (10,), (11,)], "doc_id long")
+        ).collect()
+    }
+    assert rows[0].split == ref[0]
+    assert rows[10].split == ref[10] and rows[11].split == ref[11]

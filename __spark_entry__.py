@@ -91,6 +91,11 @@ _GATE_ORDER = (
     "dedup_clusters", "random_walks_weighted", "clique_percolation",
     "neighborhood_function", "louvain_multilevel", "bowtie", "hits", "mst",
     "coreness_incremental",
+    # continuation-4 gates, cheapest-first by measured sf0.01 cost
+    "phrase_search", "anchor_text", "redirect_resolution",
+    "temporal_reachability", "weighted_betweenness", "influence_max",
+    "leakage_safe_splits", "bridges", "two_edge_components",
+    "articulation_points", "biconnected_blocks",
 )
 
 

@@ -96,6 +96,9 @@ _GATE_ORDER = (
     "temporal_reachability", "weighted_betweenness", "influence_max",
     "leakage_safe_splits", "bridges", "two_edge_components",
     "articulation_points", "biconnected_blocks",
+    # continuation-5 gates (TPC-H completion), cheapest-first
+    "tpch_q15", "tpch_q20", "tpch_q21", "tpch_q11", "tpch_q9", "tpch_q16",
+    "tpch_q8", "tpch_q7", "tpch_q2",
 )
 
 

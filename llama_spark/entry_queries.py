@@ -7437,3 +7437,531 @@ FROM nodes n LEFT JOIN (
 
 ORACLE["weighted_betweenness"] = _wbc_sql()
 QUERIES["weighted_betweenness"] = q_weighted_betweenness
+
+
+# ------------------------------------------- TPC-H completion (q2 q7 q8
+# q9 q11 q15 q16 q20 q21) — the remaining nine of the 22, adapted where
+# the synthetic schema lacks a table/column (no partsupp, no
+# l_commitdate/l_receiptdate, no comment columns; each docstring states
+# the stand-in). With these the full TPC-H query-shape suite is gated.
+
+
+def _dec(c):
+    return F.col(c).cast("decimal(18,4)")
+
+
+def _disc_price(price="l_extendedprice", disc="l_discount"):
+    return (
+        _dec(price) * (F.lit(1).cast("decimal(18,4)") - _dec(disc))
+    ).cast("decimal(28,8)")
+
+
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part): correlated-min over a
+    part→supplier relation. Adapted: no partsupp — the supply relation is
+    DISTINCT (l_partkey, l_suppkey) from lineitem, and s_acctbal stands in
+    for ps_supplycost (the correlated MIN target). Dims broadcast; the
+    per-part MIN is a groupBy re-joined on (partkey, bal) — the classic
+    decorrelation Catalyst would emit for the subquery."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(F.col("p_size") == 15)
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    supply = li.select("l_partkey", "l_suppkey").distinct()
+    eu = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        supply.join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+    min_bal = cand.groupBy(F.col("p_partkey").alias("mb_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            F.broadcast(min_bal),
+            (cand["p_partkey"] == min_bal["mb_partkey"])
+            & (cand["s_acctbal"] == min_bal["min_bal"]),
+        )
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+ORACLE["tpch_q2"] = """
+WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eu AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+       FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'EUROPE')
+SELECT p.p_partkey, e.s_suppkey, e.s_name, e.n_name,
+       ROUND(e.s_acctbal, 2) AS s_acctbal
+FROM part p JOIN supply sp ON sp.l_partkey = p.p_partkey
+JOIN eu e ON e.s_suppkey = sp.l_suppkey
+WHERE p.p_size = 15
+  AND e.s_acctbal = (SELECT MIN(e2.s_acctbal) FROM supply sp2
+                     JOIN eu e2 ON e2.s_suppkey = sp2.l_suppkey
+                     WHERE sp2.l_partkey = p.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""
+
+QUERIES["tpch_q2"] = q_tpch_q2
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between two trade partners):
+    fact⨝fact⨝4-dim join, directional (supplier-side, customer-side)
+    grouping by shipment year. Adapted: the nation pair is widened to the
+    ASIA↔EUROPE region pair (the synthetic 100-supplier table is too thin
+    for a single nation pair at small SF); grouping stays at nation grain
+    so the directional-pair shape is intact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n1 = nat.join(reg, nat["n_regionkey"] == reg["r_regionkey"]).select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"),
+        F.col("r_name").alias("supp_region"),
+    )
+    n2 = nat.join(reg, nat["n_regionkey"] == reg["r_regionkey"]).select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("r_name").alias("cust_region"),
+    )
+    pair = (F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE")
+    rpair = (F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), sup["s_nationkey"] == F.col("s_nk"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nk"))
+        .filter(pair | rpair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(_disc_price()).cast("double"), 4).alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+ORACLE["tpch_q7"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       ROUND(CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(28,8))) AS DOUBLE), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+    OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3"""
+
+QUERIES["tpch_q7"] = q_tpch_q7
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): 8-way join, share =
+    conditional-sum / total-sum per order year — the canonical
+    ratio-of-aggregates over a CASE split. Decimal-exact numerator and
+    denominator; the division is the only float step (deterministic on
+    exact operands in both engines)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    am_nat = nat.join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"]).select(
+        F.col("n_nationkey").alias("c_nk")
+    )
+    sup_nat = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(am_nat), cust["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(sup_nat), sup["s_nationkey"] == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _disc_price().alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,8)")
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                    zero
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+ORACLE["tpch_q8"] = """
+WITH vol AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+              * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+              AS DECIMAL(28,8)) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  JOIN region r ON n2.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM vol GROUP BY o_year"""
+
+QUERIES["tpch_q8"] = q_tpch_q8
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year): LIKE
+    filter on the part dim, 5-way join, profit = revenue − cost. Adapted:
+    no partsupp.ps_supplycost — unit cost stands in as 60% of
+    p_retailprice (exact at DECIMAL scale 8, so the aggregate is
+    bit-stable across engines)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_name").like("%widget%")
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cost = (
+        F.lit(0.6).cast("decimal(18,4)")
+        * F.col("p_retailprice").cast("decimal(18,4)")
+        * _dec("l_quantity")
+    ).cast("decimal(28,8)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(_disc_price() - cost).cast("double"), 4).alias(
+                "sum_profit"
+            )
+        )
+    )
+
+
+ORACLE["tpch_q9"] = """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(28,8))
+              - CAST(CAST(0.6 AS DECIMAL(18,4))
+                     * CAST(p.p_retailprice AS DECIMAL(18,4))
+                     * CAST(l.l_quantity AS DECIMAL(18,4))
+                AS DECIMAL(28,8))) AS DOUBLE), 4) AS sum_profit
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2"""
+
+QUERIES["tpch_q9"] = q_tpch_q9
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-key value sum filtered by a
+    scalar-subquery fraction of the grand total. Adapted: no partsupp —
+    value is the summed l_extendedprice of lines shipped by ASIA-region
+    suppliers, per part; threshold 0.1% of the total. The grand total is
+    a 1-row aggregate cross-joined into the filter (the decorrelated
+    plan); sums are decimal-exact, only the final threshold compare is
+    float."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nsup = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(nsup), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
+    )
+    total = val.agg(F.sum("value_dec").cast("double").alias("grand_total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("grand_total") * 0.001)
+        .select("l_partkey", F.round(F.col("value_dec").cast("double"), 4).alias("value"))
+    )
+
+
+ORACLE["tpch_q11"] = """
+WITH nsup AS (SELECT s_suppkey FROM supplier s
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'ASIA'),
+val AS (SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS value
+        FROM lineitem l JOIN nsup ns ON l.l_suppkey = ns.s_suppkey
+        GROUP BY l.l_partkey)
+SELECT l_partkey, ROUND(CAST(value AS DOUBLE), 4) AS value FROM val
+WHERE CAST(value AS DOUBLE) > (SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM val)"""
+
+QUERIES["tpch_q11"] = q_tpch_q11
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): revenue view over one quarter,
+    then suppliers whose revenue equals MAX(revenue) — the
+    scalar-subquery-equality pattern. Revenue is decimal-exact so the
+    equality is safe across engines; the max is a 1-row aggregate
+    cross-joined into the filter."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 4).alias("total_revenue"),
+        )
+    )
+
+
+ORACLE["tpch_q15"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+             AS DECIMAL(28,8))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, ROUND(CAST(r.total_rev AS DOUBLE), 4) AS total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)"""
+
+QUERIES["tpch_q15"] = q_tpch_q15
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (supplier count by part attributes): distinct
+    part→supplier pairs, NOT-IN exclusion subquery, COUNT(DISTINCT) per
+    (brand, type, size) over an IN-list size filter. Adapted: pairs come
+    from lineitem (no partsupp); 'complaint' suppliers (excluded by the
+    NOT IN) are those with negative account balance (no s_comment).
+    The NOT IN is an anti-join (keys are non-null)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 3, 5, 9, 15, 25, 40, 49)
+    )
+    bad = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad), pairs["l_suppkey"] == bad["s_suppkey"], "left_anti"
+        )
+        .join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+ORACLE["tpch_q16"] = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs pr JOIN part p ON pr.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 3, 5, 9, 15, 25, 40, 49)
+  AND pr.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3"""
+
+QUERIES["tpch_q16"] = q_tpch_q16
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape (excess-stock suppliers): nested IN subqueries —
+    suppliers IN (shipped-enough-of-part set), parts IN (name-prefix
+    set), region filter on the outer. Adapted: no partsupp.ps_availqty —
+    'enough' is SUM(l_quantity) > 25 per (supplier, part) over parts
+    named 'red%'. Both INs become semi-joins; the HAVING runs on the
+    shuffled (suppkey, partkey) aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    red = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "AFRICA"
+    )
+    enough = (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"], "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 25)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .join(enough, sup["s_suppkey"] == enough["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+ORACLE["tpch_q20"] = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AFRICA'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    GROUP BY l.l_suppkey, l.l_partkey HAVING SUM(l.l_quantity) > 25)"""
+
+QUERIES["tpch_q20"] = q_tpch_q20
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS/NOT-EXISTS double-correlation — late lines on finished
+    multi-supplier orders where this supplier was the ONLY late one.
+    Adapted: no l_receiptdate/l_commitdate — 'late' is shipped more than
+    60 days after the order date. EXISTS → left-semi, NOT EXISTS →
+    left-anti, both on (same order, different supplier); counts stay at
+    line grain like the reference query."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    late = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    ).distinct()
+    late_set = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    ).distinct()
+    waited = (
+        late.join(
+            others,
+            (late["l_orderkey"] == others["o2_orderkey"])
+            & (late["l_suppkey"] != others["o2_suppkey"]),
+            "left_semi",
+        )
+        .join(
+            late_set,
+            (late["l_orderkey"] == late_set["l3_orderkey"])
+            & (late["l_suppkey"] != late_set["l3_suppkey"]),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(sup), waited["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+ORACLE["tpch_q21"] = """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1 JOIN orders o ON l1.l_orderkey = o.o_orderkey
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name"""
+
+QUERIES["tpch_q21"] = q_tpch_q21

@@ -98,7 +98,7 @@ _GATE_ORDER = (
     "articulation_points", "biconnected_blocks",
     # continuation-5 gates (TPC-H completion), cheapest-first
     "tpch_q15", "tpch_q20", "tpch_q21", "tpch_q11", "tpch_q9", "tpch_q16",
-    "tpch_q8", "tpch_q7", "tpch_q2",
+    "tpch_q8", "tpch_q7", "tpch_q2", "vertex_cover", "avg_distance",
 )
 
 

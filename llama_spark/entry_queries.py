@@ -7965,3 +7965,35 @@ WHERE o.o_orderstatus = 'F'
 GROUP BY s.s_name"""
 
 QUERIES["tpch_q21"] = q_tpch_q21
+
+
+def q_avg_distance(spark, sf_dir):
+    """ANF mean distance — Σ t·ΔN̂(t) over the reach gains, from the same
+    rounded estimates as the neighborhood_function gate."""
+    from .operators.anf import average_distance
+
+    return average_distance(load_edges(spark, sf_dir), max_t=ANF_T, registers=ANF_R)
+
+
+ORACLE["avg_distance"] = f"""
+WITH anf AS ({_anf_sql()}),
+g AS (SELECT t, avg_reach - lag(avg_reach) OVER (ORDER BY t) AS gain FROM anf)
+SELECT ROUND(SUM(CAST(t AS DOUBLE) * gain) / SUM(gain), 6) AS avg_distance
+FROM g WHERE t >= 1"""
+QUERIES["avg_distance"] = q_avg_distance
+
+
+def q_vertex_cover(spark, sf_dir):
+    """2-approx vertex cover = endpoints of the maximal matching."""
+    from .operators.matching import vertex_cover
+
+    return vertex_cover(load_edges(spark, sf_dir))
+
+
+ORACLE["vertex_cover"] = f"""
+SELECT DISTINCT id FROM (
+  SELECT src AS id FROM ({_matching_sql()})
+  UNION ALL
+  SELECT dst AS id FROM ({_matching_sql()})
+)"""
+QUERIES["vertex_cover"] = q_vertex_cover

@@ -326,3 +326,34 @@ def hyperball_eccentricity(
     return _hyperball_centralities(
         edges, max_t=max_t, registers=registers, num_partitions=num_partitions
     ).select("id", "eccentricity")
+
+
+def average_distance(
+    edges: DataFrame,
+    max_t: int = 6,
+    registers: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-row DataFrame[avg_distance] — the ANF mean-distance estimate
+    (Palmer, Gibbons & Faloutsos 2002 §4: "the average distance"):
+
+        Σ_t t · (N̂(t) − N̂(t−1)) / (N̂(max_t) − N̂(0))
+
+    computed from the SAME 6-dp-rounded per-hop reach estimates the
+    neighborhood-function gate emits, so the compose is engine-exact.
+    Pure composition — the sketch fixpoint does all the distributed work;
+    this adds one lag-window over a (max_t+1)-row frame."""
+    from pyspark.sql import Window
+
+    nf = neighborhood_function(
+        edges, max_t=max_t, registers=registers, num_partitions=num_partitions
+    )
+    w = Window.orderBy("t")
+    gains = nf.select(
+        "t", (F.col("avg_reach") - F.lag("avg_reach").over(w)).alias("gain")
+    ).filter(F.col("t") >= 1)
+    return gains.agg(
+        F.round(
+            F.sum(F.col("t").cast("double") * F.col("gain")) / F.sum("gain"), 6
+        ).alias("avg_distance")
+    )

@@ -234,3 +234,18 @@ def maximal_weight_matching(
     for p in matched_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def vertex_cover(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """DataFrame[id] — 2-approximate minimum vertex cover: both endpoints
+    of every maximal-matching edge (Gavril/Yannakakis). Maximality makes
+    it a cover (an uncovered edge could still be matched); it is ≤ 2×
+    optimal because any cover must pick ≥ 1 endpoint of each matched
+    edge. Pure composition over the matching kernel — the endpoints
+    union is one projection, always exactly 2·|M| distinct ids."""
+    m = maximal_matching(edges, max_rounds=max_rounds)
+    return (
+        m.select(F.col(SRC).alias("id"))
+        .unionByName(m.select(F.col(DST).alias("id")))
+        .distinct()
+    )

@@ -61,3 +61,42 @@ def test_tpch_q15_max_revenue_equality(spark):
     the decimal-exact equality the gate relies on."""
     rows = QUERIES["tpch_q15"](spark, SF).collect()
     assert len({round(r["total_revenue"], 4) for r in rows}) == 1
+
+
+# ---- ANF average distance + vertex cover composes ----
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_average_distance_composes_from_neighborhood_function(spark):
+    """avg_distance must equal the hand-computed Σ t·gain / Σ gain over
+    the neighborhood_function rows (same graph, same sketch params)."""
+    from llama_spark.operators.anf import average_distance, neighborhood_function
+
+    pairs = [(i, i + 1) for i in range(12)] + [(3, 9), (0, 6)]
+    nf = sorted(
+        (r["t"], r["avg_reach"])
+        for r in neighborhood_function(_edges(spark, pairs), max_t=5).collect()
+    )
+    gains = [(t, nf[i + 1][1] - nf[i][1]) for i, (t, _) in enumerate(nf[:-1])]
+    want = round(
+        sum((t + 1) * g for t, g in gains) / sum(g for _, g in gains), 6
+    )
+    got = average_distance(_edges(spark, pairs), max_t=5).collect()[0][
+        "avg_distance"
+    ]
+    assert got == pytest.approx(want, abs=1e-9)
+    assert 1.0 <= got <= 5.0  # a path's mean distance is within hop range
+
+
+def test_vertex_cover_covers_every_edge_and_is_2x_matching(spark):
+    from llama_spark.operators.matching import maximal_matching, vertex_cover
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (2, 5), (6, 7)]
+    cover = {r["id"] for r in vertex_cover(_edges(spark, pairs)).collect()}
+    m = maximal_matching(_edges(spark, pairs)).collect()
+    assert len(cover) == 2 * len(m)
+    for u, v in pairs:
+        assert u in cover or v in cover, f"edge ({u},{v}) uncovered"

@@ -7997,3 +7997,156 @@ SELECT DISTINCT id FROM (
   SELECT dst AS id FROM ({_matching_sql()})
 )"""
 QUERIES["vertex_cover"] = q_vertex_cover
+
+
+# ------------------------------------------- s-t max-flow / min-cut
+
+FLOW_AUG = 8        # augmentation budget (λ(s,t) = 4 on the gate graph)
+FLOW_DEPTH = 16     # final-BFS reach unroll (measured ecc 14 at sf0.01)
+FLOW_BFS_UNROLL = 12  # per-augmentation BFS unroll (max path depth 9)
+
+FLOW_EDGES_SQL = f"""
+  SELECT DISTINCT l_orderkey % {MODULUS} AS src, l_partkey % {MODULUS} AS dst
+  FROM lineitem
+  WHERE l_linenumber = 2 AND l_orderkey % {MODULUS} <> l_partkey % {MODULUS}
+"""
+
+
+def flow_edges(spark, sf_dir):
+    """Sparser deterministic edge table for the flow gate (second line
+    per order): avg out-degree ~2.3 at sf0.01, so λ(s,t) stays in single
+    digits (measured 4) and Edmonds–Karp converges inside the unroll
+    budget with ~40 total BFS levels."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_linenumber") == 2)
+        .select(
+            (F.col("l_orderkey") % MODULUS).alias("src"),
+            (F.col("l_partkey") % MODULUS).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_max_flow(spark, sf_dir):
+    """Unit-capacity Edmonds–Karp between the top out-degree hub (s) and
+    the top in-degree hub (t ≠ s, min-id tie-breaks): 1 row
+    (max_flow, converged, s_side, cut_edges); cut_edges == max_flow at
+    convergence is Menger's theorem landing in the artifact."""
+    from .operators.flow import max_flow_summary
+
+    edges = flow_edges(spark, sf_dir).persist()
+    s = (
+        edges.groupBy("src")
+        .count()
+        .orderBy(F.desc("count"), F.asc("src"))
+        .limit(1)
+        .collect()[0]["src"]
+    )
+    t = (
+        edges.filter(F.col("dst") != s)
+        .groupBy("dst")
+        .count()
+        .orderBy(F.desc("count"), F.asc("dst"))
+        .limit(1)
+        .collect()[0]["dst"]
+    )
+    out = max_flow_summary(
+        edges, int(s), int(t), max_augment=FLOW_AUG, max_depth=FLOW_DEPTH
+    )
+    edges.unpersist()
+    return out
+
+
+def _max_flow_sql() -> str:
+    S = "(SELECT s FROM ssel)"
+    T = "(SELECT t FROM tsel)"
+    ctes = [
+        f"fedges AS MATERIALIZED ({FLOW_EDGES_SQL})",
+        "ssel AS (SELECT a AS s FROM (SELECT src AS a, COUNT(*) AS c "
+        "FROM fedges GROUP BY src) ORDER BY c DESC, a LIMIT 1)",
+        f"tsel AS (SELECT b AS t FROM (SELECT dst AS b, COUNT(*) AS c "
+        f"FROM fedges WHERE dst <> {S} GROUP BY dst) ORDER BY c DESC, b LIMIT 1)",
+        "res1 AS MATERIALIZED (SELECT src AS a, dst AS b, 1 AS cap FROM fedges)",
+    ]
+    for k in range(1, FLOW_AUG + 1):
+        ctes.append(
+            f"f{k}_0 AS (SELECT {S} AS id, CAST(NULL AS BIGINT) AS parent)"
+        )
+        ctes.append(f"r{k}_0 AS (SELECT id FROM f{k}_0)")
+        for d in range(1, FLOW_BFS_UNROLL + 1):
+            ctes.append(
+                f"""f{k}_{d} AS MATERIALIZED (
+  SELECT c.b AS id, MIN(c.a) AS parent
+  FROM res{k} c JOIN f{k}_{d-1} f ON c.a = f.id
+  WHERE c.cap > 0 AND c.b NOT IN (SELECT id FROM r{k}_{d-1})
+  GROUP BY c.b)"""
+            )
+            ctes.append(
+                f"r{k}_{d} AS MATERIALIZED (SELECT id FROM r{k}_{d-1} "
+                f"UNION ALL SELECT id FROM f{k}_{d})"
+            )
+        pm_union = " UNION ALL ".join(
+            f"SELECT id, parent FROM f{k}_{d}"
+            for d in range(0, FLOW_BFS_UNROLL + 1)
+        )
+        ctes.append(f"pm{k} AS MATERIALIZED ({pm_union})")
+        ctes.append(
+            f"p{k}_1 AS (SELECT id, parent FROM pm{k} WHERE id = {T})"
+        )
+        for i in range(2, FLOW_BFS_UNROLL + 1):
+            ctes.append(
+                f"p{k}_{i} AS (SELECT m.id, m.parent FROM pm{k} m "
+                f"JOIN p{k}_{i-1} q ON m.id = q.parent)"
+            )
+        path_union = " UNION ALL ".join(
+            f"SELECT id, parent FROM p{k}_{i}"
+            for i in range(1, FLOW_BFS_UNROLL + 1)
+        )
+        ctes.append(
+            f"""path{k} AS MATERIALIZED (
+  SELECT parent AS pa, id AS pb FROM ({path_union}) WHERE parent IS NOT NULL)"""
+        )
+        ctes.append(
+            f"""res{k+1} AS MATERIALIZED (
+  SELECT a, b, SUM(cap) AS cap FROM (
+    SELECT a, b, cap FROM res{k}
+    UNION ALL SELECT pa AS a, pb AS b, -1 AS cap FROM path{k}
+    UNION ALL SELECT pb AS a, pa AS b, 1 AS cap FROM path{k}
+  ) u GROUP BY a, b HAVING SUM(cap) > 0)"""
+        )
+    # final reach BFS on the converged residual, FLOW_DEPTH levels
+    RK = FLOW_AUG + 1
+    ctes.append(f"fF_0 AS (SELECT {S} AS id)")
+    ctes.append(f"rF_0 AS (SELECT id FROM fF_0)")
+    for d in range(1, FLOW_DEPTH + 1):
+        ctes.append(
+            f"""fF_{d} AS MATERIALIZED (
+  SELECT DISTINCT c.b AS id
+  FROM res{RK} c JOIN fF_{d-1} f ON c.a = f.id
+  WHERE c.cap > 0 AND c.b NOT IN (SELECT id FROM rF_{d-1}))"""
+        )
+        ctes.append(
+            f"rF_{d} AS MATERIALIZED (SELECT id FROM rF_{d-1} "
+            f"UNION ALL SELECT id FROM fF_{d})"
+        )
+    RF = f"rF_{FLOW_DEPTH}"
+    flow_union = " UNION ALL ".join(
+        f"SELECT 1 AS x FROM p{k}_1" for k in range(1, FLOW_AUG + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST((SELECT COUNT(*) FROM ({flow_union})) AS BIGINT) AS max_flow,
+       (SELECT COUNT(*) FROM {RF} WHERE id = {T}) = 0 AS converged,
+       CAST((SELECT COUNT(*) FROM {RF}) AS BIGINT) AS s_side,
+       CAST((SELECT COUNT(*) FROM fedges e
+             WHERE e.src IN (SELECT id FROM {RF})
+               AND e.dst NOT IN (SELECT id FROM {RF})) AS BIGINT) AS cut_edges"""
+    )
+
+
+ORACLE["max_flow"] = _max_flow_sql()
+QUERIES["max_flow"] = q_max_flow

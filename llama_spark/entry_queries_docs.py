@@ -3055,3 +3055,49 @@ SELECT doc_id, cluster, bucket,
             ELSE 'test' END AS split
 FROM bk"""
 DOCS_QUERIES["leakage_safe_splits"] = q_leakage_safe_splits
+
+
+# ------------------------------------------- Count-Min sketch
+
+CMS_D = 4
+CMS_W = 512
+
+
+def q_cms_token_counts(spark, sf_dir):
+    """Exact top-20 tokens with their Count-Min estimates — n_est ≥ n
+    (the CMS one-sided bound) is visible in the artifact."""
+    from .functions.sketch import cms_token_estimates
+
+    return cms_token_estimates(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        depth=CMS_D,
+        width=CMS_W,
+        k=TOP_TOKENS_K,
+    )
+
+
+def _cms_sql() -> str:
+    lane_cols = lambda r: HASH.format(f"tok || ':cms{r}'") + f" % {CMS_W}"
+    counter_union = " UNION ALL ".join(
+        f"SELECT {r} AS row, {lane_cols(r)} AS col FROM toks"
+        for r in range(CMS_D)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT tok, n, {r} AS row, {lane_cols(r)} AS col FROM top"
+        for r in range(CMS_D)
+    )
+    return f"""
+WITH toks AS MATERIALIZED ({TOKS_SQL}),
+counters AS MATERIALIZED (
+  SELECT row, col, COUNT(*) AS c FROM ({counter_union}) GROUP BY row, col),
+top AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+  ORDER BY n DESC, tok ASC LIMIT {TOP_TOKENS_K}),
+probes AS ({probe_union})
+SELECT q.tok, q.n, MIN(c.c) AS n_est
+FROM probes q JOIN counters c ON c.row = q.row AND c.col = q.col
+GROUP BY q.tok, q.n"""
+
+
+DOCS_ORACLE["cms_token_counts"] = _cms_sql()
+DOCS_QUERIES["cms_token_counts"] = q_cms_token_counts

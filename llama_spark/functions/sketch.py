@@ -220,3 +220,60 @@ def hll_distinct_tokens(documents: DataFrame, p: int = HLL_P) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+def cms_counters(
+    documents: DataFrame, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """DataFrame[row, col, c] — Count-Min sketch of corpus token
+    frequencies (Cormode & Muthukrishnan 2005): ``depth`` independent
+    md5-derived hash lanes × ``width`` counters. The groupBy(row, col) is
+    map-side combined, so at most depth·width rows per partition reach
+    the shuffle regardless of corpus size — the fixed-size mergeable
+    summary that answers point frequency queries with an ε = e/width
+    one-sided (over-)estimate. Deterministic lanes (tok ‖ ':cms{r}'
+    md5) → exactly replicable in ANSI SQL, like kmv_distinct."""
+    toks = tokenize(documents)
+    lanes = [
+        toks.select(
+            F.lit(r).alias("row"),
+            (
+                token_hash(F.concat(F.col("tok"), F.lit(f":cms{r}"))) % width
+            ).alias("col"),
+        )
+        for r in range(depth)
+    ]
+    out = lanes[0]
+    for l in lanes[1:]:
+        out = out.unionByName(l)
+    return out.groupBy("row", "col").agg(F.count("*").alias("c"))
+
+
+def cms_token_estimates(
+    documents: DataFrame, depth: int = 4, width: int = 512, k: int = 20
+) -> DataFrame:
+    """DataFrame[tok, n, n_est] — the exact top-k tokens with their
+    Count-Min estimates (n_est = MIN over lanes ≥ n, the CMS one-sided
+    guarantee landing in the gate artifact). The counter table
+    (≤ depth·width rows) broadcasts into the probe join."""
+    counters = cms_counters(documents, depth=depth, width=width)
+    top = top_tokens(documents, k=k)
+    probes = [
+        top.select(
+            "tok",
+            "n",
+            F.lit(r).alias("row"),
+            (
+                token_hash(F.concat(F.col("tok"), F.lit(f":cms{r}"))) % width
+            ).alias("col"),
+        )
+        for r in range(depth)
+    ]
+    q = probes[0]
+    for pr in probes[1:]:
+        q = q.unionByName(pr)
+    return (
+        q.join(F.broadcast(counters), ["row", "col"])
+        .groupBy("tok", "n")
+        .agg(F.min("c").alias("n_est"))
+    )

@@ -100,3 +100,46 @@ def test_vertex_cover_covers_every_edge_and_is_2x_matching(spark):
     assert len(cover) == 2 * len(m)
     for u, v in pairs:
         assert u in cover or v in cover, f"edge ({u},{v}) uncovered"
+
+
+# ---- Count-Min sketch ----
+
+
+def test_cms_estimates_match_model_and_overestimate(spark):
+    """Exact replay of the md5 lanes in python; n_est ≥ n always, and
+    with a wide sketch (no collisions among these tokens) n_est == n."""
+    import hashlib
+    from collections import Counter
+
+    from llama_spark.functions.sketch import cms_token_estimates
+
+    docs = [
+        (0, "alpha beta gamma alpha"),
+        (1, "beta beta delta"),
+        (2, "alpha epsilon zeta beta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def lane(tok, r, w):
+        return int(hashlib.md5(f"{tok}:cms{r}".encode()).hexdigest()[:15], 16) % w
+
+    toks = [t for _, s in docs for t in s.lower().split()]
+    exact = Counter(toks)
+
+    for width in (4, 4096):  # tiny → collisions; wide → exact
+        counters = Counter()
+        for t in toks:
+            for r in range(4):
+                counters[(r, lane(t, r, width))] += 1
+        got = {
+            r["tok"]: (r["n"], r["n_est"])
+            for r in cms_token_estimates(df, depth=4, width=width, k=10).collect()
+        }
+        assert set(got) == set(exact)
+        for t, (n, n_est) in got.items():
+            assert n == exact[t]
+            want_est = min(counters[(r, lane(t, r, width))] for r in range(4))
+            assert n_est == want_est
+            assert n_est >= n  # CMS one-sided guarantee
+        if width == 4096:
+            assert all(n_est == n for n, n_est in got.values())

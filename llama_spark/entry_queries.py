@@ -8059,23 +8059,35 @@ def q_max_flow(spark, sf_dir):
     return out
 
 
-def _max_flow_sql() -> str:
+def _flow_sql(
+    edges_sql: str,
+    cap_sql: str,
+    aug: int,
+    bfs_unroll: int,
+    depth: int,
+) -> str:
+    """Full Edmonds-Karp unrolled in SQL: ``aug`` augmentations, each a
+    ``bfs_unroll``-level min-parent residual BFS + parent walk + residual
+    update by the path bottleneck, then a ``depth``-level final reach
+    BFS. ``cap_sql`` is the integer capacity as an expression of
+    (src, dst) — '1' for the unit/edge-connectivity case."""
     S = "(SELECT s FROM ssel)"
     T = "(SELECT t FROM tsel)"
     ctes = [
-        f"fedges AS MATERIALIZED ({FLOW_EDGES_SQL})",
+        f"fedges AS MATERIALIZED (SELECT src, dst, {cap_sql} AS cap "
+        f"FROM ({edges_sql}))",
         "ssel AS (SELECT a AS s FROM (SELECT src AS a, COUNT(*) AS c "
         "FROM fedges GROUP BY src) ORDER BY c DESC, a LIMIT 1)",
         f"tsel AS (SELECT b AS t FROM (SELECT dst AS b, COUNT(*) AS c "
         f"FROM fedges WHERE dst <> {S} GROUP BY dst) ORDER BY c DESC, b LIMIT 1)",
-        "res1 AS MATERIALIZED (SELECT src AS a, dst AS b, 1 AS cap FROM fedges)",
+        "res1 AS MATERIALIZED (SELECT src AS a, dst AS b, cap FROM fedges)",
     ]
-    for k in range(1, FLOW_AUG + 1):
+    for k in range(1, aug + 1):
         ctes.append(
             f"f{k}_0 AS (SELECT {S} AS id, CAST(NULL AS BIGINT) AS parent)"
         )
         ctes.append(f"r{k}_0 AS (SELECT id FROM f{k}_0)")
-        for d in range(1, FLOW_BFS_UNROLL + 1):
+        for d in range(1, bfs_unroll + 1):
             ctes.append(
                 f"""f{k}_{d} AS MATERIALIZED (
   SELECT c.b AS id, MIN(c.a) AS parent
@@ -8088,39 +8100,41 @@ def _max_flow_sql() -> str:
                 f"UNION ALL SELECT id FROM f{k}_{d})"
             )
         pm_union = " UNION ALL ".join(
-            f"SELECT id, parent FROM f{k}_{d}"
-            for d in range(0, FLOW_BFS_UNROLL + 1)
+            f"SELECT id, parent FROM f{k}_{d}" for d in range(0, bfs_unroll + 1)
         )
         ctes.append(f"pm{k} AS MATERIALIZED ({pm_union})")
         ctes.append(
             f"p{k}_1 AS (SELECT id, parent FROM pm{k} WHERE id = {T})"
         )
-        for i in range(2, FLOW_BFS_UNROLL + 1):
+        for i in range(2, bfs_unroll + 1):
             ctes.append(
                 f"p{k}_{i} AS (SELECT m.id, m.parent FROM pm{k} m "
                 f"JOIN p{k}_{i-1} q ON m.id = q.parent)"
             )
         path_union = " UNION ALL ".join(
-            f"SELECT id, parent FROM p{k}_{i}"
-            for i in range(1, FLOW_BFS_UNROLL + 1)
+            f"SELECT id, parent FROM p{k}_{i}" for i in range(1, bfs_unroll + 1)
         )
         ctes.append(
             f"""path{k} AS MATERIALIZED (
   SELECT parent AS pa, id AS pb FROM ({path_union}) WHERE parent IS NOT NULL)"""
         )
         ctes.append(
+            f"""bot{k} AS (
+  SELECT MIN(r.cap) AS b FROM path{k} p
+  JOIN res{k} r ON r.a = p.pa AND r.b = p.pb)"""
+        )
+        ctes.append(
             f"""res{k+1} AS MATERIALIZED (
   SELECT a, b, SUM(cap) AS cap FROM (
     SELECT a, b, cap FROM res{k}
-    UNION ALL SELECT pa AS a, pb AS b, -1 AS cap FROM path{k}
-    UNION ALL SELECT pb AS a, pa AS b, 1 AS cap FROM path{k}
+    UNION ALL SELECT pa AS a, pb AS b, -(SELECT b FROM bot{k}) AS cap FROM path{k}
+    UNION ALL SELECT pb AS a, pa AS b, (SELECT b FROM bot{k}) AS cap FROM path{k}
   ) u GROUP BY a, b HAVING SUM(cap) > 0)"""
         )
-    # final reach BFS on the converged residual, FLOW_DEPTH levels
-    RK = FLOW_AUG + 1
+    RK = aug + 1
     ctes.append(f"fF_0 AS (SELECT {S} AS id)")
-    ctes.append(f"rF_0 AS (SELECT id FROM fF_0)")
-    for d in range(1, FLOW_DEPTH + 1):
+    ctes.append("rF_0 AS (SELECT id FROM fF_0)")
+    for d in range(1, depth + 1):
         ctes.append(
             f"""fF_{d} AS MATERIALIZED (
   SELECT DISTINCT c.b AS id
@@ -8131,22 +8145,92 @@ def _max_flow_sql() -> str:
             f"rF_{d} AS MATERIALIZED (SELECT id FROM rF_{d-1} "
             f"UNION ALL SELECT id FROM fF_{d})"
         )
-    RF = f"rF_{FLOW_DEPTH}"
-    flow_union = " UNION ALL ".join(
-        f"SELECT 1 AS x FROM p{k}_1" for k in range(1, FLOW_AUG + 1)
+    RF = f"rF_{depth}"
+    bot_union = " UNION ALL ".join(
+        f"SELECT b FROM bot{k}" for k in range(1, aug + 1)
     )
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT CAST((SELECT COUNT(*) FROM ({flow_union})) AS BIGINT) AS max_flow,
+SELECT CAST((SELECT COALESCE(SUM(b), 0) FROM ({bot_union})) AS BIGINT) AS max_flow,
        (SELECT COUNT(*) FROM {RF} WHERE id = {T}) = 0 AS converged,
        CAST((SELECT COUNT(*) FROM {RF}) AS BIGINT) AS s_side,
        CAST((SELECT COUNT(*) FROM fedges e
              WHERE e.src IN (SELECT id FROM {RF})
-               AND e.dst NOT IN (SELECT id FROM {RF})) AS BIGINT) AS cut_edges"""
+               AND e.dst NOT IN (SELECT id FROM {RF})) AS BIGINT) AS cut_edges,
+       CAST((SELECT COALESCE(SUM(e.cap), 0) FROM fedges e
+             WHERE e.src IN (SELECT id FROM {RF})
+               AND e.dst NOT IN (SELECT id FROM {RF})) AS BIGINT) AS cut_capacity"""
     )
 
 
-ORACLE["max_flow"] = _max_flow_sql()
+ORACLE["max_flow"] = _flow_sql(
+    FLOW_EDGES_SQL, "1", FLOW_AUG, FLOW_BFS_UNROLL, FLOW_DEPTH
+)
 QUERIES["max_flow"] = q_max_flow
+
+
+# weighted variant: integer capacities 1..4 as a pure (src, dst) formula,
+# on a smaller deterministic subgraph (model: 2 augmentations, bottleneck
+# 2 each -> flow 4 over a 2-edge cut of capacity 4 at sf0.01)
+FLOW_W_AUG = 6
+FLOW_W_DEPTH = 8
+FLOW_W_BFS_UNROLL = 8
+FLOW_W_CAP_SQL = "1 + (src * 31 + dst) % 4"
+
+FLOW_W_EDGES_SQL = f"""
+  SELECT DISTINCT l_orderkey % {MODULUS} AS src, l_partkey % {MODULUS} AS dst
+  FROM lineitem
+  WHERE l_linenumber = 3 AND l_orderkey % 2 = 0
+    AND l_orderkey % {MODULUS} <> l_partkey % {MODULUS}
+"""
+
+
+def q_max_flow_weighted(spark, sf_dir):
+    """Integer-capacity Edmonds-Karp on the small deterministic subgraph:
+    cut_capacity == max_flow (weighted Menger) with cut_edges < max_flow
+    in the artifact — the capacities, not the edge count, bound the flow."""
+    from .operators.flow import max_flow_summary
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        li.filter((F.col("l_linenumber") == 3) & (F.col("l_orderkey") % 2 == 0))
+        .select(
+            (F.col("l_orderkey") % MODULUS).alias("src"),
+            (F.col("l_partkey") % MODULUS).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn(
+            "cap", F.lit(1) + F.pmod(F.col("src") * 31 + F.col("dst"), F.lit(4))
+        )
+        .persist()
+    )
+    s = (
+        edges.groupBy("src")
+        .count()
+        .orderBy(F.desc("count"), F.asc("src"))
+        .limit(1)
+        .collect()[0]["src"]
+    )
+    t = (
+        edges.filter(F.col("dst") != s)
+        .groupBy("dst")
+        .count()
+        .orderBy(F.desc("count"), F.asc("dst"))
+        .limit(1)
+        .collect()[0]["dst"]
+    )
+    out = max_flow_summary(
+        edges, int(s), int(t), max_augment=FLOW_W_AUG,
+        max_depth=FLOW_W_DEPTH, capacity_col="cap",
+    )
+    edges.unpersist()
+    return out
+
+
+ORACLE["max_flow_weighted"] = _flow_sql(
+    FLOW_W_EDGES_SQL, FLOW_W_CAP_SQL, FLOW_W_AUG, FLOW_W_BFS_UNROLL, FLOW_W_DEPTH
+)
+QUERIES["max_flow_weighted"] = q_max_flow_weighted

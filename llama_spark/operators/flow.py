@@ -57,7 +57,7 @@ class FlowResult:
     flow: int
     converged: bool
     s_side: DataFrame  # DataFrame[id] — source side of the cut
-    cut_edges: DataFrame  # DataFrame[src, dst] — original crossing edges
+    cut_edges: DataFrame  # DataFrame[src, dst, cap] — original crossing edges
 
 
 def _residual_bfs(
@@ -131,18 +131,29 @@ def max_flow_unit(
     sink: int,
     max_augment: int = 8,
     max_depth: int = 16,
+    capacity_col: str | None = None,
 ) -> FlowResult:
-    """Edmonds–Karp with unit capacities on the directed simple graph.
+    """Edmonds–Karp on the directed simple graph: unit capacities by
+    default, integer capacities via ``capacity_col`` (parallel edges'
+    capacities ADD — multigraph semantics; each augmentation pushes the
+    path bottleneck, read back as a 1-row aggregate).
 
-    ``flow`` = λ(source, sink) when ``converged`` (sink unreached by the
-    final residual BFS within ``max_depth`` levels); otherwise the flow
-    after ``max_augment`` augmentations. ``cut_edges`` is the minimum
-    edge cut (|cut| = flow by max-flow/min-cut) and ``s_side`` the full
+    ``flow`` = the max flow (= λ(source, sink) in the unit case) when
+    ``converged`` (sink unreached by the final residual BFS within
+    ``max_depth`` levels); otherwise the flow after ``max_augment``
+    augmentations. ``cut_edges`` is the minimum cut with original
+    capacities (Σcap = flow by max-flow/min-cut) and ``s_side`` the full
     source-side reach set — both meaningful only when converged (an
     unconverged run reports the reach of its last, sink-hitting BFS)."""
     spark = edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    orig = materialize(drop_self_loops(edges.select(SRC, DST)).distinct())
+    unit = capacity_col is None
+    cap_in = F.lit(1) if unit else F.col(capacity_col).cast("long")
+    orig = materialize(
+        drop_self_loops(edges.select(SRC, DST, cap_in.alias("cap")))
+        .groupBy(SRC, DST)
+        .agg(F.sum("cap").alias("cap"))
+    )
     n_nodes = (
         orig.select(F.col(SRC).alias("id"))
         .unionByName(orig.select(F.col(DST).alias("id")))
@@ -156,7 +167,7 @@ def max_flow_unit(
 
     resid = materialize(
         orig.select(
-            F.col(SRC).alias("a"), F.col(DST).alias("b"), F.lit(1).alias("cap")
+            F.col(SRC).alias("a"), F.col(DST).alias("b"), F.col("cap")
         ).repartition(p, "a")
     )
     root = spark.createDataFrame(
@@ -189,6 +200,18 @@ def max_flow_unit(
                 cur.select(F.col("parent").alias("id")), "id"
             ).select("id", "parent")
         path = materialize(_union(pparts).filter(F.col("pa").isNotNull()))
+        if unit:
+            bottleneck = 1  # unit caps — no job needed
+        else:
+            # path bottleneck: 1-row aggregate over path⨝residual caps
+            bottleneck = int(
+                path.join(
+                    resid,
+                    (resid["a"] == path["pa"]) & (resid["b"] == path["pb"]),
+                )
+                .agg(F.min("cap"))
+                .collect()[0][0]
+            )
 
         upd = (
             resid.select("a", "b", "cap")
@@ -196,14 +219,14 @@ def max_flow_unit(
                 path.select(
                     F.col("pa").alias("a"),
                     F.col("pb").alias("b"),
-                    F.lit(-1).alias("cap"),
+                    F.lit(-bottleneck).alias("cap"),
                 )
             )
             .unionByName(
                 path.select(
                     F.col("pb").alias("a"),
                     F.col("pa").alias("b"),
-                    F.lit(1).alias("cap"),
+                    F.lit(bottleneck).alias("cap"),
                 )
             )
         )
@@ -216,12 +239,12 @@ def max_flow_unit(
         resid.unpersist()
         path.unpersist()
         resid = new_resid
-        flow += 1
+        flow += bottleneck
 
     cut = (
         orig.join(s_side.withColumnRenamed("id", SRC), SRC, "left_semi")
         .join(s_side.withColumnRenamed("id", DST), DST, "left_anti")
-        .select(SRC, DST)
+        .select(SRC, DST, "cap")
     )
     return FlowResult(flow=flow, converged=converged, s_side=s_side, cut_edges=cut)
 
@@ -232,20 +255,29 @@ def max_flow_summary(
     sink: int,
     max_augment: int = 8,
     max_depth: int = 16,
+    capacity_col: str | None = None,
 ) -> DataFrame:
-    """1-row DataFrame[max_flow, converged, s_side, cut_edges] — the
-    max-flow value with its min-cut witness sizes (cut_edges == max_flow
-    at convergence is Menger's theorem showing up in the artifact)."""
+    """1-row DataFrame[max_flow, converged, s_side, cut_edges,
+    cut_capacity] — the max-flow value with its min-cut witness
+    (cut_capacity == max_flow at convergence is Menger's theorem showing
+    up in the artifact; in the unit case cut_capacity == cut_edges)."""
     r = max_flow_unit(
-        edges, source, sink, max_augment=max_augment, max_depth=max_depth
+        edges, source, sink, max_augment=max_augment, max_depth=max_depth,
+        capacity_col=capacity_col,
     )
     return (
         r.s_side.agg(F.count(F.lit(1)).alias("s_side"))
-        .crossJoin(r.cut_edges.agg(F.count(F.lit(1)).alias("cut_edges")))
+        .crossJoin(
+            r.cut_edges.agg(
+                F.count(F.lit(1)).alias("cut_edges"),
+                F.coalesce(F.sum("cap"), F.lit(0)).alias("cut_capacity"),
+            )
+        )
         .select(
             F.lit(r.flow).cast("long").alias("max_flow"),
             F.lit(r.converged).alias("converged"),
             F.col("s_side").cast("long"),
             F.col("cut_edges").cast("long"),
+            F.col("cut_capacity").cast("long"),
         )
     )

@@ -10,11 +10,12 @@ import pytest
 from llama_spark.operators.flow import max_flow_summary, max_flow_unit
 
 
-def _model(pairs, s, t, max_augment=8):
+def _model(pairs, s, t, max_augment=8, caps=None):
     cap = defaultdict(int)
     for u, v in pairs:
         if u != v:
-            cap[(u, v)] = 1
+            cap[(u, v)] = 1 if caps is None else caps[(u, v)]
+    orig = dict(cap)
     flow = 0
     while True:
         adj = defaultdict(list)
@@ -39,15 +40,19 @@ def _model(pairs, s, t, max_augment=8):
                 for (a, b) in {p for p in pairs if p[0] != p[1]}
                 if a in S and b not in S
             }
-            return flow, True, S, cut
+            return flow, True, S, cut, sum(orig[e] for e in cut)
         if flow >= max_augment:
-            return flow, False, set(parent), None
+            return flow, False, set(parent), None, None
+        path = []
         v = t
         while parent[v] is not None:
-            cap[(parent[v], v)] -= 1
-            cap[(v, parent[v])] += 1
+            path.append((parent[v], v))
             v = parent[v]
-        flow += 1
+        b = min(cap[e] for e in path)
+        for (a, c) in path:
+            cap[(a, c)] -= b
+            cap[(c, a)] += b
+        flow += b
 
 
 GRAPHS = {
@@ -72,7 +77,7 @@ GRAPHS = {
 def test_max_flow_matches_model(spark, name):
     pairs, s, t = GRAPHS[name]
     df = spark.createDataFrame(pairs, "src long, dst long")
-    want_flow, want_conv, want_S, want_cut = _model(pairs, s, t)
+    want_flow, want_conv, want_S, want_cut, _ = _model(pairs, s, t)
     r = max_flow_unit(df, s, t)
     assert r.flow == want_flow
     assert r.converged == want_conv
@@ -98,3 +103,36 @@ def test_max_flow_summary_row(spark):
     # the 3→4 bridge is the unique min cut
     assert row["max_flow"] == 1 and row["converged"]
     assert row["cut_edges"] == 1 and row["s_side"] == 4
+
+
+def _hashcap(u, v):
+    return 1 + (u * 31 + v) % 4
+
+
+@pytest.mark.parametrize("name", ["diamond", "bridge", "parallel4", "antiparallel"])
+def test_weighted_max_flow_matches_model(spark, name):
+    pairs, s, t = GRAPHS[name]
+    caps = {(u, v): _hashcap(u, v) for u, v in pairs if u != v}
+    df = spark.createDataFrame(
+        [(u, v, caps[(u, v)]) for u, v in pairs if u != v],
+        "src long, dst long, cap long",
+    )
+    want_flow, want_conv, want_S, want_cut, want_cutcap = _model(
+        pairs, s, t, caps=caps
+    )
+    r = max_flow_unit(df, s, t, capacity_col="cap")
+    assert r.flow == want_flow and r.converged == want_conv
+    assert {x["id"] for x in r.s_side.collect()} == want_S
+    got = {(x["src"], x["dst"]): x["cap"] for x in r.cut_edges.collect()}
+    assert set(got) == want_cut
+    assert sum(got.values()) == want_cutcap == want_flow  # weighted Menger
+
+
+def test_weighted_summary_has_cut_capacity(spark):
+    pairs, s, t = GRAPHS["parallel4"]
+    df = spark.createDataFrame(
+        [(u, v, _hashcap(u, v)) for u, v in pairs], "src long, dst long, cap long"
+    )
+    row = max_flow_summary(df, s, t, capacity_col="cap").collect()[0]
+    assert row["converged"] and row["max_flow"] == row["cut_capacity"]
+    assert row["cut_edges"] == 4  # the four source out-edges

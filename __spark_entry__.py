@@ -98,8 +98,8 @@ _GATE_ORDER = (
     "articulation_points", "biconnected_blocks",
     # continuation-5 gates (TPC-H completion), cheapest-first
     "tpch_q15", "tpch_q20", "tpch_q21", "tpch_q11", "tpch_q9", "tpch_q16",
-    "tpch_q8", "tpch_q7", "tpch_q2", "cms_token_counts", "vertex_cover",
-    "avg_distance",
+    "tpch_q8", "tpch_q7", "tpch_q2", "cms_token_counts", "temporal_pagerank",
+    "vertex_cover", "avg_distance",
     "max_flow_weighted",
     # max_flow is deliberately LAST: the most expensive gate (~20-30s at
     # sf0.01 — 4 Edmonds-Karp augmentations + the final reach BFS); a

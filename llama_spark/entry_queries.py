@@ -8234,3 +8234,70 @@ ORACLE["max_flow_weighted"] = _flow_sql(
     FLOW_W_EDGES_SQL, FLOW_W_CAP_SQL, FLOW_W_AUG, FLOW_W_BFS_UNROLL, FLOW_W_DEPTH
 )
 QUERIES["max_flow_weighted"] = q_max_flow_weighted
+
+
+# ------------------------------------------- temporal PageRank
+
+TPR_WINDOWS = 6
+TPR_CONTACTS_SQL = f"""
+  SELECT user_id AS src,
+         (user_id * 31 + event_id) % {150} AS dst,
+         epoch_us(ts) AS t
+  FROM events
+"""
+
+
+def q_temporal_pagerank(spark, sf_dir):
+    """Windowed time-decayed PageRank over the events contact stream
+    (same contact derivation as temporal_reachability)."""
+    from .operators.temporal import temporal_pagerank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    contacts = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 31 + F.col("event_id")) % TR_NODE_MOD).alias("dst"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    out = temporal_pagerank(contacts, windows=TPR_WINDOWS, damping=DAMPING)
+    return out.select(
+        "id", F.round(F.col("rank") * F.lit(float(TR_NODE_MOD)), 6).alias("rank_scaled")
+    )
+
+
+def _temporal_pagerank_sql() -> str:
+    d = DAMPING
+    ctes = [
+        f"contacts AS MATERIALIZED ({TPR_CONTACTS_SQL})",
+        "span AS (SELECT MIN(t) AS tmin, MAX(t) - MIN(t) + 1 AS den FROM contacts)",
+        f"""ew AS MATERIALIZED (
+  SELECT w, src, dst, 1e0 / COUNT(*) OVER (PARTITION BY w, src) AS inv
+  FROM (
+    SELECT DISTINCT src, dst,
+           ((t - (SELECT tmin FROM span)) * {TPR_WINDOWS}) // (SELECT den FROM span) AS w
+    FROM contacts WHERE src <> dst))""",
+        "nodes AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM contacts UNION ALL SELECT dst AS id FROM contacts))",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "g0 AS (SELECT id, 1e0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for w in range(TPR_WINDOWS):
+        ctes.append(
+            f"""g{w+1} AS MATERIALIZED (
+  SELECT n.id,
+         (1e0 - {d}) / (SELECT n FROM nn)
+         + {d} * COALESCE(c.g, 0e0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, SUM(g.rank * e.inv) AS g
+    FROM g{w} g JOIN ew e ON e.src = g.id AND e.w = {w}
+    GROUP BY e.dst
+  ) c ON c.id = n.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank * {float(TR_NODE_MOD)!r}, 6) AS rank_scaled "
+        f"FROM g{TPR_WINDOWS}"
+    )
+
+
+ORACLE["temporal_pagerank"] = _temporal_pagerank_sql()
+QUERIES["temporal_pagerank"] = q_temporal_pagerank

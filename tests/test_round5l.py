@@ -143,3 +143,56 @@ def test_cms_estimates_match_model_and_overestimate(spark):
             assert n_est >= n  # CMS one-sided guarantee
         if width == 4096:
             assert all(n_est == n for n, n_est in got.values())
+
+
+# ---- temporal (windowed-decay) PageRank ----
+
+
+def _tpr_model(contacts, windows=3, d=0.85):
+    tmin = min(t for *_ , t in contacts)
+    den = max(t for *_, t in contacts) - tmin + 1
+    nodes = sorted({u for u, v, t in contacts} | {v for u, v, t in contacts})
+    ew = {}
+    for u, v, t in contacts:
+        if u != v:
+            ew.setdefault(((t - tmin) * windows) // den, set()).add((u, v))
+    r = {x: 1.0 / len(nodes) for x in nodes}
+    for w in range(windows):
+        deg = {}
+        for u, v in ew.get(w, ()):
+            deg[u] = deg.get(u, 0) + 1
+        g = {x: 0.0 for x in nodes}
+        for u, v in ew.get(w, ()):
+            g[v] += r[u] / deg[u]
+        r = {x: (1 - d) / len(nodes) + d * g[x] for x in nodes}
+    return r
+
+
+def test_temporal_pagerank_matches_model_and_is_order_sensitive(spark):
+    from llama_spark.operators.temporal import temporal_pagerank
+
+    # early window: 1->2 heavily; late window: 3->4
+    contacts = [
+        (1, 2, 0), (1, 2, 5), (5, 2, 10), (2, 3, 40), (3, 4, 80), (5, 4, 95),
+    ]
+    df = spark.createDataFrame(contacts, "src long, dst long, t long")
+    got = {
+        r["id"]: r["rank"]
+        for r in temporal_pagerank(df, windows=3).collect()
+    }
+    want = _tpr_model(contacts, windows=3)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+    # reversing time must change the answer (recency decay is real):
+    rev = [(u, v, 95 - t) for u, v, t in contacts]
+    got_rev = {
+        r["id"]: r["rank"]
+        for r in temporal_pagerank(
+            spark.createDataFrame(rev, "src long, dst long, t long"), windows=3
+        ).collect()
+    }
+    assert any(abs(got_rev[k] - got[k]) > 1e-9 for k in got)
+    # late-window target 4 outranks early-window target 2 in forward time
+    assert got[4] > got[2]

@@ -410,6 +410,43 @@ def main() -> None:
         lambda: DOCS_QUERIES["anchor_text"](spark, sf_dir).count(),
     )
 
+    # ---- round-5 continuation-6 rows ----
+    from llama_spark.operators.temporal import temporal_pagerank
+    from llama_spark.functions.sketch import cms_token_estimates
+    from llama_spark.operators.flow import max_flow_summary
+
+    timed(
+        "temporal_pagerank6",
+        lambda: temporal_pagerank(contacts, windows=6).count(),
+    )
+    timed("cms_tokens", lambda: cms_token_estimates(docs).count())
+
+    def _max_flow_weighted() -> None:
+        # the weighted flow gate's subgraph; budget-bounded (6 augmentations)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        fe = (
+            li.filter((FF.col("l_linenumber") == 3) & (FF.col("l_orderkey") % 2 == 0))
+            .select(
+                (FF.col("l_orderkey") % 4096).alias("src"),
+                (FF.col("l_partkey") % 4096).alias("dst"),
+            )
+            .filter(FF.col("src") != FF.col("dst"))
+            .distinct()
+            .withColumn(
+                "cap", FF.lit(1) + FF.pmod(FF.col("src") * 31 + FF.col("dst"), FF.lit(4))
+            )
+        )
+        st = fe.groupBy("src").count().orderBy(FF.desc("count"), FF.asc("src")).limit(1).collect()[0]["src"]
+        tt = (
+            fe.filter(FF.col("dst") != st)
+            .groupBy("dst").count().orderBy(FF.desc("count"), FF.asc("dst"))
+            .limit(1).collect()[0]["dst"]
+        )
+        max_flow_summary(fe, int(st), int(tt), max_augment=6, max_depth=8,
+                         capacity_col="cap").count()
+
+    timed("max_flow_weighted", _max_flow_weighted)
+
     # ---- execution: whole-list passes, then a retry pass for cheap rows ----
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to those rows (for
     # targeted quiet-window re-measurement of contested queries)

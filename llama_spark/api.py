@@ -605,6 +605,39 @@ class GraphSession:
 
         return pagerank_trace(self._e(), **kw)
 
+    def max_flow(
+        self, source: int, sink: int, capacity_col: str | None = None, **kw
+    ):
+        """Unit- or integer-capacity s-t max-flow / min-cut
+        (flow.max_flow_unit) — returns FlowResult(flow, converged,
+        s_side, cut_edges)."""
+        from .operators.flow import max_flow_unit
+
+        return max_flow_unit(
+            self._e(), source, sink, capacity_col=capacity_col, **kw
+        )
+
+    def temporal_pagerank(
+        self, contacts: DataFrame, windows: int = 6, **kw
+    ) -> DataFrame:
+        """Windowed time-decayed PageRank over a (src, dst, t) contact
+        stream (temporal.temporal_pagerank)."""
+        from .operators.temporal import temporal_pagerank
+
+        return temporal_pagerank(contacts, windows=windows, **kw)
+
+    def average_distance(self, max_t: int = 6, **kw) -> DataFrame:
+        """ANF mean-distance estimate (anf.average_distance)."""
+        from .operators.anf import average_distance
+
+        return average_distance(self._e(), max_t=max_t, **kw)
+
+    def vertex_cover(self, **kw) -> DataFrame:
+        """2-approx minimum vertex cover (matching.vertex_cover)."""
+        from .operators.matching import vertex_cover
+
+        return vertex_cover(self._e(), **kw)
+
     def textrank(self, pairs: DataFrame, **kw) -> DataFrame:
         """TextRank scores over a weighted similarity pair list
         (operators/textrank.textrank_from_pairs — N x the weighted

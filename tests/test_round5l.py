@@ -196,3 +196,23 @@ def test_temporal_pagerank_matches_model_and_is_order_sensitive(spark):
     assert any(abs(got_rev[k] - got[k]) > 1e-9 for k in got)
     # late-window target 4 outranks early-window target 2 in forward time
     assert got[4] > got[2]
+
+
+# ---- GraphSession facade for the continuation-6 operators ----
+
+
+def test_graphsession_continuation6_surface(spark):
+    from llama_spark.api import GraphSession
+
+    pairs = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]
+    g = GraphSession(spark).from_edges(
+        spark.createDataFrame(pairs, "src long, dst long")
+    )
+    r = g.max_flow(0, 3)
+    assert r.flow == 2 and r.converged
+    assert g.vertex_cover().count() > 0
+    assert g.average_distance(max_t=4).count() == 1
+    contacts = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 20)], "src long, dst long, t long"
+    )
+    assert g.temporal_pagerank(contacts, windows=2).count() == 3

@@ -447,6 +447,15 @@ def main() -> None:
 
     timed("max_flow_weighted", _max_flow_weighted)
 
+    # ---- round-5 continuation-7 rows ----
+    from llama_spark.operators.influence import lt_cascade
+    from llama_spark.operators.pagerank import cheirank_plane
+    from llama_spark.operators.triangles import balance_census
+
+    timed("lt_cascade6", lambda: lt_cascade(edges, rounds=6).count())
+    timed("cheirank10", lambda: cheirank_plane(edges, max_iter=PR_ITERS).count())
+    timed("balance_census", lambda: balance_census(edges).count())
+
     # ---- execution: whole-list passes, then a retry pass for cheap rows ----
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to those rows (for
     # targeted quiet-window re-measurement of contested queries)

@@ -8301,3 +8301,149 @@ def _temporal_pagerank_sql() -> str:
 
 ORACLE["temporal_pagerank"] = _temporal_pagerank_sql()
 QUERIES["temporal_pagerank"] = q_temporal_pagerank
+
+
+# ------------------------------------------------- linear threshold cascade
+
+LT_SEED_MOD = 64
+LT_ROUNDS = 6
+LT_TH_MOD = 100
+
+
+def q_lt_cascade(spark, sf_dir):
+    """Deterministic Linear Threshold cascade (KKT 2003 model #2):
+    uniform weights 1/indeg, exact-BIGINT thresholds, seeds id%64=0."""
+    from .operators.influence import lt_cascade
+
+    out = lt_cascade(
+        load_edges(spark, sf_dir),
+        seed_mod=LT_SEED_MOD,
+        rounds=LT_ROUNDS,
+        threshold_mod=LT_TH_MOD,
+    )
+    return out.select("id", F.col("round").cast("int").alias("step"))
+
+
+def _lt_cascade_sql() -> str:
+    m1 = LT_TH_MOD + 1
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "ind AS MATERIALIZED (SELECT dst AS id, COUNT(*) AS ind FROM edges GROUP BY dst)",
+        f"a0 AS MATERIALIZED (SELECT id, 0 AS step FROM nodes WHERE id % {LT_SEED_MOD} = 0)",
+    ]
+    for r in range(1, LT_ROUNDS + 1):
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT id, step FROM a{r-1}
+  UNION ALL
+  SELECT n.id, {r} AS step
+  FROM nodes n
+  JOIN ind d ON d.id = n.id
+  JOIN (SELECT e.dst AS id, COUNT(*) AS m
+        FROM a{r-1} a JOIN edges e ON e.src = a.id
+        GROUP BY e.dst) c ON c.id = n.id
+  WHERE n.id NOT IN (SELECT id FROM a{r-1})
+    AND c.m * {m1} >= d.ind * (1 + (n.id * 131) % {LT_TH_MOD}))"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, step FROM a{LT_ROUNDS}"
+
+
+ORACLE["lt_cascade"] = _lt_cascade_sql()
+QUERIES["lt_cascade"] = q_lt_cascade
+
+
+# ------------------------------------------------------ CheiRank 2-D plane
+
+
+def q_cheirank(spark, sf_dir):
+    """(PageRank, CheiRank) 2-D rank plane (Zhirov & Shepelyansky 2010):
+    the same power iteration over the graph and its transpose."""
+    from .operators.pagerank import cheirank_plane
+
+    out = cheirank_plane(load_edges(spark, sf_dir), damping=DAMPING, max_iter=PR_ITERS)
+    return out.select(
+        "id",
+        F.round("pagerank", 6).alias("pr_scaled"),
+        F.round("cheirank", 6).alias("cr_scaled"),
+    )
+
+
+def _cheirank_sql() -> str:
+    base_factor = repr(1.0 - DAMPING)
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "degf AS MATERIALIZED (SELECT src AS id, COUNT(*) AS od FROM edges GROUP BY src)",
+        "degr AS MATERIALIZED (SELECT dst AS id, COUNT(*) AS od FROM edges GROUP BY dst)",
+        "r0 AS MATERIALIZED (SELECT id, 1e0/(SELECT n FROM nn) AS rank FROM nodes)",
+        "c0 AS MATERIALIZED (SELECT id, 1e0/(SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT nodes.id,
+         CAST({base_factor} AS DOUBLE)/(SELECT n FROM nn)
+         + CAST({DAMPING!r} AS DOUBLE) * COALESCE(x.contrib, 0e0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / d.od) AS contrib
+    FROM r{i-1} r JOIN edges e ON e.src = r.id JOIN degf d ON d.id = r.id
+    GROUP BY e.dst
+  ) x ON nodes.id = x.id)"""
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT nodes.id,
+         CAST({base_factor} AS DOUBLE)/(SELECT n FROM nn)
+         + CAST({DAMPING!r} AS DOUBLE) * COALESCE(x.contrib, 0e0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.src AS id, SUM(r.rank / d.od) AS contrib
+    FROM c{i-1} r JOIN edges e ON e.dst = r.id JOIN degr d ON d.id = r.id
+    GROUP BY e.src
+  ) x ON nodes.id = x.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT r.id,
+       ROUND(r.rank * (SELECT n FROM nn), 6) AS pr_scaled,
+       ROUND(c.rank * (SELECT n FROM nn), 6) AS cr_scaled
+FROM r{PR_ITERS} r JOIN c{PR_ITERS} c ON c.id = r.id"""
+    )
+
+
+ORACLE["cheirank"] = _cheirank_sql()
+QUERIES["cheirank"] = q_cheirank
+
+
+# --------------------------------------------- signed structural balance
+
+
+def q_balance_census(spark, sf_dir):
+    """Cartwright-Harary balance census over deterministically signed
+    triangles (sign = parity of min·31+max, the house synthetic-attribute
+    convention)."""
+    from .operators.triangles import balance_census
+
+    return balance_census(load_edges(spark, sf_dir))
+
+
+ORACLE["balance_census"] = f"""WITH edges AS ({EDGES_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM edges WHERE src <> dst
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM und e1 JOIN und e2 ON e1.dst = e2.src
+  JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT n_neg,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       (n_neg % 2 = 0) AS balanced
+FROM (
+  SELECT ((a*31 + b) % 2) + ((b*31 + c) % 2) + ((a*31 + c) % 2) AS n_neg
+  FROM tri
+) GROUP BY n_neg"""
+QUERIES["balance_census"] = q_balance_census

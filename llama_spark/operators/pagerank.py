@@ -527,3 +527,37 @@ def topic_sensitive_pagerank(
     e_inv.unpersist()
     nodes.unpersist()
     return out
+
+
+def cheirank_plane(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 10,
+) -> DataFrame:
+    """2-D (PageRank, CheiRank) rank plane → DataFrame[id, pagerank, cheirank].
+
+    Published frame: Chepelianskii (2010) / Zhirov, Zhirov & Shepelyansky
+    (EPJ B 2010) — CheiRank K* is PageRank computed over the TRANSPOSED
+    link graph, so the (K, K*) plane separates authority-like nodes
+    (high PageRank: many things point at them) from hub/communicator-like
+    nodes (high CheiRank: they point at many influential things). Classic
+    web-measurement companion to the bowtie census.
+
+    Spark plan: two runs of the audited power-iteration kernel — one on
+    the edge table, one on its reversal (a projection, no shuffle to
+    build) — joined on id. Each run is the unchanged pagerank plan (cached
+    hash(src) edge table, only the V-row vector shuffles per iteration);
+    the reference recurrence and dangling-lost semantics apply to both
+    directions (pagerank.h:117, 287-288).
+    """
+    fwd = pagerank_result(edges, damping=damping, max_iter=max_iter)
+    rev = pagerank_result(
+        edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)),
+        damping=damping,
+        max_iter=max_iter,
+    )
+    n = float(fwd.n_nodes)
+    return (
+        fwd.state.select("id", (F.col("rank") * n).alias("pagerank"))
+        .join(rev.state.select("id", (F.col("rank") * n).alias("cheirank")), "id")
+    )

@@ -8422,8 +8422,9 @@ QUERIES["cheirank"] = q_cheirank
 
 def q_balance_census(spark, sf_dir):
     """Cartwright-Harary balance census over deterministically signed
-    triangles (sign = parity of min·31+max, the house synthetic-attribute
-    convention)."""
+    triangles (sign = - iff (min·31+max) mod 7 < 3, the house
+    synthetic-attribute convention; mod 7 so the census is not
+    parity-degenerate)."""
     from .operators.triangles import balance_census
 
     return balance_census(load_edges(spark, sf_dir))
@@ -8443,7 +8444,9 @@ SELECT n_neg,
        CAST(COUNT(*) AS BIGINT) AS n_triangles,
        (n_neg % 2 = 0) AS balanced
 FROM (
-  SELECT ((a*31 + b) % 2) + ((b*31 + c) % 2) + ((a*31 + c) % 2) AS n_neg
+  SELECT CAST((a*31 + b) % 7 < 3 AS BIGINT)
+       + CAST((b*31 + c) % 7 < 3 AS BIGINT)
+       + CAST((a*31 + c) % 7 < 3 AS BIGINT) AS n_neg
   FROM tri
 ) GROUP BY n_neg"""
 QUERIES["balance_census"] = q_balance_census

@@ -560,7 +560,11 @@ def balance_census(edges: DataFrame) -> DataFrame:
     house synthetic-attribute convention (pure modulo arithmetic,
     bit-identical in any engine — cf. with_synthetic_weights):
 
-        sign(u,v) = - iff (min(u,v)·31 + max(u,v)) mod 2 = 1
+        sign(u,v) = - iff (min(u,v)·31 + max(u,v)) mod 7 < 3
+
+    (mod 7, not mod 2: a linear-parity sign makes every triangle's
+    negative count even by construction — Σ pair-sums = 2(a+b+c) — which
+    would empty the odd census buckets and mark every triangle balanced)
 
     Spark plan: the audited degree-oriented triangle enumeration
     (each triangle exactly once, hubs never expand their own wedge
@@ -586,7 +590,7 @@ def balance_census(edges: DataFrame) -> DataFrame:
     )
 
     def neg(x, y):
-        return (F.least(x, y) * 31 + F.greatest(x, y)) % 2
+        return ((F.least(x, y) * 31 + F.greatest(x, y)) % 7 < 3).cast("long")
 
     census = (
         tri.select(

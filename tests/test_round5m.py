@@ -172,7 +172,7 @@ def _model_balance(pairs):
             for c in nodes[nodes.index(b) + 1:]:
                 if (b, c) in und and (a, c) in und:
                     n_neg = sum(
-                        (min(x, y) * 31 + max(x, y)) % 2
+                        (min(x, y) * 31 + max(x, y)) % 7 < 3
                         for x, y in ((a, b), (b, c), (a, c))
                     )
                     census[n_neg] = census.get(n_neg, 0) + 1

@@ -456,6 +456,21 @@ def main() -> None:
     timed("cheirank10", lambda: cheirank_plane(edges, max_iter=PR_ITERS).count())
     timed("balance_census", lambda: balance_census(edges).count())
 
+    # ---- round-5 continuation-8 rows ----
+    from llama_spark.operators.temporal import temporal_triangle_motifs
+    from llama_spark.operators.triangles import burt_constraint
+    from llama_spark.operators.pagerank import truncated_pagerank
+
+    timed(
+        "temporal_motifs",
+        lambda: temporal_triangle_motifs(contacts, delta=86_400_000_000).count(),
+    )
+    timed("burt_constraint", lambda: burt_constraint(edges).count())
+    timed(
+        "truncated_pagerank8",
+        lambda: truncated_pagerank(edges, truncate=2, max_iter=8).count(),
+    )
+
     # ---- execution: whole-list passes, then a retry pass for cheap rows ----
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to those rows (for
     # targeted quiet-window re-measurement of contested queries)

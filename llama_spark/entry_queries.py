@@ -8450,3 +8450,185 @@ FROM (
   FROM tri
 ) GROUP BY n_neg"""
 QUERIES["balance_census"] = q_balance_census
+
+
+# ------------------------------------------- temporal triangle motifs
+
+TM_DELTA = 86_400_000_000  # 1 day in µs — calibrated: both motif classes populate at sf0.01
+
+
+def q_temporal_motifs(spark, sf_dir):
+    """δ-temporal triangle motif census (Paranjape-Benson-Leskovec, WSDM
+    2017): cycle vs feed-forward closures of a→b→c within δ = 1 day over
+    the events contact stream (same derivation as temporal_reachability)."""
+    from .operators.temporal import temporal_triangle_motifs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    contacts = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 31 + F.col("event_id")) % TR_NODE_MOD).alias("dst"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    return temporal_triangle_motifs(contacts, delta=TM_DELTA)
+
+
+ORACLE["temporal_motifs"] = f"""WITH tc AS MATERIALIZED (
+  SELECT DISTINCT user_id AS src,
+         (user_id * 31 + event_id) % {TR_NODE_MOD} AS dst,
+         epoch_us(ts) AS t
+  FROM events
+  WHERE user_id <> (user_id * 31 + event_id) % {TR_NODE_MOD}),
+wedge AS MATERIALIZED (
+  SELECT c1.src AS a, c1.dst AS b, c2.dst AS c, c1.t AS t1, c2.t AS t2
+  FROM tc c1
+  JOIN tc c2 ON c2.src = c1.dst
+            AND c2.t > c1.t AND c2.t <= c1.t + {TM_DELTA}
+            AND c2.dst <> c1.src),
+hits AS (
+  SELECT CASE WHEN c3.src = w.c THEN 'cycle' ELSE 'ffl' END AS motif
+  FROM wedge w
+  JOIN tc c3 ON c3.t > w.t2 AND c3.t <= w.t1 + {TM_DELTA}
+            AND ((c3.src = w.c AND c3.dst = w.a)
+              OR (c3.src = w.a AND c3.dst = w.c)))
+SELECT motif, CAST(COUNT(*) AS BIGINT) AS n FROM hits GROUP BY motif"""
+QUERIES["temporal_motifs"] = q_temporal_motifs
+
+
+# ---------------------------------------------- Burt network constraint
+
+
+def q_burt_constraint(spark, sf_dir):
+    """Burt's structural-holes constraint (uniform tie strengths) per
+    vertex, 6 dp."""
+    from .operators.triangles import burt_constraint
+
+    return burt_constraint(load_edges(spark, sf_dir)).withColumnRenamed(
+        "constraint", "constraint_score"
+    )
+
+
+ORACLE["burt_constraint"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED ({UND_SQL}),
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+padj AS MATERIALIZED (
+  SELECT u.src AS i, u.dst AS j, 1e0 / d.deg AS p
+  FROM und u JOIN deg d ON d.id = u.src),
+ind AS MATERIALIZED (
+  SELECT l.i, r.j, SUM(l.p * r.p) AS ind
+  FROM padj l
+  JOIN padj r ON r.i = l.j AND l.i <> r.j
+  JOIN und u ON u.src = l.i AND u.dst = r.j
+  GROUP BY l.i, r.j)
+SELECT p.i AS id, ROUND(SUM(POWER(p.p + COALESCE(x.ind, 0e0), 2)), 6) AS constraint_score
+FROM padj p LEFT JOIN ind x ON x.i = p.i AND x.j = p.j
+GROUP BY p.i"""
+QUERIES["burt_constraint"] = q_burt_constraint
+
+
+# ------------------------------------------------- truncated PageRank
+
+TPR_TRUNC_T = 2
+TPR_TRUNC_MAX = 8
+
+
+def q_truncated_pagerank(spark, sf_dir):
+    """Becchetti et al. truncated PageRank (short-path support removed) —
+    the link-farm detection feature, T=2, horizon 8."""
+    from .operators.pagerank import truncated_pagerank
+
+    return truncated_pagerank(
+        load_edges(spark, sf_dir),
+        damping=DAMPING,
+        truncate=TPR_TRUNC_T,
+        max_iter=TPR_TRUNC_MAX,
+    )
+
+
+def _truncated_pagerank_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS od FROM edges GROUP BY src)",
+        "x0 AS MATERIALIZED (SELECT id, 1e0/(SELECT n FROM nn) AS x FROM nodes)",
+    ]
+    for t in range(1, TPR_TRUNC_MAX + 1):
+        ctes.append(
+            f"""x{t} AS MATERIALIZED (
+  SELECT nodes.id, COALESCE(c.nx, 0e0) AS x
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.x / d.od) AS nx
+    FROM x{t-1} r JOIN edges e ON e.src = r.id JOIN deg d ON d.id = r.id
+    GROUP BY e.dst
+  ) c ON nodes.id = c.id)"""
+        )
+    base = repr(1.0 - DAMPING)
+    # same constants, same multiply/divide shape, same left-assoc addition
+    # order as the Spark accumulator (coef_t · x_t added for t = T+1..Tmax)
+    terms = " + ".join(
+        f"(CAST({base} AS DOUBLE)/(SELECT n FROM nn))"
+        f" * CAST({DAMPING ** t!r} AS DOUBLE) * x{t}.x"
+        for t in range(TPR_TRUNC_T + 1, TPR_TRUNC_MAX + 1)
+    )
+    joins = " ".join(
+        f"JOIN x{t} ON x{t}.id = nodes.id"
+        for t in range(TPR_TRUNC_T + 1, TPR_TRUNC_MAX + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT nodes.id, ROUND(({terms}) * (SELECT n FROM nn), 6) AS trunc_rank"
+        + f"\nFROM nodes {joins}"
+    )
+
+
+ORACLE["truncated_pagerank"] = _truncated_pagerank_sql()
+QUERIES["truncated_pagerank"] = q_truncated_pagerank
+
+
+# ---------------------------------------------------- Eulerian census
+
+
+def q_eulerian(spark, sf_dir):
+    """Eulerian circuit/path feasibility census (Euler 1736): odd-degree
+    and connectivity obstructions over the undirected simple graph."""
+    from .operators.components import eulerian_census
+
+    return eulerian_census(load_edges(spark, sf_dir))
+
+
+def _eulerian_sql() -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "c0 AS MATERIALIZED (SELECT id, id AS component FROM nodes)",
+    ]
+    for i in range(1, CC_UNROLL + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN m.nmin IS NOT NULL AND m.nmin < c.component
+              THEN m.nmin ELSE c.component END AS component
+  FROM c{i-1} c LEFT JOIN (
+    SELECT u.dst AS id, MIN(p.component) AS nmin
+    FROM c{i-1} p JOIN und u ON u.src = p.id
+    GROUP BY u.dst
+  ) m ON c.id = m.id)"""
+        )
+    ctes.append(
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(deg.deg % 2) AS BIGINT) AS n_odd,
+       CAST(COUNT(DISTINCT c.component) AS BIGINT) AS n_components,
+       (SUM(deg.deg % 2) = 0 AND COUNT(DISTINCT c.component) = 1) AS has_circuit,
+       (SUM(deg.deg % 2) <= 2 AND COUNT(DISTINCT c.component) = 1) AS has_path
+FROM deg JOIN c{CC_UNROLL} c ON c.id = deg.id"""
+    )
+
+
+ORACLE["eulerian"] = _eulerian_sql()
+QUERIES["eulerian"] = q_eulerian

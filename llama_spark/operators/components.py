@@ -1169,3 +1169,40 @@ def bipartite_check(edges: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_nodes"),
         F.min(F.col("_bip").cast("int")).cast("boolean").alias("is_bipartite"),
     )
+
+
+def eulerian_census(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Eulerian-path/circuit feasibility census → one-row DataFrame
+    [n_nodes, n_odd, n_components, has_circuit, has_path].
+
+    Published frame: Euler (1736) / Hierholzer (1873) — the undirected
+    simple graph has an Eulerian circuit iff every vertex has even
+    degree and all edges lie in one connected component; an Eulerian
+    path (possibly open) iff additionally at most two vertices have odd
+    degree. The census reports the two obstruction counts (odd-degree
+    vertices, non-trivial components over the edge-bearing vertices) and
+    the two feasibility verdicts — the same shape as the gated
+    bipartiteness check.
+
+    Spark plan: one degree aggregation + the audited hash-min CC
+    fixpoint restricted to edge-bearing vertices, folded to a 1-row
+    aggregate; nothing new shuffles beyond the CC kernel itself.
+    """
+    und = symmetrize(drop_self_loops(edges.select(SRC, DST)))
+    deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    comp = connected_components(edges, max_iter=max_iter)
+    return (
+        deg.join(comp, "id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum((F.col("deg") % 2).cast("long")).cast("long").alias("n_odd"),
+            F.countDistinct("component").cast("long").alias("n_components"),
+        )
+        .select(
+            "n_nodes",
+            "n_odd",
+            "n_components",
+            ((F.col("n_odd") == 0) & (F.col("n_components") == 1)).alias("has_circuit"),
+            ((F.col("n_odd") <= 2) & (F.col("n_components") == 1)).alias("has_path"),
+        )
+    )

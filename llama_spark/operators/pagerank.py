@@ -561,3 +561,74 @@ def cheirank_plane(
         fwd.state.select("id", (F.col("rank") * n).alias("pagerank"))
         .join(rev.state.select("id", (F.col("rank") * n).alias("cheirank")), "id")
     )
+
+
+def truncated_pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    truncate: int = 2,
+    max_iter: int = 8,
+) -> DataFrame:
+    """Truncated PageRank → DataFrame[id, trunc_rank] (×N-scaled, 6 dp).
+
+    Published frame: Becchetti, Castillo, Donato, Baeza-Yates & Leonardi,
+    "Link-Based Characterization and Detection of Web Spam" (AIRWeb
+    2006 / TWEB 2008) — PageRank with the contribution of SHORT paths
+    (length ≤ T) removed:
+
+        trunc_rank(v) = (1-d)/N · Σ_{t=T+1..Tmax} d^t · (Mᵀ)^t 1 (v)
+
+    Link farms inflate a page's rank through many CLOSE supporters, so
+    the ratio trunc_rank/pagerank drops sharply on spam — the paper's
+    headline classifier feature, the natural companion of the gated
+    spam_mass. Same recurrence conventions as the reference PageRank
+    (column-stochastic M, dangling mass lost, pagerank.h:117, 287-288);
+    finite horizon Tmax = ``max_iter`` (the fixed-iteration house mode).
+
+    Spark plan: the audited power-iteration shape — the edge table and
+    out-degrees are persisted once and streamed through Tmax SpMV
+    joins; the V-row state carries (path mass x_t, accumulator), so the
+    truncation costs ZERO extra jobs over a plain pagerank run. Only
+    the vector shuffles per iteration.
+    """
+    e = edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST)).distinct()
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = e.groupBy(F.col(SRC).alias("id")).agg(F.count(F.lit(1)).alias("od"))
+    ew = e.join(deg, e[SRC] == deg["id"]).select(
+        SRC, DST, (F.lit(1.0) / F.col("od")).alias("w")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    materialize(ew)
+
+    nodes = nodes_of(e)
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        ew.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "id long, trunc_rank double"
+        )
+    state0 = nodes.select(
+        "id", (F.lit(1.0) / n).alias("x"), F.lit(0.0).alias("acc")
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        t = i + 1
+        contrib = (
+            state.join(ew.hint("shuffle_hash"), state["id"] == ew[SRC])
+            .groupBy(F.col(DST).alias("id"))
+            .agg(F.sum(F.col("x") * F.col("w")).alias("nx"))
+        )
+        coef = ((1.0 - damping) / n) * damping**t if t > truncate else 0.0
+        return state.select("id", "acc").join(contrib, "id", "left").select(
+            "id",
+            F.coalesce("nx", F.lit(0.0)).alias("x"),
+            (F.col("acc") + F.lit(coef) * F.coalesce("nx", F.lit(0.0))).alias("acc"),
+        )
+
+    res = iterate(state0, step, max_iter=max_iter, name="truncated_pagerank")
+    out = res.state.select(
+        "id", F.round(F.col("acc") * n, 6).alias("trunc_rank")
+    )
+    e.unpersist()
+    ew.unpersist()
+    return out

@@ -197,3 +197,100 @@ def temporal_pagerank(
         )
     ew.unpersist()
     return rank
+
+
+def temporal_triangle_motifs(
+    contacts: DataFrame,
+    delta: int,
+    time_col: str = "t",
+) -> DataFrame:
+    """δ-temporal triangle motif census → DataFrame[motif, n].
+
+    Published frame: Paranjape, Benson & Leskovec, "Motifs in Temporal
+    Networks" (WSDM 2017) — a δ-temporal motif is an ordered sequence of
+    timestamped edges, strictly increasing in time, all within a window
+    of δ. This operator counts the two 3-node, 3-edge TRIANGLE closures
+    of a directed 2-path a→b (t1), b→c (t2):
+
+        cycle : closed by c→a (t3)   — the feedback loop
+        ffl   : closed by a→c (t3)   — the feed-forward / shortcut
+
+    with t1 < t2 < t3 ≤ t1 + δ and a, b, c pairwise distinct. The
+    cycle : ffl ratio is the classic temporal-network fingerprint the
+    paper reports (social networks are ffl-heavy, financial ones
+    cycle-heavy).
+
+    Spark plan — time-bucket equi-joins, no range join: candidate
+    successors of a contact at time t live in δ-buckets floor(t/δ) and
+    floor(t/δ)+1, so the first hop explodes each contact into its two
+    candidate buckets and joins on (node key, bucket) — an equi-join
+    Catalyst hash-partitions on both columns; the exact t-window is a
+    residual predicate. The wedge then emits its two EXPECTED closing
+    edges (one per motif) and the final hop is one more (src, dst,
+    bucket) equi-join against the contact table. At 100-TB event-stream
+    scale this is the plan you'd want: every shuffle is keyed on
+    (vertex, time-bucket) — bounded by the δ-locality of the motif
+    definition — and no all-pairs time comparison ever materializes.
+    Contact streams with hub vertices salt exactly like the triangle
+    join (the wedge fan-out is deg_in·deg_out within one δ window, the
+    same quantity the static degree-oriented triangle kernel bounds).
+    """
+    c = (
+        contacts.select(
+            SRC, DST, F.col(time_col).cast("long").alias("t")
+        )
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+        .withColumn("bkt", F.floor(F.col("t") / F.lit(int(delta))))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    c1 = c.select(
+        F.col(SRC).alias("a"), F.col(DST).alias("b"),
+        F.col("t").alias("t1"), F.col("bkt").alias("b1"),
+    ).withColumn("jb", F.explode(F.array(F.col("b1"), F.col("b1") + 1)))
+    c2 = c.select(
+        F.col(SRC).alias("b"), F.col(DST).alias("c"),
+        F.col("t").alias("t2"), F.col("bkt").alias("jb"),
+    )
+    wedge = c1.join(c2, ["b", "jb"]).filter(
+        (F.col("t2") > F.col("t1"))
+        & (F.col("t2") <= F.col("t1") + F.lit(int(delta)))
+        & (F.col("c") != F.col("a"))
+    )
+
+    closing = wedge.select(
+        "a", "c", "t1", "b1", "t2",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("c").alias("x_src"), F.col("a").alias("x_dst"),
+                    F.lit("cycle").alias("motif"),
+                ),
+                F.struct(
+                    F.col("a").alias("x_src"), F.col("c").alias("x_dst"),
+                    F.lit("ffl").alias("motif"),
+                ),
+            )
+        ).alias("w"),
+    ).select(
+        F.col("w.x_src").alias("x_src"), F.col("w.x_dst").alias("x_dst"),
+        F.col("w.motif").alias("motif"), "t1", "t2", "b1",
+    ).withColumn("jb", F.explode(F.array(F.col("b1"), F.col("b1") + 1)))
+
+    c3 = c.select(
+        F.col(SRC).alias("x_src"), F.col(DST).alias("x_dst"),
+        F.col("t").alias("t3"), F.col("bkt").alias("jb"),
+    )
+    out = (
+        closing.join(c3, ["x_src", "x_dst", "jb"])
+        .filter(
+            (F.col("t3") > F.col("t2"))
+            & (F.col("t3") <= F.col("t1") + F.lit(int(delta)))
+        )
+        .groupBy("motif")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    c.unpersist()
+    return out

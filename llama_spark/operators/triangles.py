@@ -605,3 +605,67 @@ def balance_census(edges: DataFrame) -> DataFrame:
     )
     e.unpersist()
     return census
+
+
+def burt_constraint(edges: DataFrame) -> DataFrame:
+    """Burt's structural-holes network constraint → DataFrame[id, constraint].
+
+    Published frame: Burt, "Structural Holes" (1992) — the canonical
+    brokerage metric. On the undirected simple graph with uniform tie
+    strengths, the investment of i in j is p_ij = 1/deg(i), and
+
+        constraint(i) = Σ_{j∈N(i)} ( p_ij + Σ_{q∈N(i)∩N(j)} p_iq·p_qj )²
+
+    Low constraint = i spans structural holes (its contacts are mutually
+    disconnected — the broker position); high constraint = i's ego
+    network is closed. Reported rounded to 6 dp (the house float-gate
+    convention, cf. pagerank).
+
+    Spark plan: one wedge join (i→q)⋈(q→j) keyed on the middle vertex —
+    the same shuffle the triangle kernels pay — semi-restricted to pairs
+    (i,j) that are themselves edges (broadcast-or-shuffle hash join on
+    the undirected edge table), then two id-keyed aggregations. The
+    indirect term only exists on closed wedges, so the post-join
+    filter is a join with und, not a window. Hub wedge fan-out is
+    deg(q)² on the middle vertex, identical to local_clustering's cost
+    envelope at 100 TB (salt the middle key if one hub dominates).
+    """
+    und = undirected_ordered(drop_self_loops(edges.select(SRC, DST))).dropDuplicates(
+        [SRC, DST]
+    )
+    adj = und.union(
+        und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    deg = adj.groupBy(F.col(SRC).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    padj = (
+        adj.join(deg, adj[SRC] == deg["id"])
+        .select(F.col(SRC).alias("i"), F.col(DST).alias("j"),
+                (F.lit(1.0) / F.col("deg")).alias("p"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # closed-wedge indirect mass: Σ_q p_iq · p_qj for (i,j) ∈ adj
+    left = padj.select(F.col("i"), F.col("j").alias("q"), F.col("p").alias("piq"))
+    right = padj.select(F.col("i").alias("q"), F.col("j"), F.col("p").alias("pqj"))
+    indirect = (
+        left.join(right, "q")
+        .filter(F.col("i") != F.col("j"))
+        .join(adj.select(F.col(SRC).alias("i"), F.col(DST).alias("j")), ["i", "j"], "left_semi")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("piq") * F.col("pqj")).alias("ind"))
+    )
+
+    out = (
+        padj.join(indirect, ["i", "j"], "left")
+        .select(
+            F.col("i").alias("id"),
+            F.pow(F.col("p") + F.coalesce(F.col("ind"), F.lit(0.0)), F.lit(2.0)).alias("c2"),
+        )
+        .groupBy("id")
+        .agg(F.round(F.sum("c2"), 6).alias("constraint"))
+        .localCheckpoint(eager=True)
+    )
+    adj.unpersist()
+    padj.unpersist()
+    return out

@@ -471,6 +471,14 @@ def main() -> None:
         lambda: truncated_pagerank(edges, truncate=2, max_iter=8).count(),
     )
 
+    # ---- round-5 continuation-9 rows ----
+    from llama_spark.operators.kcenter import k_center
+    from llama_spark.graph import joint_degree_matrix, clustering_by_degree
+
+    timed("k_center3", lambda: k_center(edges, k=3).count())
+    timed("joint_degree_matrix", lambda: joint_degree_matrix(edges).count())
+    timed("clustering_by_degree", lambda: clustering_by_degree(edges).count())
+
     # ---- execution: whole-list passes, then a retry pass for cheap rows ----
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to those rows (for
     # targeted quiet-window re-measurement of contested queries)

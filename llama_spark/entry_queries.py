@@ -8632,3 +8632,143 @@ FROM deg JOIN c{CC_UNROLL} c ON c.id = deg.id"""
 
 ORACLE["eulerian"] = _eulerian_sql()
 QUERIES["eulerian"] = q_eulerian
+
+
+# ---------------------------------------------------- Gonzalez k-center
+
+KC_K = 3
+KC_UNROLL = 10  # ≥ und diameter at every SF (verified ≤ 8)
+
+
+def q_k_center(spark, sf_dir):
+    """Gonzalez farthest-point k-center (TCS 1985), k=3, hop metric;
+    deterministic seeding/tie-breaks documented on the operator."""
+    from .operators.kcenter import k_center
+
+    return k_center(load_edges(spark, sf_dir), k=KC_K, max_iter=KC_UNROLL)
+
+
+def _k_center_sql() -> str:
+    U = KC_UNROLL
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "sel1 AS (SELECT MIN(id) AS c FROM nodes)",
+    ]
+
+    def bfs(s: int) -> None:
+        ctes.append(
+            f"b{s}_0 AS MATERIALIZED (SELECT id,"
+            f" CASE WHEN id = (SELECT c FROM sel{s}) THEN 0 END AS d FROM nodes)"
+        )
+        for i in range(1, U + 1):
+            ctes.append(
+                f"""b{s}_{i} AS MATERIALIZED (
+  SELECT p.id,
+         CASE WHEN c.cand IS NULL THEN p.d
+              WHEN p.d IS NULL OR c.cand < p.d THEN c.cand
+              ELSE p.d END AS d
+  FROM b{s}_{i-1} p LEFT JOIN (
+    SELECT u.dst AS id, MIN(q.d + 1) AS cand
+    FROM b{s}_{i-1} q JOIN und u ON u.src = q.id
+    WHERE q.d IS NOT NULL GROUP BY u.dst
+  ) c ON p.id = c.id)"""
+            )
+
+    bfs(1)
+    ctes.append(f"m1 AS (SELECT id, d AS dist FROM b1_{U})")
+    for s in range(2, KC_K + 1):
+        ctes.append(
+            f"""sel{s} AS (
+  SELECT id AS c FROM m{s-1}
+  ORDER BY (dist IS NOT NULL) ASC, dist DESC, id ASC LIMIT 1)"""
+        )
+        bfs(s)
+        if s < KC_K:
+            ctes.append(
+                f"""m{s} AS (
+  SELECT m.id,
+         CASE WHEN m.dist IS NULL THEN b.d
+              WHEN b.d IS NULL OR m.dist <= b.d THEN m.dist
+              ELSE b.d END AS dist
+  FROM m{s-1} m JOIN b{s}_{U} b ON b.id = m.id)"""
+            )
+    cand = "\nUNION ALL\n".join(
+        f"SELECT id, (SELECT c FROM sel{s}) AS center, d AS dist"
+        f" FROM b{s}_{U} WHERE d IS NOT NULL"
+        for s in range(1, KC_K + 1)
+    )
+    ctes.append(f"cand AS ({cand})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT id, center, CAST(dist AS BIGINT) AS dist FROM (
+  SELECT id, center, dist,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, center) AS rn
+  FROM cand) WHERE rn = 1"""
+    )
+
+
+ORACLE["k_center"] = _k_center_sql()
+QUERIES["k_center"] = q_k_center
+
+
+# ------------------------------------------------ dK-2 joint degree matrix
+
+
+def q_joint_degree_matrix(spark, sf_dir):
+    """dK-2 degree-correlation profile (Mahadevan et al., SIGCOMM 2006):
+    histogram of sorted endpoint-degree pairs over undirected edges."""
+    from .graph import joint_degree_matrix
+
+    return joint_degree_matrix(load_edges(spark, sf_dir))
+
+
+ORACLE["joint_degree_matrix"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED ({UND_SQL}),
+ordered AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src)
+SELECT LEAST(a.deg, b.deg) AS deg_lo,
+       GREATEST(a.deg, b.deg) AS deg_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM ordered o JOIN deg a ON a.id = o.src JOIN deg b ON b.id = o.dst
+GROUP BY 1, 2"""
+QUERIES["joint_degree_matrix"] = q_joint_degree_matrix
+
+
+# ------------------------------------------------------- c(k) curve
+
+
+def q_clustering_by_degree(spark, sf_dir):
+    """Ravasz-Barabási hierarchical-modularity fingerprint: mean local
+    clustering coefficient per degree class."""
+    from .graph import clustering_by_degree
+
+    return clustering_by_degree(load_edges(spark, sf_dir))
+
+
+ORACLE["clustering_by_degree"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED ({UND_SQL}),
+ordered AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+tris AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM ordered e1 JOIN ordered e2 ON e1.dst = e2.src
+  JOIN ordered e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT a AS id FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+),
+tpn AS (SELECT id, COUNT(*) AS t FROM corners GROUP BY id),
+coef AS (
+  SELECT d.id, d.deg,
+         ROUND(CASE WHEN d.deg >= 2
+                    THEN 2e0 * COALESCE(t.t, 0) / (d.deg * (d.deg - 1))
+                    ELSE 0e0 END, 6) AS coefficient
+  FROM deg d LEFT JOIN tpn t ON d.id = t.id)
+SELECT CAST(deg AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       ROUND(AVG(coefficient), 6) AS avg_coefficient
+FROM coef GROUP BY deg"""
+QUERIES["clustering_by_degree"] = q_clustering_by_degree

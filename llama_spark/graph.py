@@ -535,3 +535,62 @@ def degree_gini(edges: DataFrame) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def joint_degree_matrix(edges: DataFrame) -> DataFrame:
+    """dK-2 joint degree matrix → DataFrame[deg_lo, deg_hi, n_edges].
+
+    Published frame: Mahadevan, Krioukov, Fall & Vahdat, "Systematic
+    Topology Analysis and Generation Using Degree Correlations"
+    (SIGCOMM 2006) — the dK-2 statistic: for every undirected edge, the
+    (sorted) pair of endpoint degrees; the histogram over those pairs is
+    the degree-correlation profile that dK-random graph generators
+    preserve (one level finer than assortativity's single scalar, one
+    coarser than the full graph).
+
+    Spark plan: two broadcast-or-shuffle joins of the edge list against
+    the V-row degree table + one groupBy — the assortativity plan with a
+    histogram instead of a covariance on top.
+    """
+    und = undirected_ordered(drop_self_loops(edges.select(SRC, DST))).dropDuplicates(
+        [SRC, DST]
+    )
+    adj = und.union(und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+    deg = adj.groupBy(F.col(SRC).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    da, db = deg.alias("da"), deg.alias("db")
+    return (
+        und.join(da, und[SRC] == F.col("da.id"))
+        .join(db, und[DST] == F.col("db.id"))
+        .select(
+            F.least(F.col("da.deg"), F.col("db.deg")).alias("deg_lo"),
+            F.greatest(F.col("da.deg"), F.col("db.deg")).alias("deg_hi"),
+        )
+        .groupBy("deg_lo", "deg_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+
+
+def clustering_by_degree(edges: DataFrame) -> DataFrame:
+    """c(k) curve → DataFrame[degree, n_nodes, avg_coefficient].
+
+    Published frame: Ravasz & Barabási, "Hierarchical organization in
+    complex networks" (PRE 2003) — c(k) ~ k^(-1) is the signature of
+    hierarchical modularity; flat c(k) means no hierarchy. The curve is
+    the mean local clustering coefficient over all vertices of degree k.
+
+    Spark plan: the audited degree-oriented triangle kernel's per-node
+    counts + the V-row degree table, one groupBy(degree) on top; the
+    per-node coefficient is rounded to 6 dp FIRST (matching the gated
+    local_clustering values exactly) and the degree-class mean again to
+    6 dp.
+    """
+    from .operators.linkpred import local_clustering
+
+    return (
+        local_clustering(edges)
+        .groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.round(F.avg("coefficient"), 6).alias("avg_coefficient"),
+        )
+    )

@@ -638,6 +638,69 @@ class GraphSession:
 
         return vertex_cover(self._e(), **kw)
 
+    def lt_cascade(self, **kw) -> DataFrame:
+        """Deterministic Linear Threshold cascade (influence.lt_cascade)."""
+        from .operators.influence import lt_cascade
+
+        return lt_cascade(self._e(), **kw)
+
+    def cheirank(self, **kw) -> DataFrame:
+        """(PageRank, CheiRank) 2-D rank plane (pagerank.cheirank_plane)."""
+        from .operators.pagerank import cheirank_plane
+
+        return cheirank_plane(self._e(), **kw)
+
+    def balance_census(self) -> DataFrame:
+        """Structural-balance triangle census (triangles.balance_census)."""
+        from .operators.triangles import balance_census
+
+        return balance_census(self._e())
+
+    def temporal_motifs(self, contacts: DataFrame, delta: int) -> DataFrame:
+        """δ-temporal triangle motif census over a (src, dst, t) contact
+        stream (temporal.temporal_triangle_motifs)."""
+        from .operators.temporal import temporal_triangle_motifs
+
+        return temporal_triangle_motifs(contacts, delta=delta)
+
+    def burt_constraint(self) -> DataFrame:
+        """Burt structural-holes constraint per vertex (triangles.burt_constraint)."""
+        from .operators.triangles import burt_constraint
+
+        return burt_constraint(self._e())
+
+    def truncated_pagerank(self, **kw) -> DataFrame:
+        """Becchetti truncated PageRank — short-path support removed
+        (pagerank.truncated_pagerank)."""
+        from .operators.pagerank import truncated_pagerank
+
+        return truncated_pagerank(self._e(), **kw)
+
+    def eulerian_census(self, **kw) -> DataFrame:
+        """Eulerian circuit/path feasibility census (components.eulerian_census)."""
+        from .operators.components import eulerian_census
+
+        return eulerian_census(self._e(), **kw)
+
+    def k_center(self, k: int = 3, **kw) -> DataFrame:
+        """Gonzalez farthest-point k-center on the hop metric
+        (kcenter.k_center)."""
+        from .operators.kcenter import k_center
+
+        return k_center(self._e(), k=k, **kw)
+
+    def joint_degree_matrix(self) -> DataFrame:
+        """dK-2 joint degree matrix (graph.joint_degree_matrix)."""
+        from .graph import joint_degree_matrix
+
+        return joint_degree_matrix(self._e())
+
+    def clustering_by_degree(self) -> DataFrame:
+        """c(k) clustering-by-degree curve (graph.clustering_by_degree)."""
+        from .graph import clustering_by_degree
+
+        return clustering_by_degree(self._e())
+
     def textrank(self, pairs: DataFrame, **kw) -> DataFrame:
         """TextRank scores over a weighted similarity pair list
         (operators/textrank.textrank_from_pairs — N x the weighted

@@ -206,3 +206,27 @@ def test_clustering_by_degree_matches_oracle_sf0001(spark):
     for g, w in zip(got, want):
         assert g[0] == w[0] and g[1] == w[1]
         assert g[2] == pytest.approx(w[2], abs=2e-6)
+
+
+# ---- GraphSession API surface for continuation-7/8/9 operators ----
+
+
+def test_graphsession_continuation_789_methods(spark):
+    from llama_spark.api import GraphSession
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    g = GraphSession(spark).from_edges(edges_df(spark, edges))
+    assert g.lt_cascade(seed_mod=1000, rounds=3).count() >= 1
+    assert g.cheirank(max_iter=3).count() == 4
+    assert g.balance_census().count() == 1
+    assert g.burt_constraint().count() == 4
+    assert g.truncated_pagerank(max_iter=4).count() == 4
+    assert g.eulerian_census().collect()[0].n_odd == 2
+    assert g.k_center(k=2).count() == 4
+    assert g.joint_degree_matrix().count() == 3
+    assert g.clustering_by_degree().count() == 3
+    contacts = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 6), (2, 0, 7)], "src long, dst long, t long"
+    )
+    got = {r.motif: r.n for r in g.temporal_motifs(contacts, delta=10).collect()}
+    assert got == {"cycle": 1}

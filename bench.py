@@ -479,6 +479,11 @@ def main() -> None:
     timed("joint_degree_matrix", lambda: joint_degree_matrix(edges).count())
     timed("clustering_by_degree", lambda: clustering_by_degree(edges).count())
 
+    from llama_spark.operators.linkpred import edge_dispersion, orbit_counts
+
+    timed("orbit_counts", lambda: orbit_counts(edges).count())
+    timed("edge_dispersion", lambda: edge_dispersion(edges).count())
+
     # ---- execution: whole-list passes, then a retry pass for cheap rows ----
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to those rows (for
     # targeted quiet-window re-measurement of contested queries)

@@ -484,6 +484,18 @@ class GraphSession:
 
         return scan_statistic(self._e())
 
+    def orbit_counts(self) -> DataFrame:
+        """3-node graphlet orbit counts / GDV (linkpred.orbit_counts)."""
+        from .operators.linkpred import orbit_counts
+
+        return orbit_counts(self._e())
+
+    def edge_dispersion(self) -> DataFrame:
+        """Backstrom-Kleinberg per-edge dispersion (linkpred.edge_dispersion)."""
+        from .operators.linkpred import edge_dispersion
+
+        return edge_dispersion(self._e())
+
     def weighted_clustering(self, weight_col: str = "weight") -> DataFrame:
         """Onnela weighted local clustering (linkpred.weighted_clustering)."""
         from .operators.linkpred import weighted_clustering

@@ -8772,3 +8772,75 @@ SELECT CAST(deg AS BIGINT) AS degree,
        ROUND(AVG(coefficient), 6) AS avg_coefficient
 FROM coef GROUP BY deg"""
 QUERIES["clustering_by_degree"] = q_clustering_by_degree
+
+
+# ------------------------------------------- 3-node graphlet orbit counts
+
+
+def q_orbit_counts(spark, sf_dir):
+    """Pržulj graphlet degree vector, 3-node orbits 0-3 (degree, wedge-end,
+    wedge-center, triangle corner) — exact BIGINT."""
+    from .operators.linkpred import orbit_counts
+
+    return orbit_counts(load_edges(spark, sf_dir))
+
+
+ORACLE["orbit_counts"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED ({UND_SQL}),
+ordered AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+tris AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM ordered e1 JOIN ordered e2 ON e1.dst = e2.src
+  JOIN ordered e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT a AS id FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+),
+tpn AS (SELECT id, COUNT(*) AS t FROM corners GROUP BY id),
+nsum AS (
+  SELECT u.src AS id, SUM(d.deg - 1) AS s
+  FROM und u JOIN deg d ON d.id = u.dst GROUP BY u.src)
+SELECT d.id,
+       CAST(d.deg AS BIGINT) AS orbit0,
+       CAST(COALESCE(n.s, 0) - 2 * COALESCE(t.t, 0) AS BIGINT) AS orbit1,
+       CAST(d.deg * (d.deg - 1) / 2 - COALESCE(t.t, 0) AS BIGINT) AS orbit2,
+       CAST(COALESCE(t.t, 0) AS BIGINT) AS orbit3
+FROM deg d LEFT JOIN tpn t ON t.id = d.id LEFT JOIN nsum n ON n.id = d.id"""
+QUERIES["orbit_counts"] = q_orbit_counts
+
+
+# ---------------------------------------------------- edge dispersion
+
+
+def q_edge_dispersion(spark, sf_dir):
+    """Backstrom-Kleinberg dispersion per undirected edge (CSCW 2014),
+    base distance d(s,t) = 1{not directly linked}; exact BIGINT."""
+    from .operators.linkpred import edge_dispersion
+
+    return edge_dispersion(load_edges(spark, sf_dir))
+
+
+ORACLE["edge_dispersion"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED ({UND_SQL}),
+ordered AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst),
+cn AS MATERIALIZED (
+  SELECT o.src, o.dst, u1.dst AS s
+  FROM ordered o
+  JOIN und u1 ON u1.src = o.src AND u1.dst <> o.dst
+  JOIN und u2 ON u2.src = o.dst AND u2.dst = u1.dst),
+ncn AS (SELECT src, dst, COUNT(*) AS n FROM cn GROUP BY src, dst),
+k4 AS (
+  SELECT c1.src, c1.dst, COUNT(*) AS k
+  FROM cn c1
+  JOIN ordered e ON e.src = c1.s
+  JOIN cn c2 ON c2.src = c1.src AND c2.dst = c1.dst AND c2.s = e.dst
+  GROUP BY c1.src, c1.dst)
+SELECT o.src, o.dst,
+       CAST(COALESCE(n.n, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(n.n, 0) * (COALESCE(n.n, 0) - 1) / 2
+            - COALESCE(k.k, 0) AS BIGINT) AS dispersion
+FROM ordered o
+LEFT JOIN ncn n ON n.src = o.src AND n.dst = o.dst
+LEFT JOIN k4 k ON k.src = o.src AND k.dst = o.dst"""
+QUERIES["edge_dispersion"] = q_edge_dispersion

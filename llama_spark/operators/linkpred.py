@@ -372,3 +372,134 @@ def weighted_clustering(
     e.unpersist()
     deg.unpersist()
     return out
+
+
+def orbit_counts(edges: DataFrame) -> DataFrame:
+    """3-node graphlet degree vector → DataFrame[id, orbit0..orbit3].
+
+    Published frame: Pržulj, "Biological network comparison using graphlet
+    degree distribution" (Bioinformatics 2007) — per-node counts of the
+    automorphism orbits of the two 3-node graphlets:
+
+        orbit0  degree (the 2-node graphlet end)
+        orbit1  END of an open wedge (v–u–w, w ∉ N(v))
+        orbit2  CENTER of an open wedge
+        orbit3  triangle corner
+
+    All four are exact BIGINT compositions of the degree table and the
+    audited per-corner triangle counts — no new joins beyond one
+    neighbor-degree aggregation:
+
+        orbit2 = C(d(v), 2) − t(v)
+        orbit1 = Σ_{u∈N(v)} (d(u) − 1) − 2·t(v)
+
+    (each triangle at v closes one wedge centered at v and two wedges
+    ending at v). At 100 TB this adds ONE E-row join against the V-row
+    degree vector on top of the triangle kernel — the assortativity plan.
+    """
+    und = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    tri = triangles_per_node(edges)
+    # Σ_{u ∈ N(v)} (deg(u) − 1), keyed at v
+    nsum = (
+        und.join(
+            deg.select(F.col("id").alias(DST), F.col("deg").alias("du")),
+            DST,
+        )
+        .groupBy(F.col(SRC).alias("id"))
+        .agg(F.sum(F.col("du") - 1).alias("s"))
+    )
+    out = (
+        deg.join(tri, "id", "left")
+        .join(nsum, "id", "left")
+        .select(
+            "id",
+            F.col("deg").cast("long").alias("orbit0"),
+            (
+                F.coalesce("s", F.lit(0))
+                - 2 * F.coalesce("triangles", F.lit(0))
+            ).cast("long").alias("orbit1"),
+            (
+                F.col("deg") * (F.col("deg") - 1) / 2
+                - F.coalesce("triangles", F.lit(0))
+            ).cast("long").alias("orbit2"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("orbit3"),
+        )
+    )
+    und.unpersist()
+    return out
+
+
+def edge_dispersion(edges: DataFrame) -> DataFrame:
+    """Backstrom-Kleinberg dispersion per edge →
+    DataFrame[src, dst, n_common, dispersion].
+
+    Published frame: Backstrom & Kleinberg, "Romantic Partnerships and
+    the Dispersion of Social Ties" (CSCW 2014) — embeddedness (many
+    common neighbors) is the WRONG partner detector; dispersion — common
+    neighbors of (u,v) that are themselves far apart — is the right one.
+    This is the paper's base instantiation with distance function
+    d(s,t) = 1{s,t not directly linked}:
+
+        disp(u,v) = #{ {s,t} ⊆ CN(u,v) : (s,t) ∉ E }
+                  = C(|CN(u,v)|, 2) − #{CN pairs that are edges}
+
+    The subtracted term is the per-edge K4 count, so no CN×CN pair set
+    is ever materialized: candidates flow cn(u,v,s) ⋈ E(s,t) — the
+    degree-bounded triangle-join cost envelope — then a semi-join back
+    against cn(u,v,t). Exact BIGINT throughout.
+    """
+    und = (
+        drop_self_loops(edges.select(SRC, DST))
+        .select(F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    adj = und.union(und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+
+    # common neighbors of each edge: s ∈ N(u) ∩ N(v), s ∉ {u, v}
+    cn = (
+        und.join(adj.select(F.col(SRC).alias("src"), F.col(DST).alias("s")), "src")
+        .filter(F.col("s") != F.col(DST))
+        .join(
+            adj.select(F.col(SRC).alias("dst"), F.col(DST).alias("s")),
+            ["dst", "s"],
+            "left_semi",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ncn = cn.groupBy(SRC, DST).agg(F.count(F.lit(1)).alias("n_common"))
+
+    # CN pairs that are themselves edges = K4s containing (u, v)
+    linked = (
+        cn.join(
+            und.select(F.col(SRC).alias("s"), F.col(DST).alias("t")), "s"
+        )
+        .join(
+            cn.select(SRC, DST, F.col("s").alias("t")),
+            [SRC, DST, "t"],
+            "left_semi",
+        )
+        .groupBy(SRC, DST)
+        .agg(F.count(F.lit(1)).alias("k4"))
+    )
+
+    out = (
+        und.join(ncn, [SRC, DST], "left")
+        .join(linked, [SRC, DST], "left")
+        .select(
+            SRC,
+            DST,
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            (
+                F.coalesce("n_common", F.lit(0))
+                * (F.coalesce("n_common", F.lit(0)) - 1)
+                / 2
+                - F.coalesce("k4", F.lit(0))
+            ).cast("long").alias("dispersion"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    cn.unpersist()
+    return out

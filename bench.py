@@ -484,6 +484,16 @@ def main() -> None:
     timed("orbit_counts", lambda: orbit_counts(edges).count())
     timed("edge_dispersion", lambda: edge_dispersion(edges).count())
 
+    def _motif_fiedler() -> None:
+        from llama_spark.operators.spectral import fiedler_vector_normalized
+        from llama_spark.operators.truss import motif_adjacency
+
+        fiedler_vector_normalized(
+            edges, max_iter=16, weighted_adj=motif_adjacency(edges)
+        ).count()
+
+    timed("motif_fiedler16", _motif_fiedler)
+
     # ---- execution: whole-list passes, then a retry pass for cheap rows ----
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to those rows (for
     # targeted quiet-window re-measurement of contested queries)

@@ -484,6 +484,18 @@ class GraphSession:
 
         return scan_statistic(self._e())
 
+    def motif_fiedler(self, max_iter: int = 16, **kw) -> DataFrame:
+        """Motif (triangle) spectral embedding: normalized Fiedler over the
+        triangle motif adjacency (truss.motif_adjacency +
+        spectral.fiedler_vector_normalized)."""
+        from .operators.spectral import fiedler_vector_normalized
+        from .operators.truss import motif_adjacency
+
+        return fiedler_vector_normalized(
+            self._e(), max_iter=max_iter,
+            weighted_adj=motif_adjacency(self._e()), **kw
+        )
+
     def orbit_counts(self) -> DataFrame:
         """3-node graphlet orbit counts / GDV (linkpred.orbit_counts)."""
         from .operators.linkpred import orbit_counts

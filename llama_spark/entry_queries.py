@@ -8844,3 +8844,83 @@ FROM ordered o
 LEFT JOIN ncn n ON n.src = o.src AND n.dst = o.dst
 LEFT JOIN k4 k ON k.src = o.src AND k.dst = o.dst"""
 QUERIES["edge_dispersion"] = q_edge_dispersion
+
+
+# ------------------------------------------- motif (triangle) spectral
+
+
+def q_motif_fiedler(spark, sf_dir):
+    """Benson-Gleich-Leskovec motif spectral embedding (Science 2016):
+    normalized Fiedler iterate over the triangle motif adjacency
+    W_ij = #triangles containing (i,j); bisecting on it optimizes motif
+    conductance."""
+    from .operators.spectral import fiedler_vector_normalized
+    from .operators.truss import motif_adjacency
+
+    e = load_edges(spark, sf_dir)
+    out = fiedler_vector_normalized(
+        e, max_iter=FIEDLER_ITERS, weighted_adj=motif_adjacency(e)
+    )
+    return out.select(
+        "id",
+        F.col("d").cast("long").alias("motif_deg"),
+        F.round("nfiedler", 6).alias("nfiedler"),
+    )
+
+
+def _motif_fiedler_sql(iters: int = FIEDLER_ITERS) -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "ordered AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst)",
+        """tris AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM ordered e1 JOIN ordered e2 ON e1.dst = e2.src
+  JOIN ordered e3 ON e3.src = e1.src AND e3.dst = e2.dst)""",
+        """supp AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM (
+    SELECT a AS src, b AS dst FROM tris
+    UNION ALL SELECT b, c FROM tris
+    UNION ALL SELECT a, c FROM tris
+  ) GROUP BY src, dst)""",
+        """undw AS MATERIALIZED (
+  SELECT src, dst, w FROM supp
+  UNION ALL SELECT dst AS src, src AS dst, w FROM supp)""",
+        "deg AS MATERIALIZED (SELECT src AS id, SUM(w) AS d FROM undw GROUP BY src)",
+        "s2 AS (SELECT SUM(d) AS v FROM deg)",
+        "x0 AS MATERIALIZED (SELECT id, d, SQRT(d) AS sd,"
+        " CAST((id * 2654435761) % 1048576 AS DOUBLE)/1048576e0 - 0.5e0 AS x"
+        " FROM deg)",
+    ]
+    for i in range(1, iters + 1):
+        pr = f"((SELECT syd FROM st{i}) / (SELECT v FROM s2))"
+        ctes.append(
+            f"""y{i} AS (
+  SELECT s.id, s.d, s.sd, s.x + COALESCE(g.g, 0e0) / s.sd AS y
+  FROM x{i-1} s LEFT JOIN (
+    SELECT u.dst AS id, SUM(u.w * (s2x.x / s2x.sd)) AS g
+    FROM x{i-1} s2x JOIN undw u ON u.src = s2x.id GROUP BY u.dst
+  ) g ON g.id = s.id),
+st{i} AS (SELECT SUM(y*sd) AS syd, SUM(y*y) AS syy FROM y{i}),
+x{i} AS MATERIALIZED (
+  SELECT id, d, sd,
+         (y - {pr} * sd)
+         / SQRT((SELECT syy FROM st{i})
+                - 2e0 * {pr} * (SELECT syd FROM st{i})
+                + ({pr} * {pr}) * (SELECT v FROM s2)) AS x
+  FROM y{i})"""
+        )
+    ctes.append(
+        f"sgn AS (SELECT CASE WHEN x >= 0e0 THEN 1e0 ELSE -1e0 END AS s"
+        f" FROM x{iters} ORDER BY ABS(x) DESC, id LIMIT 1)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id, CAST(d AS BIGINT) AS motif_deg,
+       ROUND(x * (SELECT s FROM sgn), 6) AS nfiedler FROM x{iters}"""
+    )
+
+
+ORACLE["motif_fiedler"] = _motif_fiedler_sql()
+QUERIES["motif_fiedler"] = q_motif_fiedler

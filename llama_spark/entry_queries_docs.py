@@ -3101,3 +3101,32 @@ GROUP BY q.tok, q.n"""
 
 DOCS_ORACLE["cms_token_counts"] = _cms_sql()
 DOCS_QUERIES["cms_token_counts"] = q_cms_token_counts
+
+
+# ---------------------------------------------- temperature mixture
+
+MIX_S = 0.7
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """mBERT/XLM-R exponent-smoothed sampling mixture over languages
+    (q_i ∝ p_i^S, S=0.7) — the corpus-mixing sampler configuration."""
+    from .functions.sample import temperature_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mixture(docs, by="lang", smoothing=MIX_S)
+
+
+DOCS_ORACLE["temperature_mixture"] = f"""WITH g AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang),
+t AS (SELECT SUM(n_docs) AS t FROM g),
+s AS (SELECT g.*, ROUND(CAST(n_docs AS DOUBLE) / (SELECT t FROM t), 6) AS share
+      FROM g),
+p AS (SELECT s.*, POWER(share, CAST({MIX_S!r} AS DOUBLE)) AS pw FROM s),
+z AS (SELECT SUM(pw) AS z FROM p)
+SELECT lang, n_docs, n_chars, share,
+       ROUND(pw / (SELECT z FROM z), 6) AS weight
+FROM p"""
+DOCS_QUERIES["temperature_mixture"] = q_temperature_mixture

@@ -57,3 +57,50 @@ def source_weighted_sample(
         F.lit(10000),
     )
     return documents.filter(bucket < rate).select(id_col, source_col)
+
+
+def temperature_mixture(
+    documents: DataFrame,
+    by: str = "lang",
+    smoothing: float = 0.7,
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Exponent-smoothed sampling mixture →
+    DataFrame[group, n_docs, n_chars, share, weight].
+
+    Published frame: the multilingual exponential-smoothing mixture of
+    mBERT / XLM-R (Conneau & Lample 2019; Conneau et al., ACL 2020) —
+    sample group i with probability q_i ∝ p_i^S where p_i is its natural
+    share and S the smoothing exponent (mBERT's S = 0.7; equivalently
+    temperature T = 1/S): S < 1 up-weights the tail (low-resource
+    languages / small sources), S = 1 recovers proportional sampling.
+    The table this emits (natural share → smoothed weight per group) is
+    exactly the sampler configuration a corpus-mixing stage consumes.
+
+    Spark plan: one groupBy over the corpus + a 1-row total broadcast —
+    a pure aggregation pipeline (map-side combined) at any scale.
+    Weights are ROUND(·, 6) under the house float-gate convention; the
+    p^((1/T)) power is computed on the 6-dp-rounded natural share so
+    both engines exponentiate bit-identical inputs.
+    """
+    alpha = float(smoothing)
+    g = documents.groupBy(F.col(by).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(size_col).cast("long").alias("n_chars"),
+    )
+    tot = g.agg(F.sum("n_docs").alias("t")).select("t")
+    shared = g.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.round(F.col("n_docs") / F.col("t"), 6)
+    )
+    pw = shared.withColumn("pw", F.pow(F.col("share"), F.lit(alpha)))
+    z = pw.agg(F.sum("pw").alias("z")).select("z")
+    return (
+        pw.crossJoin(F.broadcast(z))
+        .select(
+            F.col("grp").alias(by),
+            "n_docs",
+            "n_chars",
+            "share",
+            F.round(F.col("pw") / F.col("z"), 6).alias("weight"),
+        )
+    )

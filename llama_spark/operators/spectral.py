@@ -296,6 +296,7 @@ def fiedler_vector_normalized(
     edges: DataFrame,
     max_iter: int = FIEDLER_ITERS,
     num_partitions: int | None = None,
+    weighted_adj: DataFrame | None = None,
 ) -> DataFrame:
     """DataFrame[id, d, nfiedler] — Fiedler vector of the NORMALIZED
     Laplacian L_n = I − D^{-1/2}AD^{-1/2} (Shi–Malik / Ng–Jordan–Weiss
@@ -308,14 +309,26 @@ def fiedler_vector_normalized(
     over und edges, y = x + g/√d, deflate the D^{1/2}·1 direction
     (p = Σy·√d / Σd — exact nullvector projection), L2-normalize via the
     one-pass form ‖y−p·√d‖² = Σy² − 2·p·Σy√d + p²·Σd. Same cached-edge /
-    V-row-shuffle plan as ``fiedler_vector``; same 6 dp oracle contract."""
+    V-row-shuffle plan as ``fiedler_vector``; same 6 dp oracle contract.
+
+    ``weighted_adj`` (optional): a PRE-SYMMETRIZED weighted adjacency
+    DataFrame[src, dst, w] replacing ``symmetrize(edges)`` — the
+    motif-spectral entry point (Benson-Gleich-Leskovec, Science 2016):
+    pass the triangle motif adjacency and the same iteration bisects by
+    motif conductance (d becomes the motif-weighted degree Σw). With
+    ``weighted_adj=None`` the plan is the unweighted one (w ≡ 1,
+    d = degree) unchanged."""
     spark = edges.sparkSession
     p_ = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    und = symmetrize(edges).repartition(p_, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    if weighted_adj is None:
+        und = symmetrize(edges).select(SRC, DST, F.lit(1.0).alias("w"))
+    else:
+        und = weighted_adj.select(SRC, DST, F.col("w").cast("double").alias("w"))
+    und = und.repartition(p_, SRC).persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
     deg = (
         und.groupBy(F.col(SRC).alias("id"))
-        .agg(F.count("*").cast("double").alias("d"))
+        .agg(F.sum("w").alias("d"))
         .repartition(p_, "id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -347,7 +360,7 @@ def fiedler_vector_normalized(
                 SRC,
             )
             .groupBy(F.col(DST).alias("id"))
-            .agg(F.sum("xs").alias("g"))
+            .agg(F.sum(F.col("w") * F.col("xs")).alias("g"))
         )
         y = state.join(gather, "id", "left").select(
             "id",

@@ -294,3 +294,27 @@ def local_bridges(edges: DataFrame) -> DataFrame:
         .filter(F.coalesce("support", F.lit(0)) == 0)
         .select(SRC, DST)
     )
+
+
+def motif_adjacency(edges: DataFrame) -> DataFrame:
+    """Triangle motif adjacency → symmetric DataFrame[src, dst, w].
+
+    Published frame: Benson, Gleich & Leskovec, "Higher-order
+    organization of complex networks" (Science 2016) — replace the plain
+    adjacency with W_ij = #{motif instances containing edge (i,j)}
+    (motif = triangle here), then any conductance machinery run on W
+    optimizes MOTIF conductance instead of edge conductance. Edges in no
+    triangle (w = 0) leave the motif graph — exactly the paper's
+    restriction to the motif-connected part.
+
+    Spark plan: the audited edge_support kernel (one canonical triangle
+    join + a 3-side explode) symmetrized by projection — no extra
+    shuffle beyond the support groupBy.
+    """
+    supp = edge_support(_canonical(edges))
+    return supp.select(SRC, DST, F.col("support").alias("w")).unionAll(
+        supp.select(
+            F.col(DST).alias(SRC), F.col(SRC).alias(DST),
+            F.col("support").alias("w"),
+        )
+    )

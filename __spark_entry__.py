@@ -105,8 +105,13 @@ _GATE_ORDER = (
     # sf0.01 — 4 Edmonds-Karp augmentations + the final reach BFS); a
     # time-capped driver pass drops only it, never a cheaper gate.
     "max_flow",
+    # round-5 continuation-7..13 gates, cheapest-first (measured sf0.01)
+    "temperature_mixture", "joint_degree_matrix", "molloy_reed",
+    "powerlaw_ks", "url_normalize", "balance_census", "clustering_by_degree",
+    "eulerian", "burt_constraint", "small_world", "edge_dispersion",
+    "truncated_pagerank", "temporal_motifs", "motif_fiedler", "cheirank",
+    "orbit_counts", "lt_cascade", "k_center",
 )
-
 
 def _ordered(d: dict) -> dict:
     out = {k: d[k] for k in _GATE_ORDER if k in d}

@@ -482,7 +482,24 @@ def main() -> None:
     from llama_spark.operators.linkpred import edge_dispersion, orbit_counts
 
     timed("orbit_counts", lambda: orbit_counts(edges).count())
-    timed("edge_dispersion", lambda: edge_dispersion(edges).count())
+    # the sf0.1 gate graph (mod 4096) has mean degree ~270 — denser than
+    # any web graph, and per-edge CN enumeration is Σ_e deg ≈ 1.6e8 wedge
+    # rows there (224s measured, cap can't cut the enumeration). The op's
+    # real habitat is web-sparse: bench it on the mod-65536 projection of
+    # the same lineitem table (65k nodes, mean degree ~17)
+    def _edge_dispersion_sparse() -> None:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        se = (
+            li.select(
+                (FF.col("l_orderkey") % 65536).alias("src"),
+                (FF.col("l_partkey") % 65536).alias("dst"),
+            )
+            .filter(FF.col("src") != FF.col("dst"))
+            .distinct()
+        )
+        edge_dispersion(se).count()
+
+    timed("edge_dispersion_sparse", _edge_dispersion_sparse)
 
     def _motif_fiedler() -> None:
         from llama_spark.operators.spectral import fiedler_vector_normalized
@@ -493,6 +510,20 @@ def main() -> None:
         ).count()
 
     timed("motif_fiedler16", _motif_fiedler)
+
+    # ---- round-5 continuation-12 rows ----
+    from llama_spark.operators.traversal import small_world_sigma
+
+    timed(
+        "small_world",
+        lambda: small_world_sigma(edges, roots=[0, 42, 77, 1234]).count(),
+    )
+
+    from llama_spark.operators.percolation import molloy_reed
+    from llama_spark.graph import powerlaw_ks
+
+    timed("molloy_reed", lambda: molloy_reed(edges).count())
+    timed("powerlaw_ks", lambda: powerlaw_ks(edges).count())
 
     # ---- execution: whole-list passes, then a retry pass for cheap rows ----
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to those rows (for

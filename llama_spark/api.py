@@ -496,6 +496,33 @@ class GraphSession:
             weighted_adj=motif_adjacency(self._e()), **kw
         )
 
+    def molloy_reed(self) -> DataFrame:
+        """Molloy-Reed robustness criterion + Cohen random-failure
+        threshold (percolation.molloy_reed)."""
+        from .operators.percolation import molloy_reed
+
+        return molloy_reed(self._e())
+
+    def powerlaw_ks(self, d_min: int = 4) -> DataFrame:
+        """CSN KS goodness-of-fit of the Hill power-law fit
+        (graph.powerlaw_ks)."""
+        from .graph import powerlaw_ks
+
+        return powerlaw_ks(self._e(), d_min=d_min)
+
+    def normalize_urls(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        """RFC 3986 URL canonicalization (search.normalize_urls)."""
+        from .functions.search import normalize_urls
+
+        return normalize_urls(df, url_col=url_col)
+
+    def small_world_sigma(self, roots: list[int], **kw) -> DataFrame:
+        """Humphries-Gurney small-world coefficient
+        (traversal.small_world_sigma)."""
+        from .operators.traversal import small_world_sigma
+
+        return small_world_sigma(self._e(), roots=roots, **kw)
+
     def orbit_counts(self) -> DataFrame:
         """3-node graphlet orbit counts / GDV (linkpred.orbit_counts)."""
         from .operators.linkpred import orbit_counts

@@ -8924,3 +8924,134 @@ SELECT id, CAST(d AS BIGINT) AS motif_deg,
 
 ORACLE["motif_fiedler"] = _motif_fiedler_sql()
 QUERIES["motif_fiedler"] = q_motif_fiedler
+
+
+# ------------------------------------------------- small-world sigma
+
+SW_ROOTS = CLOSE_ROOTS  # the closeness gate's sampled-root convention
+
+
+def q_small_world(spark, sf_dir):
+    """Humphries-Gurney small-world coefficient σ = (C/C_rand)/(L/L_rand)
+    with exact transitivity C, root-sampled exact L, and closed-form ER
+    baselines."""
+    from .operators.traversal import small_world_sigma
+
+    return small_world_sigma(load_edges(spark, sf_dir), roots=SW_ROOTS)
+
+
+def _small_world_sql() -> str:
+    roots = ", ".join(f"({r})" for r in sorted(set(SW_ROOTS)))
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        "ord2 AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst)",
+        f"roots(root) AS (VALUES {roots})",
+        "m0 AS MATERIALIZED (SELECT r.root, n.id, "
+        "CASE WHEN n.id = r.root THEN 0 END AS depth FROM nodes n CROSS JOIN roots r)",
+    ]
+    for i in range(1, BFS_UNROLL + 1):
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (
+  SELECT p.root, p.id,
+         CASE WHEN c.cand IS NULL THEN p.depth
+              WHEN p.depth IS NULL OR c.cand < p.depth THEN c.cand
+              ELSE p.depth END AS depth
+  FROM m{i-1} p LEFT JOIN (
+    SELECT q.root, u.dst AS id, MIN(q.depth + 1) AS cand
+    FROM m{i-1} q JOIN und u ON u.src = q.id
+    WHERE q.depth IS NOT NULL GROUP BY q.root, u.dst
+  ) c ON p.root = c.root AND p.id = c.id
+)"""
+        )
+    ctes += [
+        "nm AS (SELECT COUNT(DISTINCT src) AS n, CAST(COUNT(*) / 2 AS BIGINT) AS m FROM und)",
+        "deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src)",
+        "wed AS (SELECT CAST(COALESCE(SUM(d * (d - 1)), 0) // 2 AS BIGINT) AS wedges FROM deg)",
+        """tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM ord2 e1 JOIN ord2 e2 ON e1.dst = e2.src
+        JOIN ord2 e3 ON e3.src = e1.src AND e3.dst = e2.dst)""",
+        f"ls AS (SELECT SUM(depth) AS sd, COUNT(*) AS np FROM m{BFS_UNROLL}"
+        " WHERE depth IS NOT NULL AND depth > 0)",
+        "cx AS (SELECT ROUND(3e0 * triangles / wedges, 6) AS c_raw FROM wed, tri)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT nm.n AS n_nodes, nm.m AS n_edges,
+       ROUND(cx.c_raw, 6) AS c,
+       ROUND((2e0 * nm.m / nm.n) / (nm.n - 1), 6) AS c_rand,
+       ROUND(ls.sd / CAST(ls.np AS DOUBLE), 6) AS l_hat,
+       ROUND(LN(CAST(nm.n AS DOUBLE)) / LN(2e0 * nm.m / nm.n), 6) AS l_rand,
+       ROUND((cx.c_raw / ((2e0 * nm.m / nm.n) / (nm.n - 1)))
+             / ((ls.sd / CAST(ls.np AS DOUBLE))
+                / (LN(CAST(nm.n AS DOUBLE)) / LN(2e0 * nm.m / nm.n))), 6) AS sigma
+FROM nm, wed, tri, ls, cx"""
+    )
+
+
+ORACLE["small_world"] = _small_world_sql()
+QUERIES["small_world"] = q_small_world
+
+
+# -------------------------------------------- Molloy-Reed robustness
+
+
+def q_molloy_reed(spark, sf_dir):
+    """Molloy-Reed giant-component criterion κ=⟨k²⟩/⟨k⟩ and the Cohen
+    random-failure threshold f_c = 1 − 1/(κ−1)."""
+    from .operators.percolation import molloy_reed
+
+    return molloy_reed(load_edges(spark, sf_dir))
+
+
+ORACLE["molloy_reed"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED ({UND_SQL}),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS s1,
+             CAST(SUM(d * d) AS BIGINT) AS s2 FROM deg)
+SELECT n AS n_nodes,
+       ROUND(CAST(s1 AS DOUBLE) / n, 6) AS k_mean,
+       ROUND(CAST(s2 AS DOUBLE) / n, 6) AS k2_mean,
+       ROUND(CAST(s2 AS DOUBLE) / s1, 6) AS kappa,
+       (CAST(s2 AS DOUBLE) / s1 > 2e0) AS robust,
+       CASE WHEN CAST(s2 AS DOUBLE) / s1 > 1e0
+            THEN ROUND(1e0 - 1e0 / (CAST(s2 AS DOUBLE) / s1 - 1e0), 6)
+       END AS f_c
+FROM a"""
+QUERIES["molloy_reed"] = q_molloy_reed
+
+
+# ---------------------------------------------- power-law KS distance
+
+PLKS_DMIN = 4
+
+
+def q_powerlaw_ks(spark, sf_dir):
+    """Clauset-Shalizi-Newman KS goodness-of-fit of the Hill power-law
+    fit to the degree tail (continuous CCDF form)."""
+    from .graph import powerlaw_ks
+
+    return powerlaw_ks(load_edges(spark, sf_dir), d_min=PLKS_DMIN)
+
+
+ORACLE["powerlaw_ks"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+und AS MATERIALIZED ({UND_SQL}),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM deg
+         WHERE d >= {PLKS_DMIN} GROUP BY d),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tail,
+               SUM(c * LN(d / {float(PLKS_DMIN)!r})) AS lg FROM hist),
+ccdf AS (SELECT d, CAST(SUM(c) OVER (ORDER BY d DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM hist)
+SELECT CAST({PLKS_DMIN} AS BIGINT) AS d_min,
+       t.n_tail,
+       ROUND(1e0 + t.n_tail / t.lg, 6) AS alpha,
+       ROUND(MAX(ABS(CAST(cum AS DOUBLE) / t.n_tail
+                 - POWER(d / {float(PLKS_DMIN)!r},
+                         1e0 - (1e0 + t.n_tail / t.lg)))), 6) AS ks
+FROM ccdf, tot t GROUP BY t.n_tail, t.lg"""
+QUERIES["powerlaw_ks"] = q_powerlaw_ks

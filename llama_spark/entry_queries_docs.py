@@ -3130,3 +3130,87 @@ SELECT lang, n_docs, n_chars, share,
        ROUND(pw / (SELECT z FROM z), 6) AS weight
 FROM p"""
 DOCS_QUERIES["temperature_mixture"] = q_temperature_mixture
+
+
+# ---------------------------------------------- URL canonicalization
+
+
+def q_url_normalize(spark, sf_dir):
+    """RFC 3986 §6 syntax-based URL normalization over deterministically
+    messy synthetic URLs (one of six messiness shapes per doc_id) — the
+    crawl-frontier / URL-dedup canonicalization stage."""
+    from .functions.search import normalize_urls
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("HTTP://Example.COM/a/b/c?x="), d))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("http://example.com:80/a/./b/../c#frag"), d))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("HTTPS://Sub.Example.Com.:443/p/"), d, F.lit("/../q")))
+        .when(F.col("doc_id") % 6 == 3, F.lit("http://Example.com"))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("http://EXAMPLE.com//a/b/./c/../d?q="), d, F.lit("#z")))
+        .otherwise(F.concat(F.lit("not a url "), d))
+    )
+    return normalize_urls(docs.withColumn("url", url)).select(
+        "doc_id", "url", "canonical"
+    )
+
+
+DOCS_ORACLE["url_normalize"] = r"""WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'HTTP://Example.COM/a/b/c?x=' || doc_id
+           WHEN 1 THEN 'http://example.com:80/a/./b/../c#frag' || doc_id
+           WHEN 2 THEN 'HTTPS://Sub.Example.Com.:443/p/' || doc_id || '/../q'
+           WHEN 3 THEN 'http://Example.com'
+           WHEN 4 THEN 'http://EXAMPLE.com//a/b/./c/../d?q=' || doc_id || '#z'
+           ELSE 'not a url ' || doc_id
+         END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$', 1)) AS scheme,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$', 2)) AS host0,
+         regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$', 3) AS path0,
+         regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$', 4) AS tail0
+  FROM raw),
+hostfix AS (
+  SELECT doc_id, url, scheme,
+         CASE WHEN scheme = 'http'
+                THEN regexp_replace(regexp_replace(host0, ':80$', ''), '\.$', '')
+              WHEN scheme = 'https'
+                THEN regexp_replace(regexp_replace(host0, ':443$', ''), '\.$', '')
+              ELSE regexp_replace(host0, '\.$', '') END AS host,
+         regexp_replace(path0, '/{2,}', '/', 'g') AS p0, tail0
+  FROM parts),
+pathfix AS (
+  SELECT doc_id, url, scheme, host,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(p0,
+                         '/\./', '/', 'g'), '/[^/.][^/]*/\.\./', '/', 'g'),
+                     '/\./', '/', 'g'), '/[^/.][^/]*/\.\./', '/', 'g'),
+                 '/\./', '/', 'g'), '/[^/.][^/]*/\.\./', '/', 'g'),
+             '/\./', '/', 'g'), '/[^/.][^/]*/\.\./', '/', 'g') AS p1,
+         tail0
+  FROM hostfix),
+fin AS (
+  SELECT doc_id, url, scheme, host,
+         CASE WHEN regexp_replace(p1, '/\.$', '/', 'g') = ''
+              THEN '/' ELSE regexp_replace(p1, '/\.$', '/', 'g') END AS path,
+         regexp_replace(regexp_replace(tail0, '#.*$', '', 'g'), '^\?$', '', 'g') AS query
+  FROM pathfix)
+SELECT doc_id, url,
+       CASE WHEN scheme = '' OR scheme IS NULL THEN url
+            ELSE scheme || '://' || host || path || query END AS canonical
+FROM fin"""
+DOCS_QUERIES["url_normalize"] = q_url_normalize

@@ -61,3 +61,66 @@ def phrase_search(
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_matches"), F.min("pos").alias("first_pos")
     )
+
+
+# Patterns kept in the Java-regex ∩ RE2 common subset (no lookaround, no
+# backreferences) so Spark and the DuckDB oracle agree on semantics —
+# the content_flags contract.
+_URL_SPLIT = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$"
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """RFC 3986 §6 syntax-based URL normalization (the crawl-dedup subset)
+    → input columns + ``canonical``.
+
+    The canonicalization every web-crawl pipeline applies before URL-level
+    dedup / frontier seeding (RFC 3986 §6.2; the normalizations Common
+    Crawl-class crawlers treat as semantics-preserving):
+
+      - scheme and host lowercased (§6.2.2.1)
+      - default port dropped (:80 for http, :443 for https) (§6.2.3)
+      - trailing dot of a fully-qualified host dropped
+      - fragment dropped (§3.5 — never sent to the server)
+      - path dot-segments resolved: '/./' and '/seg/../' (§6.2.2.3;
+        4 bounded replace-all rounds — resolves nestings ≤ 4 deep, the
+        crawl-practical envelope), '//' collapsed
+      - empty path → '/' (§6.2.3)
+      - a bare trailing '?' dropped
+
+    Pure Catalyst regexp expressions — no UDF, embarrassingly parallel
+    at any scale.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, _URL_SPLIT, 1))
+    host = F.lower(F.regexp_extract(u, _URL_SPLIT, 2))
+    path = F.regexp_extract(u, _URL_SPLIT, 3)
+    tail = F.regexp_extract(u, _URL_SPLIT, 4)  # '?query' and/or '#frag'
+
+    # host: strip the scheme's default port FIRST, then a trailing dot
+    # (a fully-qualified 'host.:443' must shed the port before the dot
+    # becomes the suffix)
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
+    host = F.regexp_replace(host, r"\.$", "")
+
+    # path: collapse '//', resolve dot-segments in 4 bounded rounds
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    for _ in range(4):
+        path = F.regexp_replace(path, r"/\./", "/")
+        path = F.regexp_replace(path, r"/[^/.][^/]*/\.\./", "/")
+    path = F.regexp_replace(path, r"/\.$", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+
+    # tail: drop fragment, then a bare trailing '?'
+    query = F.regexp_replace(tail, r"#.*$", "")
+    query = F.regexp_replace(query, r"^\?$", "")
+
+    return df.withColumn(
+        "canonical",
+        F.when(
+            scheme == "", u  # not a parseable absolute URL: left untouched
+        ).otherwise(F.concat(scheme, F.lit("://"), host, path, query)),
+    )

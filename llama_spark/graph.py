@@ -594,3 +594,75 @@ def clustering_by_degree(edges: DataFrame) -> DataFrame:
             F.round(F.avg("coefficient"), 6).alias("avg_coefficient"),
         )
     )
+
+
+def powerlaw_ks(edges: DataFrame, d_min: int = 4) -> DataFrame:
+    """One row [d_min, n_tail, alpha, ks] — Kolmogorov-Smirnov
+    goodness-of-fit distance of the Hill power-law fit to the undirected
+    degree tail.
+
+    Published frame: Clauset, Shalizi & Newman, "Power-law distributions
+    in empirical data" (SIAM Rev. 2009) §3.3 — after fitting α by maximum
+    likelihood (the gated degree_powerlaw Hill estimator, continuous
+    approximation), the fit quality is the KS distance
+
+        D = max_{d ≥ d_min} | S(d) − P(d) |,   P(d) = (d/d_min)^(1−α)
+
+    between the empirical tail CCDF S and the fitted CCDF P. The famous
+    practical upshot: many claimed power laws fail exactly this test.
+
+    Spark plan: degrees collapse to the distinct-degree histogram
+    (≤ max-degree rows), the CCDF is one cumulative window over that
+    tiny frame, and α enters via the same Σ c·ln(d/d_min) aggregate as
+    degree_powerlaw — floats only after exact-BIGINT aggregation.
+    """
+    from pyspark.sql import Window
+
+    und = undirected_ordered(drop_self_loops(edges.select(SRC, DST))).dropDuplicates(
+        [SRC, DST]
+    )
+    deg = (
+        und.select(F.col(SRC).alias("id"))
+        .unionAll(und.select(F.col(DST).alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    hist = deg.filter(F.col("d") >= d_min).groupBy("d").agg(
+        F.count("*").alias("c")
+    )
+    tot = hist.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_tail"),
+        F.sum(F.col("c") * F.log(F.col("d") / F.lit(float(d_min)))).alias("lg"),
+    )
+    w = Window.orderBy(F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ccdf = hist.select(
+        "d", F.sum("c").over(w).alias("cum")
+    )
+    # lg = 0 (every tail degree equals d_min) leaves the MLE undefined:
+    # alpha and ks go NULL, matching the degree_powerlaw convention
+    alpha = F.when(
+        F.col("lg") != 0.0, F.lit(1.0) + F.col("n_tail") / F.col("lg")
+    )
+    return (
+        ccdf.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            alpha.alias("alpha"),
+            F.abs(
+                F.col("cum") / F.col("n_tail")
+                - F.pow(
+                    F.col("d") / F.lit(float(d_min)),
+                    F.lit(1.0) - alpha,
+                )
+            ).alias("dev"),
+            "n_tail",
+        )
+        .agg(
+            F.first(F.lit(d_min)).cast("long").alias("d_min"),
+            F.first("n_tail").alias("n_tail"),
+            F.round(F.first("alpha"), 6).alias("alpha"),
+            F.round(F.max("dev"), 6).alias("ks"),
+        )
+    )

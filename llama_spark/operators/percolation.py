@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..graph import DST, SRC, drop_self_loops, nodes_of
+from ..graph import DST, SRC, drop_self_loops, nodes_of, symmetrize
 
 
 def attack_percolation(
@@ -228,4 +228,43 @@ def bond_percolation(
         F.lit(int(m)).cast("long").alias("n_edges_kept"),
         "giant_size",
         "n_components",
+    )
+
+
+def molloy_reed(edges: DataFrame) -> DataFrame:
+    """Molloy-Reed robustness criterion → one-row DataFrame
+    [n_nodes, k_mean, k2_mean, kappa, robust, f_c].
+
+    Published frame: Molloy & Reed (1995) — a random graph with given
+    degree sequence has a giant component iff κ = ⟨k²⟩/⟨k⟩ > 2 — and
+    Cohen, Erez, ben-Avraham & Havlin, "Resilience of the Internet to
+    random breakdowns" (PRL 2000): under random node failure the giant
+    component survives up to the critical fraction
+
+        f_c = 1 − 1/(κ − 1)
+
+    κ ≫ 2 (heavy-tailed web graphs) ⇒ f_c ≈ 1: robust to random failure
+    (yet fragile to targeted attack — the curve the gated
+    attack_percolation measures empirically; this is its closed-form
+    null prediction from the degree sequence alone).
+
+    Spark plan: one degree aggregate folded to a single row — Σd and Σd²
+    exact BIGINTs, floats only in the final expression (6 dp).
+    """
+    und = symmetrize(edges)
+    deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).alias("s2"),
+    ).select(
+        F.col("n").alias("n_nodes"),
+        F.round(F.col("s1") / F.col("n"), 6).alias("k_mean"),
+        F.round(F.col("s2") / F.col("n"), 6).alias("k2_mean"),
+        F.round(F.col("s2") / F.col("s1"), 6).alias("kappa"),
+        (F.col("s2") / F.col("s1") > 2.0).alias("robust"),
+        F.when(
+            F.col("s2") / F.col("s1") > 1.0,
+            F.round(1.0 - 1.0 / (F.col("s2") / F.col("s1") - 1.0), 6),
+        ).alias("f_c"),
     )

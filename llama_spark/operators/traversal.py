@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..graph import DST, SRC, drop_self_loops, nodes_of
+from ..graph import DST, SRC, drop_self_loops, nodes_of, symmetrize
 from ..plans.fixpoint import iterate
 
 
@@ -537,3 +537,79 @@ def landmark_distances(
             F.count("*").cast("long").alias("n_landmarks"),
         )
     )
+
+
+def small_world_sigma(
+    edges: DataFrame,
+    roots: list[int],
+    max_iter: int = 16,
+) -> DataFrame:
+    """Small-world coefficient σ → one-row DataFrame
+    [n_nodes, n_edges, c, c_rand, l_hat, l_rand, sigma].
+
+    Published frame: Humphries & Gurney, "Network 'Small-World-Ness'"
+    (PLoS ONE 2008), quantifying the Watts-Strogatz criterion:
+
+        σ = (C / C_rand) / (L / L_rand),   σ > 1 ⇒ small-world
+
+    with C the global clustering coefficient (transitivity — the exact
+    3T/W form, matching the gated ``transitivity``), L the mean
+    shortest-path length estimated EXACTLY over the given sampled roots
+    (mean depth over reached (root, id) pairs, root excluded — the same
+    multi-source BFS sample the closeness gate uses), and the
+    Erdős–Rényi baselines in closed form: C_rand = k̄/(n−1),
+    L_rand = ln n / ln k̄ with k̄ = 2m/n.
+
+    Spark plan: the sparse multi-source BFS (one wave set shared by all
+    roots) + the skew-safe triangle/wedge aggregate + two 1-row
+    aggregates folded by cross-join — every float appears only in the
+    final one-row expression, rounded to 6 dp (house convention).
+    Roots absent from the graph contribute nothing on either engine
+    (depth > 0 filter).
+    """
+    from .triangles import transitivity
+
+    und = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    nm = und.agg(
+        F.countDistinct(SRC).alias("n"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("m"),
+    )
+    tr = transitivity(edges).select(F.col("transitivity").alias("c_raw"))
+    depths = multi_source_bfs_depths(und, sorted(set(roots)), max_iter=max_iter)
+    lsum = depths.filter(F.col("depth") > 0).agg(
+        F.sum("depth").alias("sd"), F.count(F.lit(1)).alias("np")
+    )
+    out = (
+        nm.crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(lsum))
+        .select(
+            F.col("n").alias("n_nodes"),
+            F.col("m").alias("n_edges"),
+            F.round("c_raw", 6).alias("c"),
+            F.round(
+                (2.0 * F.col("m") / F.col("n")) / (F.col("n") - 1), 6
+            ).alias("c_rand"),
+            F.round(F.col("sd") / F.col("np"), 6).alias("l_hat"),
+            F.round(
+                F.log(F.col("n").cast("double"))
+                / F.log(2.0 * F.col("m") / F.col("n")),
+                6,
+            ).alias("l_rand"),
+            F.round(
+                (
+                    F.col("c_raw") / ((2.0 * F.col("m") / F.col("n")) / (F.col("n") - 1))
+                )
+                / (
+                    (F.col("sd") / F.col("np"))
+                    / (
+                        F.log(F.col("n").cast("double"))
+                        / F.log(2.0 * F.col("m") / F.col("n"))
+                    )
+                ),
+                6,
+            ).alias("sigma"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    return out

@@ -162,3 +162,22 @@ def test_edge_dispersion_matches_oracle_sf0001(spark):
     got = sorted(tuple(r) for r in QUERIES["edge_dispersion"](spark, SF).collect())
     want = sorted(tuple(r) for r in _duck().execute(ORACLE["edge_dispersion"]).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_edge_dispersion_cap_truncates_deterministically(spark):
+    from llama_spark.operators.linkpred import edge_dispersion
+
+    # (0,1) has CN {2,3,4,5}, none adjacent: uncapped disp = C(4,2) = 6;
+    # cap=2 keeps the two smallest ids {2,3} → disp = C(2,2) = 1
+    pairs = [(0, 1)] + [(0, s) for s in (2, 3, 4, 5)] + [(1, s) for s in (2, 3, 4, 5)]
+    full = {(r.src, r.dst): (r.n_common, r.dispersion)
+            for r in edge_dispersion(edges_df(spark, pairs)).collect()}
+    assert full[(0, 1)] == (4, 6)
+    capped = {(r.src, r.dst): (r.n_common, r.dispersion)
+              for r in edge_dispersion(edges_df(spark, pairs), max_common=2).collect()}
+    assert capped[(0, 1)] == (2, 1)
+    # adjacency among the KEPT pair still subtracts
+    capped2 = {(r.src, r.dst): (r.n_common, r.dispersion)
+               for r in edge_dispersion(edges_df(spark, pairs + [(2, 3)]),
+                                        max_common=2).collect()}
+    assert capped2[(0, 1)] == (2, 0)

@@ -1,0 +1,149 @@
+"""Round-5 continuation-13: Molloy-Reed robustness criterion and the
+CSN power-law KS distance."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from llama_spark.entry_queries import ORACLE, QUERIES
+
+from .conftest import edges_df
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _degs(pairs):
+    und = {(min(u, v), max(u, v)) for u, v in pairs if u != v}
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return deg
+
+
+# ------------------------------------------------------- Molloy-Reed
+
+
+def test_molloy_reed_matches_model(spark):
+    import random
+
+    from llama_spark.operators.percolation import molloy_reed
+
+    rng = random.Random(81)
+    pairs = [
+        (u, v)
+        for u, v in {(rng.randrange(30), rng.randrange(30)) for _ in range(120)}
+        if u != v
+    ]
+    deg = _degs(pairs)
+    n = len(deg)
+    s1 = sum(deg.values())
+    s2 = sum(d * d for d in deg.values())
+    kappa = s2 / s1
+    r = molloy_reed(edges_df(spark, pairs)).collect()[0]
+    assert r.n_nodes == n
+    assert r.k_mean == pytest.approx(round(s1 / n, 6), abs=1e-9)
+    assert r.k2_mean == pytest.approx(round(s2 / n, 6), abs=1e-9)
+    assert r.kappa == pytest.approx(round(kappa, 6), abs=1e-9)
+    assert r.robust == (kappa > 2)
+    assert r.f_c == pytest.approx(round(1 - 1 / (kappa - 1), 6), abs=1e-9)
+
+
+def test_molloy_reed_ring_is_fragile_star_is_robust(spark):
+    from llama_spark.operators.percolation import molloy_reed
+
+    # 2-regular ring: kappa = 2 exactly → NOT robust, f_c = 0
+    ring = [(i, (i + 1) % 10) for i in range(10)]
+    r = molloy_reed(edges_df(spark, ring)).collect()[0]
+    assert r.kappa == 2.0 and not r.robust and r.f_c == 0.0
+    # star K1,9: hub degree dominates ⟨k²⟩ → robust to random failure
+    star = [(0, i) for i in range(1, 10)]
+    s = molloy_reed(edges_df(spark, star)).collect()[0]
+    assert s.kappa > 2 and s.robust
+
+
+def test_molloy_reed_matches_oracle_sf0001(spark):
+    got = sorted(tuple(r) for r in QUERIES["molloy_reed"](spark, SF).collect())
+    want = sorted(tuple(r) for r in _duck().execute(ORACLE["molloy_reed"]).fetchall())
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert g[0] == w[0]
+    for a, b in zip(g[1:5], w[1:5]):
+        assert a == pytest.approx(b, abs=2e-6) if not isinstance(a, bool) else a == b
+    assert g[5] == pytest.approx(w[5], abs=2e-6)
+
+
+# ------------------------------------------------------- power-law KS
+
+
+def _model_ks(pairs, d_min=4):
+    deg = _degs(pairs)
+    tail = sorted(d for d in deg.values() if d >= d_min)
+    n = len(tail)
+    lg = sum(math.log(d / d_min) for d in tail)
+    alpha = 1.0 + n / lg
+    from collections import Counter
+
+    hist = Counter(tail)
+    ds = sorted(hist, reverse=True)
+    cum = 0
+    dev = 0.0
+    for d in ds:
+        cum += hist[d]
+        dev = max(dev, abs(cum / n - (d / d_min) ** (1.0 - alpha)))
+    return n, round(alpha, 6), round(dev, 6)
+
+
+def test_powerlaw_ks_matches_model(spark):
+    import random
+
+    from llama_spark.graph import powerlaw_ks
+
+    rng = random.Random(91)
+    # preferential-attachment-ish: biased endpoints give a heavy tail
+    pairs = set()
+    for i in range(400):
+        u = rng.randrange(1 + i % 40)
+        v = rng.randrange(60)
+        if u != v:
+            pairs.add((u, v))
+    pairs = sorted(pairs)
+    n, alpha, ks = _model_ks(pairs)
+    r = powerlaw_ks(edges_df(spark, pairs)).collect()[0]
+    assert (r.d_min, r.n_tail) == (4, n)
+    assert r.alpha == pytest.approx(alpha, abs=2e-6)
+    assert r.ks == pytest.approx(ks, abs=2e-6)
+
+
+def test_powerlaw_ks_perfect_fit_on_two_point_tail(spark):
+    from llama_spark.graph import powerlaw_ks
+
+    # all tail degrees equal d_min → lg = 0 → alpha undefined (NULL on
+    # both engines via the degree_powerlaw convention): ks NULL too
+    star = [(0, i) for i in range(1, 5)] + [(1, i) for i in range(2, 5)]
+    r = powerlaw_ks(edges_df(spark, star), d_min=4).collect()[0]
+    assert r.n_tail >= 1
+    # with a single distinct tail degree the empirical CCDF at d_min is 1
+    # and the fitted CCDF is 1 → alpha is +inf/NULL-ish; just assert the
+    # operator does not crash and n_tail is right (guard-rail test)
+
+
+def test_powerlaw_ks_matches_oracle_sf0001(spark):
+    got = sorted(tuple(r) for r in QUERIES["powerlaw_ks"](spark, SF).collect())
+    want = sorted(tuple(r) for r in _duck().execute(ORACLE["powerlaw_ks"]).fetchall())
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert g[:2] == w[:2]
+    assert g[2] == pytest.approx(w[2], abs=2e-6)
+    assert g[3] == pytest.approx(w[3], abs=2e-6)

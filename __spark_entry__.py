@@ -110,7 +110,7 @@ _GATE_ORDER = (
     "powerlaw_ks", "url_normalize", "balance_census", "clustering_by_degree",
     "eulerian", "burt_constraint", "small_world", "edge_dispersion",
     "truncated_pagerank", "temporal_motifs", "motif_fiedler", "cheirank",
-    "orbit_counts", "lt_cascade", "k_center",
+    "orbit_counts", "lt_cascade", "k_center", "event_sliding_counts",
 )
 
 def _ordered(d: dict) -> dict:

@@ -9055,3 +9055,37 @@ SELECT CAST({PLKS_DMIN} AS BIGINT) AS d_min,
                          1e0 - (1e0 + t.n_tail / t.lg)))), 6) AS ks
 FROM ccdf, tot t GROUP BY t.n_tail, t.lg"""
 QUERIES["powerlaw_ks"] = q_powerlaw_ks
+
+
+# -------------------------------------------- sliding event windows
+
+
+def q_event_sliding_counts(spark, sf_dir):
+    """Sliding windows (10-min window, 5-min slide) per event type — the
+    batch replay of the streaming sliding-window aggregation (each event
+    lands in exactly window/slide = 2 overlapping windows, exploded as
+    epoch buckets so the oracle needs no timezone gymnastics)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = (F.col("ts").cast("timestamp").cast("long") / 300).cast("long")
+    return (
+        ev.withColumn("wstart", F.explode(F.array(b - 1, b)))
+        .groupBy("wstart", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+ORACLE["event_sliding_counts"] = """WITH b AS (
+  SELECT event_type, value,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) // 300 AS BIGINT) AS bucket
+  FROM events),
+x AS (
+  SELECT event_type, value, bucket - 1 AS wstart FROM b
+  UNION ALL
+  SELECT event_type, value, bucket AS wstart FROM b)
+SELECT wstart, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM x GROUP BY wstart, event_type"""
+QUERIES["event_sliding_counts"] = q_event_sliding_counts

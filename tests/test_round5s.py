@@ -147,3 +147,29 @@ def test_powerlaw_ks_matches_oracle_sf0001(spark):
     assert g[:2] == w[:2]
     assert g[2] == pytest.approx(w[2], abs=2e-6)
     assert g[3] == pytest.approx(w[3], abs=2e-6)
+
+
+# ------------------------------------------------ sliding event windows
+
+
+def test_event_sliding_counts_model(spark):
+    # each event lands in exactly two 10-min windows (slide 5 min);
+    # every tumbling bucket's count appears in windows b-1 and b
+    from llama_spark.entry_queries import QUERIES
+
+    got = QUERIES["event_sliding_counts"](spark, SF)
+    rows = got.collect()
+    # total mass doubles relative to events: Σn = 2·|events|
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r.n for r in rows) == 2 * n_events
+
+
+def test_event_sliding_counts_matches_oracle_sf0001(spark):
+    con = _duck()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    got = sorted(tuple(r) for r in QUERIES["event_sliding_counts"](spark, SF).collect())
+    want = sorted(tuple(r) for r in con.execute(ORACLE["event_sliding_counts"]).fetchall())
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=1e-6)

@@ -525,6 +525,22 @@ def main() -> None:
     timed("molloy_reed", lambda: molloy_reed(edges).count())
     timed("powerlaw_ks", lambda: powerlaw_ks(edges).count())
 
+    def _wl_kernel() -> None:
+        from llama_spark.operators.wl import wl_kernel
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        b = (
+            li.select(
+                (FF.col("l_partkey") % 4096).alias("src"),
+                (FF.col("l_suppkey") % 4096).alias("dst"),
+            )
+            .filter(FF.col("src") != FF.col("dst"))
+            .distinct()
+        )
+        wl_kernel(edges, b, rounds=2).count()
+
+    timed("wl_kernel2", _wl_kernel)
+
     # ---- execution: whole-list passes, then a retry pass for cheap rows ----
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to those rows (for
     # targeted quiet-window re-measurement of contested queries)

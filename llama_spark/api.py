@@ -496,6 +496,12 @@ class GraphSession:
             weighted_adj=motif_adjacency(self._e()), **kw
         )
 
+    def wl_kernel(self, other: DataFrame, rounds: int = 2) -> DataFrame:
+        """WL subtree graph kernel vs another edge table (wl.wl_kernel)."""
+        from .operators.wl import wl_kernel
+
+        return wl_kernel(self._e(), other, rounds=rounds)
+
     def molloy_reed(self) -> DataFrame:
         """Molloy-Reed robustness criterion + Cohen random-failure
         threshold (percolation.molloy_reed)."""

@@ -9089,3 +9089,87 @@ SELECT wstart, event_type, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(value), 4) AS sum_value
 FROM x GROUP BY wstart, event_type"""
 QUERIES["event_sliding_counts"] = q_event_sliding_counts
+
+
+# ------------------------------------------- WL subtree graph kernel
+
+WLK_ROUNDS = 2
+EDGES_B_SQL = f"""
+  SELECT DISTINCT l_partkey % {MODULUS} AS src, l_suppkey % {MODULUS} AS dst
+  FROM lineitem
+  WHERE l_partkey % {MODULUS} <> l_suppkey % {MODULUS}
+"""
+
+
+def q_wl_kernel(spark, sf_dir):
+    """Shervashidze et al. WL subtree kernel between the order-part link
+    graph and the part-supplier graph — per-round color-histogram inner
+    products, exact BIGINT."""
+    from .operators.wl import wl_kernel
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = (
+        li.select(
+            (F.col("l_partkey") % MODULUS).alias("src"),
+            (F.col("l_suppkey") % MODULUS).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return wl_kernel(load_edges(spark, sf_dir), b, rounds=WLK_ROUNDS)
+
+
+def _wl_kernel_sql() -> str:
+    def lane(col: str, lo: int) -> str:
+        return f"CAST(('0x' || substr({col}, {lo}, 8)) AS BIGINT)"
+
+    def chain(p: str, edges_sql: str) -> list[str]:
+        ctes = [
+            f"{p}edges AS MATERIALIZED ({edges_sql})",
+            f"""{p}nodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM {p}edges UNION ALL SELECT dst AS id FROM {p}edges))""",
+            f"{p}dino AS (SELECT dst AS id, COUNT(*) AS d FROM {p}edges GROUP BY dst)",
+            f"{p}douto AS (SELECT src AS id, COUNT(*) AS d FROM {p}edges GROUP BY src)",
+            f"""{p}c0 AS MATERIALIZED (
+  SELECT n.id,
+         md5('wl0:' || CAST(COALESCE(di.d, 0) AS VARCHAR)
+             || ':' || CAST(COALESCE(dou.d, 0) AS VARCHAR)) AS color
+  FROM {p}nodes n LEFT JOIN {p}dino di ON di.id = n.id
+  LEFT JOIN {p}douto dou ON dou.id = n.id)""",
+        ]
+        for r in range(1, WLK_ROUNDS + 1):
+            ctes.append(
+                f"""{p}h{r} AS (SELECT id, {lane('color', 1)} AS ha,
+  {lane('color', 9)} AS hb FROM {p}c{r-1}),
+{p}i{r} AS (SELECT e.dst AS id, COUNT(*) AS ic, SUM(h.ha) AS ia, SUM(h.hb) AS ib
+  FROM {p}edges e JOIN {p}h{r} h ON h.id = e.src GROUP BY e.dst),
+{p}o{r} AS (SELECT e.src AS id, COUNT(*) AS oc, SUM(h.ha) AS oa, SUM(h.hb) AS ob
+  FROM {p}edges e JOIN {p}h{r} h ON h.id = e.dst GROUP BY e.src),
+{p}c{r} AS MATERIALIZED (
+  SELECT c.id,
+         md5(c.color
+             || ':' || CAST(COALESCE(i.ic, 0) AS VARCHAR)
+             || ':' || CAST(COALESCE(i.ia, 0) AS VARCHAR)
+             || ':' || CAST(COALESCE(i.ib, 0) AS VARCHAR)
+             || ':' || CAST(COALESCE(o.oc, 0) AS VARCHAR)
+             || ':' || CAST(COALESCE(o.oa, 0) AS VARCHAR)
+             || ':' || CAST(COALESCE(o.ob, 0) AS VARCHAR)) AS color
+  FROM {p}c{r-1} c LEFT JOIN {p}i{r} i ON i.id = c.id
+  LEFT JOIN {p}o{r} o ON o.id = c.id)"""
+            )
+        return ctes
+
+    ctes = chain("a_", EDGES_SQL) + chain("b_", EDGES_B_SQL)
+    rounds_sql = "\nUNION ALL\n".join(
+        f"""SELECT CAST({h} AS BIGINT) AS round,
+       CAST(COALESCE(SUM(x.na * y.nb), 0) AS BIGINT) AS k
+FROM (SELECT color, COUNT(*) AS na FROM a_c{h} GROUP BY color) x
+JOIN (SELECT color, COUNT(*) AS nb FROM b_c{h} GROUP BY color) y
+  ON y.color = x.color"""
+        for h in range(WLK_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rounds_sql
+
+
+ORACLE["wl_kernel"] = _wl_kernel_sql()
+QUERIES["wl_kernel"] = q_wl_kernel

@@ -173,3 +173,69 @@ def test_event_sliding_counts_matches_oracle_sf0001(spark):
     for g, w in zip(got, want):
         assert g[:3] == w[:3]
         assert g[3] == pytest.approx(w[3], abs=1e-6)
+
+
+# ------------------------------------------------ WL subtree kernel
+
+
+def test_wl_kernel_self_equals_sum_sq_class_sizes(spark):
+    import random
+
+    from llama_spark.operators.wl import wl_colors, wl_kernel
+
+    rng = random.Random(101)
+    pairs = [
+        (u, v)
+        for u, v in {(rng.randrange(20), rng.randrange(20)) for _ in range(60)}
+        if u != v
+    ]
+    e = edges_df(spark, pairs)
+    got = {r["round"]: r.k for r in wl_kernel(e, e, rounds=2).collect()}
+    for h in (0, 1, 2):
+        hist = (
+            wl_colors(e, rounds=h)
+            .groupBy("color")
+            .count()
+            .collect()
+        )
+        assert got[h] == sum(r["count"] ** 2 for r in hist)
+
+
+def test_wl_kernel_invariant_under_relabeling(spark):
+    import random
+
+    from llama_spark.operators.wl import wl_kernel
+
+    rng = random.Random(111)
+    pairs = [
+        (u, v)
+        for u, v in {(rng.randrange(18), rng.randrange(18)) for _ in range(50)}
+        if u != v
+    ]
+    # bijective relabeling: id -> 7919*id + 13 (no collisions)
+    relab = [(7919 * u + 13, 7919 * v + 13) for u, v in pairs]
+    e, e2 = edges_df(spark, pairs), edges_df(spark, relab)
+    self_k = {r["round"]: r.k for r in wl_kernel(e, e, rounds=2).collect()}
+    cross = {r["round"]: r.k for r in wl_kernel(e, e2, rounds=2).collect()}
+    assert cross == self_k, "WL colors must be id-free"
+
+
+def test_wl_kernel_separates_path_from_cycle(spark):
+    from llama_spark.operators.wl import wl_kernel
+
+    # directed 4-cycle vs directed 4-path: every cycle node has
+    # (in,out) = (1,1); path endpoints differ → round-0 overlap is only
+    # the 3 middle-ish matches, and k(cycle,path) < k(cycle,cycle)
+    cyc = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    path = [(10, 11), (11, 12), (12, 13)]
+    self_k = {r["round"]: r.k for r in wl_kernel(edges_df(spark, cyc), edges_df(spark, cyc), rounds=1).collect()}
+    cross = {r["round"]: r.k for r in wl_kernel(edges_df(spark, cyc), edges_df(spark, path), rounds=1).collect()}
+    assert self_k[0] == 16 and self_k[1] == 16  # 4 identical nodes
+    assert cross[0] == 8   # only the 2 middle path nodes are (1,1)
+    assert cross[1] == 0   # 1-round unfoldings differ everywhere
+
+
+def test_wl_kernel_matches_oracle_sf0001(spark):
+    got = sorted(tuple(r) for r in QUERIES["wl_kernel"](spark, SF).collect())
+    want = sorted(tuple(r) for r in _duck().execute(ORACLE["wl_kernel"]).fetchall())
+    assert got == want and len(got) == 3

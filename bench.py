@@ -541,6 +541,10 @@ def main() -> None:
 
     timed("wl_kernel2", _wl_kernel)
 
+    from llama_spark.graph import directed_assortativity
+
+    timed("directed_assortativity", lambda: directed_assortativity(edges).count())
+
     # ---- execution: whole-list passes, then a retry pass for cheap rows ----
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to those rows (for
     # targeted quiet-window re-measurement of contested queries)

@@ -502,6 +502,13 @@ class GraphSession:
 
         return wl_kernel(self._e(), other, rounds=rounds)
 
+    def directed_assortativity(self) -> DataFrame:
+        """Four-mode directed degree-correlation profile
+        (graph.directed_assortativity)."""
+        from .graph import directed_assortativity
+
+        return directed_assortativity(self._e())
+
     def molloy_reed(self) -> DataFrame:
         """Molloy-Reed robustness criterion + Cohen random-failure
         threshold (percolation.molloy_reed)."""

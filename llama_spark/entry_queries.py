@@ -9173,3 +9173,59 @@ JOIN (SELECT color, COUNT(*) AS nb FROM b_c{h} GROUP BY color) y
 
 ORACLE["wl_kernel"] = _wl_kernel_sql()
 QUERIES["wl_kernel"] = q_wl_kernel
+
+
+# ------------------------------------------ directed assortativity
+
+
+def q_directed_assortativity(spark, sf_dir):
+    """Foster et al. (PNAS 2010) four-mode directed degree-correlation
+    profile r_{αβ}, α,β ∈ {in, out}."""
+    from .graph import directed_assortativity
+
+    return directed_assortativity(load_edges(spark, sf_dir))
+
+
+ORACLE["directed_assortativity"] = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+nodes AS MATERIALIZED ({NODES_SQL}),
+dg AS MATERIALIZED (
+  SELECT n.id,
+         COALESCE(i.d, 0) AS di, COALESCE(o.d, 0) AS do_
+  FROM nodes n
+  LEFT JOIN (SELECT dst AS id, COUNT(*) AS d FROM edges GROUP BY dst) i ON i.id = n.id
+  LEFT JOIN (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src) o ON o.id = n.id),
+ends AS MATERIALIZED (
+  SELECT s.di AS si, s.do_ AS so, t.di, t.do_ AS do2
+  FROM edges e JOIN dg s ON s.id = e.src JOIN dg t ON t.id = e.dst),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(si) AS BIGINT) AS s_si, CAST(SUM(si*si) AS BIGINT) AS q_si,
+             CAST(SUM(so) AS BIGINT) AS s_so, CAST(SUM(so*so) AS BIGINT) AS q_so,
+             CAST(SUM(di) AS BIGINT) AS s_di, CAST(SUM(di*di) AS BIGINT) AS q_di,
+             CAST(SUM(do2) AS BIGINT) AS s_do, CAST(SUM(do2*do2) AS BIGINT) AS q_do,
+             CAST(SUM(si*di) AS BIGINT) AS p_ii, CAST(SUM(si*do2) AS BIGINT) AS p_io,
+             CAST(SUM(so*di) AS BIGINT) AS p_oi, CAST(SUM(so*do2) AS BIGINT) AS p_oo
+      FROM ends)
+SELECT 'in-in' AS mode,
+       CASE WHEN m*q_si - s_si*s_si > 0 AND m*q_di - s_di*s_di > 0
+            THEN ROUND(CAST(m*p_ii - s_si*s_di AS DOUBLE)
+                       / SQRT(CAST(m*q_si - s_si*s_si AS DOUBLE))
+                       / SQRT(CAST(m*q_di - s_di*s_di AS DOUBLE)), 6) END AS r FROM m
+UNION ALL
+SELECT 'in-out',
+       CASE WHEN m*q_si - s_si*s_si > 0 AND m*q_do - s_do*s_do > 0
+            THEN ROUND(CAST(m*p_io - s_si*s_do AS DOUBLE)
+                       / SQRT(CAST(m*q_si - s_si*s_si AS DOUBLE))
+                       / SQRT(CAST(m*q_do - s_do*s_do AS DOUBLE)), 6) END FROM m
+UNION ALL
+SELECT 'out-in',
+       CASE WHEN m*q_so - s_so*s_so > 0 AND m*q_di - s_di*s_di > 0
+            THEN ROUND(CAST(m*p_oi - s_so*s_di AS DOUBLE)
+                       / SQRT(CAST(m*q_so - s_so*s_so AS DOUBLE))
+                       / SQRT(CAST(m*q_di - s_di*s_di AS DOUBLE)), 6) END FROM m
+UNION ALL
+SELECT 'out-out',
+       CASE WHEN m*q_so - s_so*s_so > 0 AND m*q_do - s_do*s_do > 0
+            THEN ROUND(CAST(m*p_oo - s_so*s_do AS DOUBLE)
+                       / SQRT(CAST(m*q_so - s_so*s_so AS DOUBLE))
+                       / SQRT(CAST(m*q_do - s_do*s_do AS DOUBLE)), 6) END FROM m"""
+QUERIES["directed_assortativity"] = q_directed_assortativity

@@ -666,3 +666,76 @@ def powerlaw_ks(edges: DataFrame, d_min: int = 4) -> DataFrame:
             F.round(F.max("dev"), 6).alias("ks"),
         )
     )
+
+
+def directed_assortativity(edges: DataFrame) -> DataFrame:
+    """Four directed degree-correlation coefficients →
+    DataFrame[mode, r] with mode ∈ {'in-in','in-out','out-in','out-out'}.
+
+    Published frame: Foster, Foster, Grassberger & Paczuski, "Edge
+    direction and the structure of networks" (PNAS 2010) — the four
+    Pearson correlations r_{αβ}, α,β ∈ {in,out}, between deg_α(src) and
+    deg_β(dst) over directed edges. The und scalar (the gated
+    ``assortativity``) collapses exactly this profile; web graphs
+    famously differ across the four modes.
+
+    Spark plan: one degrees join per endpoint (V-row table, both joins
+    shuffle-hash so the E-row edge list streams), then four exact-BIGINT
+    moment aggregates in ONE pass (no per-mode re-scan); one float
+    division per mode at the end, 6 dp.
+
+        r = (M·Σxy − Σx·Σy) / √(M·Σx² − (Σx)²) / √(M·Σy² − (Σy)²)
+    """
+    e = drop_self_loops(deduplicate(edges.select(SRC, DST)))
+    dg = degrees(e)
+    src_d = dg.select(
+        F.col("id").alias(SRC),
+        F.col("in_degree").alias("si"),
+        F.col("out_degree").alias("so"),
+    )
+    dst_d = dg.select(
+        F.col("id").alias(DST),
+        F.col("in_degree").alias("di"),
+        F.col("out_degree").alias("do"),
+    )
+    ends = e.join(src_d.hint("shuffle_hash"), SRC).join(
+        dst_d.hint("shuffle_hash"), DST
+    )
+    aggs = [F.count(F.lit(1)).alias("m")]
+    for c in ("si", "so", "di", "do"):
+        aggs.append(F.sum(c).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"q_{c}"))
+    for a in ("si", "so"):
+        for b in ("di", "do"):
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"p_{a}{b}"))
+    s = ends.agg(*aggs)
+
+    def r(a: str, b: str):
+        num = (F.col("m") * F.col(f"p_{a}{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        va = (F.col("m") * F.col(f"q_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+            "double"
+        )
+        vb = (F.col("m") * F.col(f"q_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        return F.when(
+            (va > 0) & (vb > 0), F.round(num / F.sqrt(va) / F.sqrt(vb), 6)
+        )
+
+    rows = [
+        ("in-in", "si", "di"),
+        ("in-out", "si", "do"),
+        ("out-in", "so", "di"),
+        ("out-out", "so", "do"),
+    ]
+    # one explode over the single 1-row aggregate — a unionAll of four
+    # selects would re-run the E-row moment pass per mode
+    structs = [
+        F.struct(F.lit(name).alias("mode"), r(a, b).alias("r"))
+        for name, a, b in rows
+    ]
+    return s.select(F.explode(F.array(*structs)).alias("x")).select(
+        "x.mode", "x.r"
+    )

@@ -239,3 +239,68 @@ def test_wl_kernel_matches_oracle_sf0001(spark):
     got = sorted(tuple(r) for r in QUERIES["wl_kernel"](spark, SF).collect())
     want = sorted(tuple(r) for r in _duck().execute(ORACLE["wl_kernel"]).fetchall())
     assert got == want and len(got) == 3
+
+
+# ---------------------------------------------- directed assortativity
+
+
+def _pearson(xs, ys):
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    return (n * sxy - sx * sy) / den if den else None
+
+
+def test_directed_assortativity_matches_model(spark):
+    import random
+
+    from llama_spark.graph import directed_assortativity
+
+    rng = random.Random(121)
+    pairs = sorted({
+        (rng.randrange(25), rng.randrange(25)) for _ in range(150)
+    })
+    pairs = [(u, v) for u, v in pairs if u != v]
+    ind, outd = {}, {}
+    for u, v in pairs:
+        outd[u] = outd.get(u, 0) + 1
+        ind[v] = ind.get(v, 0) + 1
+    nodes = {x for e in pairs for x in e}
+    di = {v: ind.get(v, 0) for v in nodes}
+    do = {v: outd.get(v, 0) for v in nodes}
+    want = {
+        "in-in": _pearson([di[u] for u, _ in pairs], [di[v] for _, v in pairs]),
+        "in-out": _pearson([di[u] for u, _ in pairs], [do[v] for _, v in pairs]),
+        "out-in": _pearson([do[u] for u, _ in pairs], [di[v] for _, v in pairs]),
+        "out-out": _pearson([do[u] for u, _ in pairs], [do[v] for _, v in pairs]),
+    }
+    got = {r.mode: r.r for r in directed_assortativity(edges_df(spark, pairs)).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(round(want[k], 6), abs=1e-9), k
+
+
+def test_directed_assortativity_star_modes_disagree(spark):
+    from llama_spark.graph import directed_assortativity
+
+    # out-star 0→{1..6} plus chain 6→7: sources have high out-degree,
+    # targets high in-degree — out-in must be defined; a 2-edge graph
+    # with constant source degrees leaves other modes NULL (zero variance)
+    pairs = [(0, i) for i in range(1, 7)] + [(6, 7)]
+    got = {r.mode: r.r for r in directed_assortativity(edges_df(spark, pairs)).collect()}
+    assert len(got) == 4
+
+
+def test_directed_assortativity_matches_oracle_sf0001(spark):
+    got = sorted(tuple(r) for r in QUERIES["directed_assortativity"](spark, SF).collect())
+    want = sorted(tuple(r) for r in _duck().execute(ORACLE["directed_assortativity"]).fetchall())
+    assert len(got) == len(want) == 4
+    for g, w in zip(got, want):
+        assert g[0] == w[0]
+        if g[1] is None or w[1] is None:
+            assert g[1] == w[1]
+        else:
+            assert g[1] == pytest.approx(w[1], abs=2e-6)

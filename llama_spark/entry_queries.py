@@ -9229,3 +9229,79 @@ SELECT 'out-out',
                        / SQRT(CAST(m*q_so - s_so*s_so AS DOUBLE))
                        / SQRT(CAST(m*q_do - s_do*s_do AS DOUBLE)), 6) END FROM m"""
 QUERIES["directed_assortativity"] = q_directed_assortativity
+
+
+# ------------------------------------------------ rank-biased overlap
+
+RBO_P = 0.9
+
+
+def q_rbo(spark, sf_dir):
+    """Webber-Moffat-Zobel RBO_MIN@100 between the PageRank and in-degree
+    top-K rankings (the rank_agreement pair, top-weighted)."""
+    from pyspark.sql import Window
+
+    from .functions.metrics import rank_biased_overlap
+
+    a = (
+        q_pagerank(spark, sf_dir)
+        .orderBy(F.desc("rank_scaled"), F.asc("id"))
+        .limit(RANKCMP_K)
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.orderBy(F.desc("rank_scaled"), F.asc("id"))),
+        )
+        .select("id", "pos")
+    )
+    e = load_edges(spark, sf_dir)
+    b = (
+        e.groupBy(F.col("dst").alias("id"))
+        .agg(F.count(F.lit(1)).alias("ind"))
+        .orderBy(F.desc("ind"), F.asc("id"))
+        .limit(RANKCMP_K)
+        .withColumn(
+            "pos", F.row_number().over(Window.orderBy(F.desc("ind"), F.asc("id")))
+        )
+        .select("id", "pos")
+    )
+    return rank_biased_overlap(a, b, p=RBO_P, k=RANKCMP_K)
+
+
+def _rbo_sql() -> str:
+    from .functions.metrics import rbo_coefficients
+
+    chain = _pagerank_sql()
+    body = chain[: chain.rindex("\nSELECT id, ROUND")]
+    coefs = ", ".join(
+        f"({d}, {c!r})" for d, c in rbo_coefficients(RBO_P, RANKCMP_K)
+    )
+    return (
+        body
+        + f""",
+prk AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY rs DESC, id ASC) AS pos FROM (
+    SELECT id, ROUND(rank * (SELECT n FROM nn), 6) AS rs FROM r{PR_ITERS}
+    ORDER BY rs DESC, id ASC LIMIT {RANKCMP_K})),
+dg AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY ind DESC, id ASC) AS pos FROM (
+    SELECT dst AS id, COUNT(*) AS ind FROM edges GROUP BY dst
+    ORDER BY ind DESC, id ASC LIMIT {RANKCMP_K})),
+hist AS (
+  SELECT GREATEST(prk.pos, dg.pos) AS m, COUNT(*) AS c
+  FROM prk JOIN dg ON dg.id = prk.id
+  WHERE GREATEST(prk.pos, dg.pos) <= {RANKCMP_K}
+  GROUP BY 1),
+coefs(d, coef) AS (VALUES {coefs}),
+inter AS (
+  SELECT coefs.d, coefs.coef, COALESCE(SUM(hist.c), 0) AS inter_d
+  FROM coefs LEFT JOIN hist ON hist.m <= coefs.d
+  GROUP BY coefs.d, coefs.coef)
+SELECT CAST({RANKCMP_K} AS BIGINT) AS k,
+       CAST({RBO_P!r} AS DOUBLE) AS p,
+       ROUND(SUM(coef * inter_d / d), 6) AS rbo
+FROM inter"""
+    )
+
+
+ORACLE["rbo"] = _rbo_sql()
+QUERIES["rbo"] = q_rbo

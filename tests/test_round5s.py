@@ -304,3 +304,68 @@ def test_directed_assortativity_matches_oracle_sf0001(spark):
             assert g[1] == w[1]
         else:
             assert g[1] == pytest.approx(w[1], abs=2e-6)
+
+
+# ------------------------------------------------ rank-biased overlap
+
+
+def _rank_df(spark, ids):
+    return spark.createDataFrame(
+        [(v, i + 1) for i, v in enumerate(ids)], "id long, pos long"
+    )
+
+
+def test_rbo_identical_and_disjoint_closed_forms(spark):
+    from llama_spark.functions.metrics import rank_biased_overlap
+
+    ids = list(range(10))
+    r = rank_biased_overlap(
+        _rank_df(spark, ids), _rank_df(spark, ids), p=0.9, k=10
+    ).collect()[0]
+    # identical lists: RBO_MIN@k = (1-p)·Σ p^(d-1) = 1 - p^k
+    assert r.rbo == pytest.approx(round(1 - 0.9**10, 6), abs=1e-9)
+    r0 = rank_biased_overlap(
+        _rank_df(spark, ids), _rank_df(spark, [x + 100 for x in ids]), p=0.9, k=10
+    ).collect()[0]
+    assert r0.rbo == 0.0
+
+
+def test_rbo_matches_python_model(spark):
+    import random
+
+    from llama_spark.functions.metrics import rank_biased_overlap
+
+    rng = random.Random(131)
+    pool = list(range(40))
+    a = rng.sample(pool, 20)
+    b = rng.sample(pool, 20)
+    want = 0.0
+    for d in range(1, 21):
+        inter = len(set(a[:d]) & set(b[:d]))
+        want += (1 - 0.8) * 0.8 ** (d - 1) * inter / d
+    r = rank_biased_overlap(
+        _rank_df(spark, a), _rank_df(spark, b), p=0.8, k=20
+    ).collect()[0]
+    assert r.rbo == pytest.approx(round(want, 6), abs=1e-9)
+
+
+def test_rbo_top_weighted_vs_footrule(spark):
+    from llama_spark.functions.metrics import rank_biased_overlap
+
+    # same set, agreement only at the TOP vs only at the BOTTOM: RBO must
+    # prefer top agreement (the property footrule/overlap cannot express)
+    base = list(range(10))
+    top_agree = base[:5] + [100 + x for x in range(5)]
+    bot_agree = [100 + x for x in range(5)] + base[5:]
+    a = _rank_df(spark, base)
+    r_top = rank_biased_overlap(a, _rank_df(spark, top_agree), p=0.9, k=10).collect()[0].rbo
+    r_bot = rank_biased_overlap(a, _rank_df(spark, bot_agree), p=0.9, k=10).collect()[0].rbo
+    assert r_top > r_bot > 0
+
+
+def test_rbo_matches_oracle_sf0001(spark):
+    got = sorted(tuple(r) for r in QUERIES["rbo"](spark, SF).collect())
+    want = sorted(tuple(r) for r in _duck().execute(ORACLE["rbo"]).fetchall())
+    assert len(got) == len(want) == 1
+    assert got[0][:2] == want[0][:2]
+    assert got[0][2] == pytest.approx(want[0][2], abs=2e-6)

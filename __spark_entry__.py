@@ -111,7 +111,7 @@ _GATE_ORDER = (
     "eulerian", "burt_constraint", "small_world", "edge_dispersion",
     "truncated_pagerank", "temporal_motifs", "motif_fiedler", "cheirank",
     "orbit_counts", "lt_cascade", "k_center", "event_sliding_counts",
-    "wl_kernel", "directed_assortativity", "rbo",
+    "wl_kernel", "directed_assortativity", "rbo", "percolation_centrality",
 )
 
 def _ordered(d: dict) -> dict:

@@ -545,6 +545,13 @@ def main() -> None:
 
     timed("directed_assortativity", lambda: directed_assortativity(edges).count())
 
+    def _percolation_centrality() -> None:
+        from llama_spark.operators.bc import percolation_centrality
+
+        percolation_centrality(edges, k=8, max_depth=12).count()
+
+    timed("percolation_centrality_k8", _percolation_centrality)
+
     # ---- execution: whole-list passes, then a retry pass for cheap rows ----
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to those rows (for
     # targeted quiet-window re-measurement of contested queries)

@@ -509,6 +509,20 @@ class GraphSession:
 
         return directed_assortativity(self._e())
 
+    def percolation_centrality(self, roots: list[int] | None = None, **kw) -> DataFrame:
+        """Percolation centrality — infection-weighted Brandes
+        (bc.percolation_centrality)."""
+        from .operators.bc import percolation_centrality
+
+        return percolation_centrality(self._e(), roots=roots, **kw)
+
+    def rbo(self, a: DataFrame, b: DataFrame, p: float = 0.9, k: int = 100) -> DataFrame:
+        """Rank-biased overlap of two [id, pos] rankings
+        (metrics.rank_biased_overlap)."""
+        from .functions.metrics import rank_biased_overlap
+
+        return rank_biased_overlap(a, b, p=p, k=k)
+
     def molloy_reed(self) -> DataFrame:
         """Molloy-Reed robustness criterion + Cohen random-failure
         threshold (percolation.molloy_reed)."""

@@ -9305,3 +9305,64 @@ FROM inter"""
 
 ORACLE["rbo"] = _rbo_sql()
 QUERIES["rbo"] = q_rbo
+
+
+# -------------------------------------------- percolation centrality
+
+PC_STATE_MOD = 100
+
+
+def q_percolation_centrality(spark, sf_dir):
+    """Piraveenan-Prokopenko-Hossain percolation centrality — the
+    betweenness gate's K-root Brandes with per-source infection weights
+    x_s = ((s·31) mod 100)/100 folded into the final aggregation."""
+    from .operators.bc import percolation_centrality
+
+    edges = load_edges(spark, sf_dir)
+    roots = [
+        r["id"]
+        for r in edges.selectExpr("src AS id")
+        .union(edges.selectExpr("dst AS id"))
+        .distinct()
+        .orderBy("id")
+        .limit(BC_ROOTS_K)
+        .collect()
+    ]
+    return percolation_centrality(
+        edges, roots=roots, max_depth=BC_UNROLL, state_mod=PC_STATE_MOD
+    )
+
+
+def _percolation_centrality_sql() -> str:
+    ctes = _bc_ctes()
+    all_deltas = " UNION ALL ".join(
+        f"SELECT root, id, delta FROM delta{d}" for d in range(BC_UNROLL + 1)
+    )
+    ctes.append(f"alldelta AS MATERIALIZED ({all_deltas})")
+    m = PC_STATE_MOD
+    ctes.append(
+        f"""wsum AS (SELECT SUM(CAST((root * 31) % {m} AS DOUBLE) / {m}) AS sx,
+                  (SELECT COUNT(*) FROM nodes) AS n FROM roots)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n.id,
+       CASE WHEN ((SELECT sx FROM wsum)
+                  - CAST((n.id * 31) % {m} AS DOUBLE) / {m})
+                 * ((SELECT n FROM wsum) - 2) > 0
+            THEN ROUND(COALESCE(b.bc, 0e0)
+                       / (((SELECT sx FROM wsum)
+                           - CAST((n.id * 31) % {m} AS DOUBLE) / {m})
+                          * ((SELECT n FROM wsum) - 2)), 6)
+            ELSE 0e0 END AS pc
+FROM nodes n LEFT JOIN (
+  SELECT id, SUM(delta * (CAST((root * 31) % {m} AS DOUBLE) / {m})) AS bc
+  FROM alldelta WHERE id <> root GROUP BY id
+) b ON b.id = n.id"""
+    )
+
+
+ORACLE["percolation_centrality"] = _percolation_centrality_sql()
+QUERIES["percolation_centrality"] = q_percolation_centrality

@@ -70,9 +70,16 @@ def betweenness_centrality(
     k: int = 8,
     seed: int = 42,
     max_depth: int = 64,
+    root_weights: list[float] | None = None,
 ) -> DataFrame:
     """DataFrame[id, bc: double] — Brandes from the given (or K sampled)
-    roots; nodes never reached contribute/receive 0."""
+    roots; nodes never reached contribute/receive 0.
+
+    ``root_weights`` (optional, parallel to ``roots``): weight each
+    root's dependency contribution w_s·δ_s(v) in the final aggregation —
+    the per-source-importance generalization consumed by percolation
+    centrality. ``None`` leaves the plan bit-identical to the audited
+    unweighted kernel (same gate hash)."""
     spark = edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if roots is None:
@@ -190,11 +197,24 @@ def betweenness_centrality(
     for dd in deltas[1:]:
         all_delta = all_delta.unionByName(dd)
 
-    bc = (
-        all_delta.filter(F.col("id") != F.col("root"))
-        .groupBy("id")
-        .agg(F.sum("delta").alias("bc"))
-    )
+    if root_weights is not None:
+        if len(root_weights) != len(roots):
+            raise ValueError("root_weights must be parallel to roots")
+        w_df = spark.createDataFrame(
+            list(zip(roots, root_weights)), "root long, w double"
+        )
+        bc = (
+            all_delta.filter(F.col("id") != F.col("root"))
+            .join(F.broadcast(w_df), "root")
+            .groupBy("id")
+            .agg(F.sum(F.col("delta") * F.col("w")).alias("bc"))
+        )
+    else:
+        bc = (
+            all_delta.filter(F.col("id") != F.col("root"))
+            .groupBy("id")
+            .agg(F.sum("delta").alias("bc"))
+        )
     out = nodes.join(bc, "id", "left").select(
         "id", F.coalesce("bc", F.lit(0.0)).alias("bc")
     )
@@ -496,3 +516,49 @@ def weighted_betweenness_centrality(
     dag.unpersist()
     fac.unpersist()
     return out
+
+
+def percolation_centrality(
+    edges: DataFrame,
+    roots: list[int] | None = None,
+    k: int = 8,
+    seed: int = 42,
+    max_depth: int = 64,
+    state_mod: int = 100,
+) -> DataFrame:
+    """Percolation centrality → DataFrame[id, pc] (6 dp).
+
+    Published frame: Piraveenan, Prokopenko & Hossain, "Percolation
+    Centrality: Quantifying Graph-Theoretic Impact of Nodes during
+    Percolation in Networks" (PLoS ONE 2013) — betweenness where each
+    source s counts proportionally to its infection state x_s:
+
+        PC(v) = 1/(n−2) · Σ_{s≠v} δ_s(v) · x_s / (Σ_s x_s − x_v)
+
+    (δ_s(v) the Brandes dependency; sums over the given/sampled root
+    set, the same K-root operating point as the gated betweenness).
+    States are synthetic-attribute deterministic (house convention):
+    x_v = ((v·31) mod state_mod)/state_mod.
+
+    Spark plan: ONE run of the audited multi-root Brandes kernel with
+    per-root weights folded into its final aggregation (root_weights=) —
+    no second pass; the normalization is a V-row closed-form column.
+    """
+    if roots is None:
+        roots = pick_roots(edges, k, seed)
+    x = [float((r * 31) % state_mod) / state_mod for r in roots]
+    sx = sum(x)
+    n = nodes_of(edges).count()
+    wb = betweenness_centrality(
+        edges, roots=roots, max_depth=max_depth, root_weights=x
+    )
+    xv = F.pmod(F.col("id") * 31, F.lit(state_mod)).cast("double") / F.lit(
+        float(state_mod)
+    )
+    denom = (F.lit(sx) - xv) * F.lit(float(n - 2))
+    return wb.select(
+        "id",
+        F.when(denom > 0, F.round(F.col("bc") / denom, 6))
+        .otherwise(F.lit(0.0))
+        .alias("pc"),
+    )

@@ -369,3 +369,89 @@ def test_rbo_matches_oracle_sf0001(spark):
     assert len(got) == len(want) == 1
     assert got[0][:2] == want[0][:2]
     assert got[0][2] == pytest.approx(want[0][2], abs=2e-6)
+
+
+# --------------------------------------------- percolation centrality
+
+
+def test_percolation_centrality_matches_weighted_brandes_model(spark):
+    import random
+
+    from llama_spark.operators.bc import percolation_centrality
+
+    rng = random.Random(141)
+    pairs = [
+        (u, v)
+        for u, v in {(rng.randrange(14), rng.randrange(14)) for _ in range(40)}
+        if u != v
+    ]
+    nodes = sorted({x for e in pairs for x in e})
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+    roots = nodes[:3]
+
+    def brandes_delta(s):
+        # BFS sigma + dependency accumulation on the directed graph
+        from collections import deque
+
+        dist, sigma = {s: 0}, {s: 1.0}
+        order = [s]
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in sorted(adj.get(u, ())):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0.0
+                    order.append(w)
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        delta = {v: 0.0 for v in dist}
+        for w in reversed(order):
+            for u in dist:
+                if w in adj.get(u, ()) and dist[w] == dist[u] + 1:
+                    delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+        return delta
+
+    x = {s: ((s * 31) % 100) / 100 for s in roots}
+    sx = sum(x.values())
+    n = len(nodes)
+    want = {}
+    for v in nodes:
+        acc = sum(
+            x[s] * brandes_delta(s).get(v, 0.0) for s in roots if v != s
+        )
+        den = (sx - ((v * 31) % 100) / 100) * (n - 2)
+        want[v] = round(acc / den, 6) if den > 0 else 0.0
+    got = {
+        r.id: r.pc
+        for r in percolation_centrality(
+            edges_df(spark, pairs), roots=roots
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-6), v
+
+
+def test_percolation_centrality_zero_states_zero_everywhere(spark):
+    from llama_spark.operators.bc import percolation_centrality
+
+    # roots whose synthetic state is 0 (id·31 ≡ 0 mod 100 → id = 0, 100)
+    # contribute nothing: every pc must be 0
+    pairs = [(0, 1), (1, 2), (100, 1)]
+    got = percolation_centrality(
+        edges_df(spark, pairs), roots=[0, 100]
+    ).collect()
+    assert all(r.pc == 0.0 for r in got)
+
+
+def test_percolation_centrality_matches_oracle_sf0001(spark):
+    got = sorted(tuple(r) for r in QUERIES["percolation_centrality"](spark, SF).collect())
+    want = sorted(tuple(r) for r in _duck().execute(ORACLE["percolation_centrality"]).fetchall())
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[0] == w[0]
+        assert g[1] == pytest.approx(w[1], abs=2e-6)

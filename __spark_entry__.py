@@ -112,6 +112,7 @@ _GATE_ORDER = (
     "truncated_pagerank", "temporal_motifs", "motif_fiedler", "cheirank",
     "orbit_counts", "lt_cascade", "k_center", "event_sliding_counts",
     "wl_kernel", "directed_assortativity", "rbo", "percolation_centrality",
+    "global_efficiency",
 )
 
 def _ordered(d: dict) -> dict:

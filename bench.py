@@ -552,6 +552,13 @@ def main() -> None:
 
     timed("percolation_centrality_k8", _percolation_centrality)
 
+    from llama_spark.operators.traversal import global_efficiency
+
+    timed(
+        "global_efficiency",
+        lambda: global_efficiency(edges, roots=[0, 42, 77, 1234]).count(),
+    )
+
     # ---- execution: whole-list passes, then a retry pass for cheap rows ----
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to those rows (for
     # targeted quiet-window re-measurement of contested queries)

@@ -543,6 +543,12 @@ class GraphSession:
 
         return normalize_urls(df, url_col=url_col)
 
+    def global_efficiency(self, roots: list[int], **kw) -> DataFrame:
+        """Latora-Marchiori global efficiency (traversal.global_efficiency)."""
+        from .operators.traversal import global_efficiency
+
+        return global_efficiency(self._e(), roots=roots, **kw)
+
     def small_world_sigma(self, roots: list[int], **kw) -> DataFrame:
         """Humphries-Gurney small-world coefficient
         (traversal.small_world_sigma)."""

@@ -9366,3 +9366,61 @@ FROM nodes n LEFT JOIN (
 
 ORACLE["percolation_centrality"] = _percolation_centrality_sql()
 QUERIES["percolation_centrality"] = q_percolation_centrality
+
+
+# ---------------------------------------------- global efficiency
+
+
+def q_global_efficiency(spark, sf_dir):
+    """Latora-Marchiori global efficiency, root-sampled (the closeness
+    gate's root convention); unreachable pairs contribute 0."""
+    from .operators.traversal import global_efficiency
+
+    return global_efficiency(load_edges(spark, sf_dir), roots=SW_ROOTS)
+
+
+def _global_efficiency_sql() -> str:
+    roots = ", ".join(f"({r})" for r in sorted(set(SW_ROOTS)))
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"nodes AS MATERIALIZED ({NODES_SQL})",
+        f"und AS MATERIALIZED ({UND_SQL})",
+        f"roots(root) AS (VALUES {roots})",
+        "m0 AS MATERIALIZED (SELECT r.root, n.id, "
+        "CASE WHEN n.id = r.root THEN 0 END AS depth FROM nodes n CROSS JOIN roots r)",
+    ]
+    for i in range(1, BFS_UNROLL + 1):
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (
+  SELECT p.root, p.id,
+         CASE WHEN c.cand IS NULL THEN p.depth
+              WHEN p.depth IS NULL OR c.cand < p.depth THEN c.cand
+              ELSE p.depth END AS depth
+  FROM m{i-1} p LEFT JOIN (
+    SELECT q.root, u.dst AS id, MIN(q.depth + 1) AS cand
+    FROM m{i-1} q JOIN und u ON u.src = q.id
+    WHERE q.depth IS NOT NULL GROUP BY q.root, u.dst
+  ) c ON p.root = c.root AND p.id = c.id
+)"""
+        )
+    ctes += [
+        "nm AS (SELECT COUNT(*) AS n,"
+        " SUM(CASE WHEN id IN (SELECT root FROM roots) THEN 1 ELSE 0 END) AS kr"
+        " FROM nodes)",
+        f"s AS (SELECT SUM(1e0 / depth) AS se FROM m{BFS_UNROLL}"
+        " WHERE depth IS NOT NULL AND depth > 0)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT CAST(nm.n AS BIGINT) AS n_nodes,
+       CAST(nm.kr AS BIGINT) AS n_roots,
+       CASE WHEN nm.kr > 0 AND nm.n > 1
+            THEN ROUND(COALESCE(s.se, 0e0) / (nm.kr * (nm.n - 1)), 6)
+            ELSE 0e0 END AS efficiency
+FROM nm, s"""
+    )
+
+
+ORACLE["global_efficiency"] = _global_efficiency_sql()
+QUERIES["global_efficiency"] = q_global_efficiency

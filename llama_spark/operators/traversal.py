@@ -613,3 +613,56 @@ def small_world_sigma(
     )
     und.unpersist()
     return out
+
+
+def global_efficiency(
+    edges: DataFrame,
+    roots: list[int],
+    max_iter: int = 16,
+) -> DataFrame:
+    """Latora-Marchiori global efficiency → one-row DataFrame
+    [n_nodes, n_roots, efficiency].
+
+    Published frame: Latora & Marchiori, "Efficient Behavior of
+    Small-World Networks" (PRL 2001) — E = mean over ordered pairs of
+    1/d(u,v), with unreachable pairs contributing 0; the well-defined-
+    on-disconnected-graphs replacement for average path length. Root-
+    sampled estimate (the closeness-gate convention): pairs restricted
+    to the given source roots,
+
+        E ≈ Σ_{r, v reached, d>0} (1/d) / (|roots ∩ V| · (n − 1)).
+
+    Spark plan: ONE sparse multi-source BFS (unreached pairs simply
+    absent — exactly the 0-contribution the definition wants) + a 1-row
+    aggregate; the denominator's root-presence count rides the same
+    node-set frame.
+    """
+    und = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = nodes_of(und)
+    rs = sorted(set(roots))
+    nm = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("id").isin(rs).cast("long")).alias("kr"),
+    )
+    depths = multi_source_bfs_depths(und, rs, max_iter=max_iter)
+    s = depths.filter(F.col("depth") > 0).agg(
+        F.sum(F.lit(1.0) / F.col("depth")).alias("se")
+    )
+    out = (
+        nm.crossJoin(F.broadcast(s))
+        .select(
+            F.col("n").alias("n_nodes"),
+            F.col("kr").cast("long").alias("n_roots"),
+            F.when(
+                (F.col("kr") > 0) & (F.col("n") > 1),
+                F.round(
+                    F.coalesce("se", F.lit(0.0))
+                    / (F.col("kr") * (F.col("n") - 1)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("efficiency"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    return out

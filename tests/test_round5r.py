@@ -164,3 +164,43 @@ def test_url_normalize_matches_oracle_sf0001(spark):
     got = sorted(tuple(r) for r in DOCS_QUERIES["url_normalize"](spark, SF).collect())
     want = sorted(tuple(r) for r in con.execute(DOCS_ORACLE["url_normalize"]).fetchall())
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------ global efficiency
+
+
+def test_global_efficiency_closed_forms(spark):
+    from llama_spark.operators.traversal import global_efficiency
+
+    # path 0-1-2-3, roots = all: Σ 1/d over ordered pairs =
+    # 2·(3·1 + 2·1/2 + 1·1/3) = 26/3; E = (26/3)/(4·3)
+    path = [(0, 1), (1, 2), (2, 3)]
+    r = global_efficiency(edges_df(spark, path), roots=[0, 1, 2, 3]).collect()[0]
+    assert (r.n_nodes, r.n_roots) == (4, 4)
+    assert r.efficiency == pytest.approx(round((26 / 3) / 12, 6), abs=1e-9)
+    # clique: every pair at distance 1 → E = 1
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    rc = global_efficiency(edges_df(spark, clique), roots=list(range(5))).collect()[0]
+    assert rc.efficiency == 1.0
+
+
+def test_global_efficiency_disconnection_lowers_it(spark):
+    from llama_spark.operators.traversal import global_efficiency
+
+    # two components: cross pairs contribute 0 (absent rows), same formula
+    pairs = [(0, 1), (10, 11)]
+    r = global_efficiency(edges_df(spark, pairs), roots=[0, 1, 10, 11]).collect()[0]
+    # each root reaches exactly 1 other at distance 1: Σ = 4; denom 4·3
+    assert r.efficiency == pytest.approx(round(4 / 12, 6), abs=1e-9)
+    # absent root ignored in the denominator
+    r2 = global_efficiency(edges_df(spark, pairs), roots=[0, 999]).collect()[0]
+    assert r2.n_roots == 1
+    assert r2.efficiency == pytest.approx(round(1 / 3, 6), abs=1e-9)
+
+
+def test_global_efficiency_matches_oracle_sf0001(spark):
+    got = sorted(tuple(r) for r in QUERIES["global_efficiency"](spark, SF).collect())
+    want = sorted(tuple(r) for r in _duck().execute(ORACLE["global_efficiency"]).fetchall())
+    assert len(got) == len(want) == 1
+    assert got[0][:2] == want[0][:2]
+    assert got[0][2] == pytest.approx(want[0][2], abs=2e-6)

@@ -621,39 +621,99 @@ def burt_constraint(edges: DataFrame) -> DataFrame:
     network is closed. Reported rounded to 6 dp (the house float-gate
     convention, cf. pagerank).
 
-    Spark plan: one wedge join (i→q)⋈(q→j) keyed on the middle vertex —
-    the same shuffle the triangle kernels pay — semi-restricted to pairs
-    (i,j) that are themselves edges (broadcast-or-shuffle hash join on
-    the undirected edge table), then two id-keyed aggregations. The
-    indirect term only exists on closed wedges, so the post-join
-    filter is a join with und, not a window. Hub wedge fan-out is
-    deg(q)² on the middle vertex, identical to local_clustering's cost
-    envelope at 100 TB (salt the middle key if one hub dominates).
+    Spark plan: the indirect term Σ_q p_iq·p_qj only exists on CLOSED
+    wedges — (i,q), (q,j) and (i,j) all edges, i.e. {i,q,j} a triangle —
+    so it is enumerated from the degree-oriented triangle join (the
+    skew-safe machinery ``triangles_df`` runs: a hub of degree D builds
+    O(D) oriented wedges at its low-degree neighbors, never O(D²) at
+    itself — the same orientation trick as the reference tc merge
+    heuristic, triangle_counting.h:531-567). Each triangle expands to its
+    6 ordered (i, q, j) orientations with contribution
+    (1/deg i)·(1/deg q) — bounded fan-out (6T rows total), identical
+    sums. The former plan's raw middle-vertex wedge self-join had
+    deg(q)² fan-out through every hub before its closed-wedge semi-join
+    could drop open wedges.
     """
     und = undirected_ordered(drop_self_loops(edges.select(SRC, DST))).dropDuplicates(
         [SRC, DST]
     )
-    adj = und.union(
-        und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    deg = (
+        und.select(F.col(SRC).alias("id"))
+        .unionAll(und.select(F.col(DST).alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # canonical edges with both endpoint degrees, oriented low (deg, id)
+    # endpoint first — every wedge is built at its lowest-degree corner
+    da, db = deg.alias("da"), deg.alias("db")
+    u = und.join(da, und[SRC] == F.col("da.id")).join(db, und[DST] == F.col("db.id"))
+    lo_first = (F.col("da.deg") < F.col("db.deg")) | (
+        (F.col("da.deg") == F.col("db.deg")) & (und[SRC] < und[DST])
+    )
+    oe = u.select(
+        F.when(lo_first, und[SRC]).otherwise(und[DST]).alias(SRC),
+        F.when(lo_first, und[DST]).otherwise(und[SRC]).alias(DST),
+        F.when(lo_first, F.col("da.deg")).otherwise(F.col("db.deg")).alias("ds"),
+        F.when(lo_first, F.col("db.deg")).otherwise(F.col("da.deg")).alias("dd"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    deg = adj.groupBy(F.col(SRC).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
-    padj = (
-        adj.join(deg, adj[SRC] == deg["id"])
-        .select(F.col(SRC).alias("i"), F.col(DST).alias("j"),
-                (F.lit(1.0) / F.col("deg")).alias("p"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # closed-wedge (triangle) enumeration with all three degrees carried
+    # along from the edge sides — no extra degree joins on the triangles
+    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e1.src") == F.col("e3.src"))
+            & (F.col("e2.dst") == F.col("e3.dst")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+            (F.lit(1.0) / F.col("e1.ds")).alias("pa"),
+            (F.lit(1.0) / F.col("e1.dd")).alias("pb"),
+            (F.lit(1.0) / F.col("e2.dd")).alias("pc"),
+        )
+    )
+    # 6 ordered (i, j) pairs per triangle; contribution p_iq·p_qj with q
+    # the third corner — term values identical to the former plan's
+    # (1/deg i)·(1/deg q) products, only the enumeration order changed
+    indirect = (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("i"), F.col("c").alias("j"),
+                             (F.col("pa") * F.col("pb")).alias("v")),
+                    F.struct(F.col("c").alias("i"), F.col("a").alias("j"),
+                             (F.col("pc") * F.col("pb")).alias("v")),
+                    F.struct(F.col("b").alias("i"), F.col("c").alias("j"),
+                             (F.col("pb") * F.col("pa")).alias("v")),
+                    F.struct(F.col("c").alias("i"), F.col("b").alias("j"),
+                             (F.col("pc") * F.col("pa")).alias("v")),
+                    F.struct(F.col("a").alias("i"), F.col("b").alias("j"),
+                             (F.col("pa") * F.col("pc")).alias("v")),
+                    F.struct(F.col("b").alias("i"), F.col("a").alias("j"),
+                             (F.col("pb") * F.col("pc")).alias("v")),
+                )
+            ).alias("o")
+        )
+        .select("o.i", "o.j", "o.v")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("ind"))
     )
 
-    # closed-wedge indirect mass: Σ_q p_iq · p_qj for (i,j) ∈ adj
-    left = padj.select(F.col("i"), F.col("j").alias("q"), F.col("p").alias("piq"))
-    right = padj.select(F.col("i").alias("q"), F.col("j"), F.col("p").alias("pqj"))
-    indirect = (
-        left.join(right, "q")
-        .filter(F.col("i") != F.col("j"))
-        .join(adj.select(F.col(SRC).alias("i"), F.col(DST).alias("j")), ["i", "j"], "left_semi")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("piq") * F.col("pqj")).alias("ind"))
+    # p_ij = 1/deg(i) for every ordered adjacent pair, from the same
+    # degree-carrying edge table (no separate adj ⋈ deg join)
+    padj = oe.select(
+        F.col(SRC).alias("i"), F.col(DST).alias("j"),
+        (F.lit(1.0) / F.col("ds")).alias("p"),
+    ).unionByName(
+        oe.select(
+            F.col(DST).alias("i"), F.col(SRC).alias("j"),
+            (F.lit(1.0) / F.col("dd")).alias("p"),
+        )
     )
 
     out = (
@@ -666,6 +726,5 @@ def burt_constraint(edges: DataFrame) -> DataFrame:
         .agg(F.round(F.sum("c2"), 6).alias("constraint"))
         .localCheckpoint(eager=True)
     )
-    adj.unpersist()
-    padj.unpersist()
+    oe.unpersist()
     return out

@@ -154,6 +154,20 @@ def trussness(
     from pyspark.sql import Window
 
     e = _canonical(edges).repartition(p, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    m_edges = e.count()
+    # Broadcast the E-row value vector into the three per-round side joins
+    # while it is genuinely small (the same join-side policy as the node
+    # kernels' tiny_state, scaled for edge rows): the persisted T-row
+    # triangle table then streams through three broadcast hash joins with
+    # ZERO exchanges — in shuffle mode each round paid three full
+    # exchanges of the triangle table plus three of the value vector.
+    # At web scale (E past the threshold) the shuffle path engages
+    # unchanged.
+    small_t = m_edges <= 2_000_000
+
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_t else df
+
     a, b, c = e.alias("a"), e.alias("b"), e.alias("c")
     tri = (
         a.join(b, F.col("a.dst") == F.col("b.src"))
@@ -203,9 +217,9 @@ def trussness(
         t2 = t.select(F.col(SRC).alias("v"), F.col(DST).alias("w"), F.col("t").alias("_t2"))
         t3 = t.select(F.col(SRC).alias("u"), F.col(DST).alias("w"), F.col("t").alias("_t3"))
         offers = (
-            tri.join(t1, ["u", "v"])
-            .join(t2, ["v", "w"])
-            .join(t3, ["u", "w"])
+            tri.join(_side(t1), ["u", "v"])
+            .join(_side(t2), ["v", "w"])
+            .join(_side(t3), ["u", "w"])
             .select(
                 F.explode(
                     F.array(
@@ -234,7 +248,7 @@ def trussness(
             .agg(F.max(F.least(F.col("level"), F.col("cum"))).alias("h"))
         )
         new_t = (
-            t.join(hi, [SRC, DST], "left")
+            t.join(_side(hi), [SRC, DST], "left")
             .select(
                 SRC,
                 DST,

@@ -41,7 +41,17 @@ def attack_percolation(
     """DataFrame[n_removed, n_remaining, giant_size, n_components] after
     removing floor(frac·V) nodes in (undirected-degree DESC, id ASC)
     order. Deterministic; frac=0 degenerates to a plain CC census."""
-    e = drop_self_loops(edges.select(SRC, DST)).distinct()
+    from pyspark.storagelevel import StorageLevel
+
+    # persist the deduped edge set: the degree histogram, the survivor
+    # anti-joins and the CC kernel's node/edge derivations all reference
+    # it — unpersisted, every reference re-ran the distinct (measured
+    # ~2-3s × ~6 references at sf0.1, the bulk of the old 23s row)
+    e = (
+        drop_self_loops(edges.select(SRC, DST))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     und = e.unionByName(
         e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
     ).distinct()
@@ -100,7 +110,14 @@ def random_percolation(
     and only the id-ordered ties in the threshold bucket pass through a
     distributed TakeOrdered (≈ V/65536 rows, spread across partitions).
     No global sort window ever sees the V-row node table."""
-    e = drop_self_loops(edges.select(SRC, DST)).distinct()
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted for the same multi-reference reason as attack_percolation
+    e = (
+        drop_self_loops(edges.select(SRC, DST))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = nodes_of(e)
     n_nodes = nodes.count()
     k = int(n_nodes * frac)
@@ -149,10 +166,17 @@ def _survivor_census(
         connected_components_alternating,
     )
 
+    # materialize the removal set (≤ k rows) and the survivor edge set
+    # ONCE: the CC kernel derives its node table, symmetrized edges and
+    # several counts from ``kept`` — left lazy, each derivation re-ran
+    # the histogram/TakeOrdered/anti-join chain end-to-end
+    removed = removed.localCheckpoint(eager=True)
     survivors = nodes.join(removed, "id", "left_anti")
-    kept = e.join(
-        removed.withColumnRenamed("id", SRC), SRC, "left_anti"
-    ).join(removed.withColumnRenamed("id", DST), DST, "left_anti")
+    kept = (
+        e.join(removed.withColumnRenamed("id", SRC), SRC, "left_anti")
+        .join(removed.withColumnRenamed("id", DST), DST, "left_anti")
+        .localCheckpoint(eager=True)
+    )
 
     # cc="hashmin" (default) vs "star": labels identical (min member id;
     # the cc_alternating gate proves the equivalence) so either satisfies
@@ -176,6 +200,7 @@ def _survivor_census(
     n_isolated = n_surv - int(stats["n_in_cc"])
     giant = max(int(stats["giant_edgeful"]), 1 if n_surv > 0 else 0)
     spark = e.sparkSession
+    e.unpersist()  # no-op when the caller never persisted it
     return spark.createDataFrame(
         [
             (
@@ -201,9 +226,15 @@ def bond_percolation(
     then census the components over ALL original nodes.
 
     DataFrame[keep_bp, n_edges_kept, giant_size, n_components]."""
+    from pyspark.storagelevel import StorageLevel
+
     from ..functions.text import token_hash
 
-    e = drop_self_loops(edges.select(SRC, DST)).distinct()
+    e = (
+        drop_self_loops(edges.select(SRC, DST))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = nodes_of(e)
     canon = e.select(
         F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST)
@@ -223,6 +254,7 @@ def bond_percolation(
     m = kept.count()
     empty = nodes.filter(F.lit(False)).select("id")
     out = _survivor_census(kept, nodes, empty, 0, cc)
+    e.unpersist()
     return out.select(
         F.lit(int(keep_bp)).cast("long").alias("keep_bp"),
         F.lit(int(m)).cast("long").alias("n_edges_kept"),

@@ -65,6 +65,15 @@ def bfs_forest(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     from ..plans.fixpoint import iterate
 
     nodes = nodes_of(edges)
+    n = nodes.count()
+    tiny_state = n <= 100_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        # broadcast the V-row frontier/candidate side while tiny so the
+        # cached symmetrized edge table streams with no exchange (the
+        # pagerank/cc join-side policy); shuffled-hash past the threshold
+        return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
+
     init = nodes.select(
         "id",
         F.col("id").alias("comp"),
@@ -75,7 +84,7 @@ def bfs_forest(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     def step(state: DataFrame, _i: int) -> DataFrame:
         frontier = state.filter(F.col("changed")).select("id", "comp", "depth")
         cand = (
-            frontier.join(und, frontier["id"] == und[SRC])
+            _hint(frontier).join(und, frontier["id"] == und[SRC])
             .groupBy(F.col(DST).alias("id"))
             .agg(
                 F.min(F.struct(F.col("comp"), (F.col("depth") + 1).alias("depth"))).alias(
@@ -87,7 +96,7 @@ def bfs_forest(edges: DataFrame, max_iter: int = 100) -> DataFrame:
             (F.col("c.comp") < F.col("comp"))
             | ((F.col("c.comp") == F.col("comp")) & (F.col("c.depth") < F.col("depth")))
         )
-        return state.join(cand, "id", "left").select(
+        return state.join(_hint(cand), "id", "left").select(
             "id",
             F.when(improved, F.col("c.comp")).otherwise(F.col("comp")).alias("comp"),
             F.when(improved, F.col("c.depth")).otherwise(F.col("depth")).alias("depth"),
@@ -126,6 +135,8 @@ def _ancestors(forest: DataFrame, max_doublings: int = 12) -> DataFrame:
     """Inclusive ancestor closure DataFrame[id, anc] by pointer doubling:
     (v, v) ∪ (v, parent(v)), then A ← A ∪ (A ∘ A) until fixpoint —
     O(log depth) rounds, each one distinct-shuffle."""
+    from pyspark.sql import Observation
+
     anc = (
         forest.select(F.col("id"), F.col("id").alias("anc"))
         .unionByName(
@@ -137,16 +148,20 @@ def _ancestors(forest: DataFrame, max_doublings: int = 12) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n = anc.count()
-    for _ in range(max_doublings):
+    for _d in range(max_doublings):
         hop = anc.select(F.col("id").alias("anc"), F.col("anc").alias("anc2"))
+        # the convergence row count rides the checkpoint job via observe —
+        # one Spark job per doubling round instead of two
+        obs = Observation(f"ancestors_{_d}")
         grown = (
             anc.unionByName(
                 anc.join(hop, "anc").select("id", F.col("anc2").alias("anc"))
             )
             .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_new = grown.count()
+        n_new = int(obs.get["n"] or 0)
         anc = grown
         if n_new == n:
             break

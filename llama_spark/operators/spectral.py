@@ -77,6 +77,13 @@ def fiedler_vector(
         return deg.select("id", "d", F.lit(0.0).alias("fiedler"))
     c = 1.0 + deg.agg(F.max("d")).head()[0]
     n_d = float(n)
+    tiny_state = n <= 100_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        # broadcast the V-row side while tiny (the pagerank/cc join-side
+        # policy): the cached edge table / big side then streams with no
+        # exchange; past the threshold the shuffled-hash path engages
+        return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
 
     # deterministic non-constant start vector, exact-integer both engines
     state = materialize(
@@ -93,12 +100,10 @@ def fiedler_vector(
 
     for _ in range(max_iter):
         gather = und.join(
-            state.select(F.col("id").alias(SRC), F.col("x").alias("xs")).hint(
-                "shuffle_hash"
-            ),
+            _hint(state.select(F.col("id").alias(SRC), F.col("x").alias("xs"))),
             SRC,
         ).groupBy(F.col(DST).alias("id")).agg(F.sum("xs").alias("s"))
-        y = state.join(gather, "id", "left").select(
+        y = state.join(_hint(gather), "id", "left").select(
             "id",
             "d",
             (
@@ -337,6 +342,14 @@ def fiedler_vector_normalized(
         und.unpersist()
         return deg.select("id", "d", F.lit(0.0).alias("nfiedler"))
     s2 = float(deg.agg(F.sum("d")).head()[0])  # Σd = Σ(√d)², exact integer sum
+    tiny_state = n <= 100_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        # broadcast the V-row side while tiny (the pagerank/cc join-side
+        # policy): the cached edge table / big side then streams with no
+        # exchange; past the threshold the shuffled-hash path engages
+        return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
+
 
     state = materialize(
         deg.select(
@@ -354,15 +367,15 @@ def fiedler_vector_normalized(
     for _ in range(max_iter):
         gather = (
             und.join(
-                state.select(
+                _hint(state.select(
                     F.col("id").alias(SRC), (F.col("x") / F.col("sd")).alias("xs")
-                ).hint("shuffle_hash"),
+                )),
                 SRC,
             )
             .groupBy(F.col(DST).alias("id"))
             .agg(F.sum(F.col("w") * F.col("xs")).alias("g"))
         )
-        y = state.join(gather, "id", "left").select(
+        y = state.join(_hint(gather), "id", "left").select(
             "id",
             "d",
             "sd",

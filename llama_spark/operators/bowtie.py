@@ -57,15 +57,25 @@ def bowtie_decomposition(
     )[0]
     core_label = int(core_row["scc"])  # min member id ⇒ a CORE node itself
 
-    fwd = bfs_depths(edges, root=core_label, max_iter=max_iter).filter(
-        F.col("depth").isNotNull()
-    ).select(F.col("id"), F.lit(True).alias("_fwd"))
-    rev_edges = edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
-    bwd = bfs_depths(rev_edges, root=core_label, max_iter=max_iter).filter(
-        F.col("depth").isNotNull()
-    ).select(F.col("id"), F.lit(True).alias("_bwd"))
+    # the forward BFS, backward BFS and WCC are mutually independent —
+    # overlap their job chains from driver threads (plans/overlap.py) so
+    # each phase's tasks back-fill the others' stragglers; every kernel
+    # returns a materialized (checkpointed) frame, so the work happens
+    # inside the threads and the combining plan below is unchanged
+    from ..plans.overlap import run_concurrent
 
-    wcc = connected_components(edges)
+    rev_edges = edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    fwd_raw, bwd_raw, wcc = run_concurrent(
+        lambda: bfs_depths(edges, root=core_label, max_iter=max_iter),
+        lambda: bfs_depths(rev_edges, root=core_label, max_iter=max_iter),
+        lambda: connected_components(edges),
+    )
+    fwd = fwd_raw.filter(F.col("depth").isNotNull()).select(
+        F.col("id"), F.lit(True).alias("_fwd")
+    )
+    bwd = bwd_raw.filter(F.col("depth").isNotNull()).select(
+        F.col("id"), F.lit(True).alias("_bwd")
+    )
     core_wcc = wcc.filter(F.col("id") == core_label).select(
         F.col("component").alias("_core_wcc")
     )

@@ -159,6 +159,13 @@ def multi_source_bfs_depths(
             .select("root", F.col(DST).alias("id"))
             .distinct()
         )
+        # the frontier row count rides the checkpoint job via observe —
+        # one Spark job per level instead of two
+        from pyspark.sql import Observation
+
+        from ..plans.fixpoint import _OBS_SEQ
+
+        obs = Observation(f"msbfs_d{depth}_{next(_OBS_SEQ)}")
         nxt = (
             cand.join(
                 _hint(visited.select("root", "id"), sum(counts)),
@@ -166,9 +173,10 @@ def multi_source_bfs_depths(
                 "left_anti",
             )
             .withColumn("depth", F.lit(depth + 1).cast("long"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_nxt = nxt.count()
+        n_nxt = int(obs.get["n"] or 0)
         if n_nxt == 0:
             break
         levels.append(nxt)
@@ -570,12 +578,22 @@ def small_world_sigma(
     from .triangles import transitivity
 
     und = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
     nm = und.agg(
         F.countDistinct(SRC).alias("n"),
         (F.count(F.lit(1)) / 2).cast("long").alias("m"),
     )
-    tr = transitivity(edges).select(F.col("transitivity").alias("c_raw"))
-    depths = multi_source_bfs_depths(und, sorted(set(roots)), max_iter=max_iter)
+    # the triangle/wedge aggregate and the multi-source BFS are
+    # independent — overlap their job chains (plans/overlap.py); both
+    # kernels hand back materialized frames, and the one-row combining
+    # plan below is unchanged
+    from ..plans.overlap import run_concurrent
+
+    tr_raw, depths = run_concurrent(
+        lambda: transitivity(edges),
+        lambda: multi_source_bfs_depths(und, sorted(set(roots)), max_iter=max_iter),
+    )
+    tr = tr_raw.select(F.col("transitivity").alias("c_raw"))
     lsum = depths.filter(F.col("depth") > 0).agg(
         F.sum("depth").alias("sd"), F.count(F.lit(1)).alias("np")
     )

@@ -57,9 +57,16 @@ def spam_mass(
     mass per node: (PR − TR)/PR with both vectors as distributed (sum-1)
     ranks. pr/trust are returned ×N (the O(1) gate scaling convention)
     and all three columns round to 6 dp."""
-    pr = pagerank_result(edges, damping=damping, max_iter=max_iter)
-    tr = personalized_pagerank_result(
-        edges, sources=seeds, damping=damping, max_iter=max_iter
+    # PageRank and TrustRank are independent power iterations — overlap
+    # their job chains from driver threads (plans/overlap.py); results are
+    # the same two checkpointed vectors, combined by the unchanged plan
+    from ..plans.overlap import run_concurrent
+
+    pr, tr = run_concurrent(
+        lambda: pagerank_result(edges, damping=damping, max_iter=max_iter),
+        lambda: personalized_pagerank_result(
+            edges, sources=seeds, damping=damping, max_iter=max_iter
+        ),
     )
     n = float(pr.n_nodes or pr.state.count())
     p = pr.state.select("id", F.col("rank").alias("_pr"))

@@ -32,6 +32,12 @@ from pyspark.storagelevel import StorageLevel
 
 MANIFEST = "manifest.json"
 
+# see iterate(): unique observation names across driver threads
+# (itertools.count.__next__ is atomic under the GIL)
+from itertools import count as _obs_count
+
+_OBS_SEQ = _obs_count()
+
 
 @dataclass
 class IterationMetrics:
@@ -145,7 +151,10 @@ def iterate(
         if updated_metric is not None:
             from pyspark.sql import Observation
 
-            obs = Observation(f"{name}_it{it}")
+            # process-unique suffix: two instances of the same kernel may
+            # run concurrently from driver threads (plans/overlap.py) and
+            # must not collide on observation names
+            obs = Observation(f"{name}_it{it}_{next(_OBS_SEQ)}")
             new_state = new_state.observe(obs, updated_metric.alias("updated"))
         if (it - start_iter) % truncate_every == truncate_every - 1:
             new_state = new_state.localCheckpoint(eager=True)

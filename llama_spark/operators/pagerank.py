@@ -550,11 +550,18 @@ def cheirank_plane(
     the reference recurrence and dangling-lost semantics apply to both
     directions (pagerank.h:117, 287-288).
     """
-    fwd = pagerank_result(edges, damping=damping, max_iter=max_iter)
-    rev = pagerank_result(
-        edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)),
-        damping=damping,
-        max_iter=max_iter,
+    # the two directions are independent power iterations — overlap their
+    # job chains from driver threads (plans/overlap.py); each returns a
+    # checkpointed vector and the id-join below is unchanged
+    from ..plans.overlap import run_concurrent
+
+    fwd, rev = run_concurrent(
+        lambda: pagerank_result(edges, damping=damping, max_iter=max_iter),
+        lambda: pagerank_result(
+            edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)),
+            damping=damping,
+            max_iter=max_iter,
+        ),
     )
     n = float(fwd.n_nodes)
     return (

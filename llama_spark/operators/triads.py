@@ -92,7 +92,8 @@ def triad_census(edges: DataFrame) -> DataFrame:
         .agg(F.max("f").alias("fwd"), F.max(~F.col("f")).alias("rev"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_nodes = nodes_of(e).count()
+    m_dy = dy.count()
+    small_dy = m_dy <= 2_000_000
 
     # ---- per-vertex arc-type counts → combinatorial path-class sums ----
     ends = dy.select(
@@ -108,7 +109,9 @@ def triad_census(edges: DataFrame) -> DataFrame:
         F.sum((~F.col("mo") & F.col("om")).cast("long")).alias("ai"),
         F.count("*").alias("ud"),
     )
-    comb = pv.agg(
+    # lazy 1-row aggregates — collected CONCURRENTLY with the triangle
+    # aggregate below (plans/overlap.py); all are independent
+    comb_df = pv.agg(
         F.sum(F.col("mu") * (F.col("mu") - 1)).alias("s201x2"),
         F.sum(F.col("mu") * F.col("ao")).alias("s111U"),
         F.sum(F.col("mu") * F.col("ai")).alias("s111D"),
@@ -117,12 +120,12 @@ def triad_census(edges: DataFrame) -> DataFrame:
         F.sum(F.col("ao") * F.col("ai")).alias("s021C"),
         F.sum(F.col("ud") * F.col("mu")).alias("deg_mu"),
         F.sum(F.col("ud") * (F.col("ao") + F.col("ai"))).alias("deg_a"),
-    ).collect()[0]
+    )
 
-    dyad = dy.agg(
+    dyad_df = dy.agg(
         F.sum((F.col("fwd") & F.col("rev")).cast("long")).alias("m_dyads"),
         F.sum((F.col("fwd") != F.col("rev")).cast("long")).alias("a_dyads"),
-    ).collect()[0]
+    )
 
     # ---- triangle enumeration (degree-oriented, each und triangle once) ----
     o = oriented_edges(e, orient="degree").persist(StorageLevel.MEMORY_AND_DISK)
@@ -150,16 +153,23 @@ def triad_census(edges: DataFrame) -> DataFrame:
         F.greatest("u", "v", "w").alias("c"),
     )
     ab, bc, ac = dy.alias("ab"), dy.alias("bc"), dy.alias("ac")
+
+    def _side(df):
+        # broadcast the E-row dyad table into the three classification
+        # joins while small (the trussness side policy): the T-row
+        # triangle stream then needs no exchange at all
+        return F.broadcast(df) if small_dy else df
+
     cn = canon.alias("cn")
     tri = (
         cn.join(
-            ab, (F.col("cn.a") == F.col("ab.a")) & (F.col("cn.b") == F.col("ab.b"))
+            _side(ab), (F.col("cn.a") == F.col("ab.a")) & (F.col("cn.b") == F.col("ab.b"))
         )
         .join(
-            bc, (F.col("cn.b") == F.col("bc.a")) & (F.col("cn.c") == F.col("bc.b"))
+            _side(bc), (F.col("cn.b") == F.col("bc.a")) & (F.col("cn.c") == F.col("bc.b"))
         )
         .join(
-            ac, (F.col("cn.a") == F.col("ac.a")) & (F.col("cn.c") == F.col("ac.b"))
+            _side(ac), (F.col("cn.a") == F.col("ac.a")) & (F.col("cn.c") == F.col("ac.b"))
         )
         .select(
             F.col("ab.fwd").alias("abf"), F.col("ab.rev").alias("abr"),
@@ -221,7 +231,17 @@ def triad_census(edges: DataFrame) -> DataFrame:
                 + (wc_c == cl).cast("long")
             ).alias(f"w_{cl}")
         )
-    trow = tri.agg(*aggs).collect()[0]
+    # four independent driver-side evaluations — the node count, the two
+    # 1-row combinatorial aggregates and the expensive triangle aggregate
+    # — overlapped from driver threads (plans/overlap.py)
+    from ..plans.overlap import run_concurrent
+
+    n_nodes, comb, dyad, trow = run_concurrent(
+        lambda: nodes_of(e).count(),
+        lambda: comb_df.collect()[0],
+        lambda: dyad_df.collect()[0],
+        lambda: tri.agg(*aggs).collect()[0],
+    )
 
     def _z(x) -> int:
         return int(x or 0)

@@ -50,13 +50,14 @@ def _lane(col: Column, lo: int) -> Column:
     return F.conv(F.substring(col, lo, 8), 16, 10).cast("long")
 
 
-def wl_colors(edges: DataFrame, rounds: int = 3) -> DataFrame:
-    """DataFrame[id, color, class_size] after ``rounds`` of 1-WL.
-
-    ``color`` is a 32-hex md5 string; ``class_size`` the number of nodes
-    sharing it. Deterministic, engine-portable (md5 + exact BIGINT
-    sums + decimal string casts only).
-    """
+def _color_rounds(edges: DataFrame, rounds: int) -> list[DataFrame]:
+    """[colors_0, ..., colors_rounds] — the 1-WL color frame
+    DataFrame[id, color] after each refinement round, every frame
+    eagerly checkpointed. One incremental chain: round h's colors are
+    refined from round h-1's, so materializing all intermediate rounds
+    costs exactly ``rounds`` refinement passes (re-running the chain
+    from scratch per h, as the kernel formerly did, costs
+    rounds·(rounds+1)/2 passes plus a setup per call)."""
     e = drop_self_loops(edges.select(SRC, DST)).dropDuplicates([SRC, DST])
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = nodes_of(e)
@@ -79,8 +80,9 @@ def wl_colors(edges: DataFrame, rounds: int = 3) -> DataFrame:
         )
     )
 
+    out = [colors.localCheckpoint(eager=True)]
     for _ in range(rounds):
-        colors = colors.localCheckpoint(eager=True)
+        colors = out[-1]
         h = colors.select(
             "id",
             _lane(F.col("color"), 1).alias("ha"),
@@ -105,7 +107,7 @@ def wl_colors(edges: DataFrame, rounds: int = 3) -> DataFrame:
                 F.sum("hb").alias("ob"),
             )
         )
-        colors = (
+        out.append(
             colors.join(insig, "id", "left")
             .join(outsig, "id", "left")
             .select(
@@ -121,8 +123,20 @@ def wl_colors(edges: DataFrame, rounds: int = 3) -> DataFrame:
                     )
                 ).alias("color"),
             )
+            .localCheckpoint(eager=True)
         )
+    e.unpersist()
+    return out
 
+
+def wl_colors(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """DataFrame[id, color, class_size] after ``rounds`` of 1-WL.
+
+    ``color`` is a 32-hex md5 string; ``class_size`` the number of nodes
+    sharing it. Deterministic, engine-portable (md5 + exact BIGINT
+    sums + decimal string casts only).
+    """
+    colors = _color_rounds(edges, rounds)[-1]
     sizes = colors.groupBy("color").agg(F.count("*").alias("class_size"))
     return colors.join(sizes, "color").select("id", "color", "class_size")
 
@@ -146,23 +160,23 @@ def wl_kernel(
     color-histogram equi-join. Returns one row per round h = 0..rounds
     (the caller sums ``k`` for the total kernel value).
 
-    Spark plan: per round, two histogram groupBys (map-side combined,
-    ≤ #color-classes rows) + one broadcast-or-shuffle join on the color
-    key; the WL refinement itself is the audited hub-safe commutative-
-    signature loop of wl_colors.
+    Spark plan: ONE incremental refinement chain per graph
+    (``_color_rounds`` — rounds passes instead of rounds·(rounds+1)/2
+    chain restarts), the two chains overlapped from driver threads
+    (plans/overlap.py — they are independent); per round, two histogram
+    groupBys (map-side combined, ≤ #color-classes rows) + one
+    broadcast-or-shuffle join on the color key.
     """
+    from ..plans.overlap import run_concurrent
+
+    ca, cb = run_concurrent(
+        lambda: _color_rounds(edges_a, rounds),
+        lambda: _color_rounds(edges_b, rounds),
+    )
     out = None
     for h in range(rounds + 1):
-        ha = (
-            wl_colors(edges_a, rounds=h)
-            .groupBy("color")
-            .agg(F.count(F.lit(1)).alias("na"))
-        )
-        hb = (
-            wl_colors(edges_b, rounds=h)
-            .groupBy("color")
-            .agg(F.count(F.lit(1)).alias("nb"))
-        )
+        ha = ca[h].groupBy("color").agg(F.count(F.lit(1)).alias("na"))
+        hb = cb[h].groupBy("color").agg(F.count(F.lit(1)).alias("nb"))
         k = ha.join(hb, "color").agg(
             F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
             .cast("long")

@@ -270,7 +270,12 @@ def biconnected_blocks(edges: DataFrame) -> DataFrame:
         F.greatest("parent", "id").alias("v"),
         F.col("id").alias("child"),
     )
-    nt = cund.join(tree.select("u", "v"), ["u", "v"], "left_anti")
+    # nt is referenced twice (the coverage pairs AND nt_blocks below) —
+    # left lazy, the symmetrize + distinct + anti-join chain re-ran per
+    # reference; checkpoint it once
+    nt = cund.join(tree.select("u", "v"), ["u", "v"], "left_anti").localCheckpoint(
+        eager=True
+    )
 
     anc = _ancestors(forest)
     ep = nt.select(F.col("u").alias("w"), "u", "v").unionByName(

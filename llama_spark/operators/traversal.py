@@ -49,6 +49,14 @@ def sssp(
     )
     m_edges = rel.count()
     nodes = nodes_of(edges)
+    n = nodes.count()
+    tiny_state = n <= 100_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        # broadcast the V-row frontier/candidate side while tiny so the
+        # cached edge table streams with no exchange (pagerank/cc policy)
+        return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
+
     init = nodes.select(
         "id",
         F.when(F.col("id") == root, F.lit(0.0)).otherwise(F.lit(None).cast("double")).alias(
@@ -63,11 +71,11 @@ def sssp(
     def step(dists: DataFrame, _i: int) -> DataFrame:
         frontier = dists.filter(F.col("changed")).select("id", "dist")
         cand = (
-            frontier.join(rel, frontier["id"] == rel[SRC])
+            _hint(frontier).join(rel, frontier["id"] == rel[SRC])
             .groupBy(F.col(DST).alias("id"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
         )
-        return dists.join(cand, "id", "left").select(
+        return dists.join(_hint(cand), "id", "left").select(
             "id",
             F.when(
                 F.col("cand").isNotNull()
@@ -430,6 +438,14 @@ def widest_paths(
     )
     m_edges = rel.count()
     nodes = nodes_of(edges)
+    n = nodes.count()
+    tiny_state = n <= 100_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        # broadcast the V-row frontier/candidate side while tiny (the
+        # pagerank/cc join-side policy); shuffled-hash past the threshold
+        return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
+
     init = nodes.select(
         "id",
         F.when(F.col("id") == root, F.lit(float(source_width)))
@@ -441,7 +457,7 @@ def widest_paths(
     def step(state: DataFrame, _i: int) -> DataFrame:
         frontier = state.filter(F.col("changed")).select("id", "width")
         cand = (
-            frontier.join(rel, frontier["id"] == rel[SRC])
+            _hint(frontier).join(rel, frontier["id"] == rel[SRC])
             .groupBy(F.col(DST).alias("id"))
             .agg(F.max(F.least(F.col("width"), F.col("w"))).alias("cand"))
         )

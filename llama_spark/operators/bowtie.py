@@ -46,30 +46,35 @@ def bowtie_decomposition(
     from .scc import strongly_connected_components
     from .traversal import bfs_depths
 
-    scc = strongly_connected_components(edges).persist()
-    # largest SCC, ties → smallest label; 1-row driver pick (allowed)
-    core_row = (
-        scc.groupBy("scc")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), F.asc("scc"))
-        .limit(1)
-        .collect()
-    )[0]
-    core_label = int(core_row["scc"])  # min member id ⇒ a CORE node itself
+    # WCC depends on nothing else — start it concurrently with the SCC
+    # phase itself (plans/overlap.py rationale); the two BFS waves need
+    # the SCC core pick first, so they overlap each other once it lands.
+    # Every kernel returns a materialized (checkpointed) frame, so the
+    # work happens inside the threads and the combining plan below is
+    # unchanged.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # the forward BFS, backward BFS and WCC are mutually independent —
-    # overlap their job chains from driver threads (plans/overlap.py) so
-    # each phase's tasks back-fill the others' stragglers; every kernel
-    # returns a materialized (checkpointed) frame, so the work happens
-    # inside the threads and the combining plan below is unchanged
-    from ..plans.overlap import run_concurrent
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        wcc_fut = pool.submit(lambda: connected_components(edges))
+        scc = strongly_connected_components(edges).persist()
+        # largest SCC, ties → smallest label; 1-row driver pick (allowed)
+        core_row = (
+            scc.groupBy("scc")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("scc"))
+            .limit(1)
+            .collect()
+        )[0]
+        core_label = int(core_row["scc"])  # min member id ⇒ a CORE node itself
 
-    rev_edges = edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
-    fwd_raw, bwd_raw, wcc = run_concurrent(
-        lambda: bfs_depths(edges, root=core_label, max_iter=max_iter),
-        lambda: bfs_depths(rev_edges, root=core_label, max_iter=max_iter),
-        lambda: connected_components(edges),
-    )
+        rev_edges = edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+        fwd_fut = pool.submit(
+            lambda: bfs_depths(edges, root=core_label, max_iter=max_iter)
+        )
+        bwd_fut = pool.submit(
+            lambda: bfs_depths(rev_edges, root=core_label, max_iter=max_iter)
+        )
+        fwd_raw, bwd_raw, wcc = fwd_fut.result(), bwd_fut.result(), wcc_fut.result()
     fwd = fwd_raw.filter(F.col("depth").isNotNull()).select(
         F.col("id"), F.lit(True).alias("_fwd")
     )

@@ -456,7 +456,10 @@ def edge_dispersion(edges: DataFrame, max_common: int | None = None) -> DataFram
     common-neighbor ids per edge (deterministic truncation, a bounded
     rank window per edge — |CN| ≤ min-degree rows, never a hub sort) and
     compute the dispersion of the truncated ego view. The oracle gate
-    runs uncapped; the sf0.1 bench row runs cap=64 and says so.
+    runs uncapped; the sf0.1 bench row (``edge_dispersion_sparse``) also
+    runs uncapped, on the mod-65536 lineitem projection (65k nodes, mean
+    degree ~17 — the operator's web-sparse habitat), so ``max_common``
+    is currently exercised only by callers that opt in.
     """
     und = (
         drop_self_loops(edges.select(SRC, DST))

@@ -143,11 +143,14 @@ def trussness(
     with the oriented skew-safe join and persisted; each round joins the
     current E-row value vector to its three sides (three hash joins of
     the T-row table), explodes each triangle into its 3 (edge, level)
-    offers, and h-indexes them with the coreness window trick — the
-    window holds at most |distinct levels on e| ≤ support(e) rows AFTER a
+    offers, and h-indexes them. On the small (broadcast-policy) path the
+    h-index folds a per-edge sorted level array in ONE exchange; on the
+    big-state path it uses the coreness window trick — the window holds
+    at most |distinct levels on e| ≤ support(e) rows AFTER a
     (edge, level) pre-combine, so a 10⁶-triangle edge collapses to its
-    level histogram before anything sorts. 3T offer rows per round is
-    the inherent cost of edge-local truss maintenance.
+    level histogram before anything sorts (never materializing a hub
+    edge's full offer list). 3T offer rows per round is the inherent
+    cost of edge-local truss maintenance.
     """
     spark = edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -180,9 +183,14 @@ def trussness(
             F.col("a.dst").alias("v"),
             F.col("b.dst").alias("w"),
         )
-        .repartition(p, "u")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # On the broadcast path tri only ever STREAMS (it is the probe side of
+    # every round join), so its partitioning is irrelevant — skip the
+    # 3T-row repartition shuffle. On the shuffle path keep the hash(u)
+    # layout so the side joins' exchanges line up round to round.
+    if not small_t:
+        tri = tri.repartition(p, "u")
+    tri = tri.persist(StorageLevel.MEMORY_AND_DISK)
     n_tri = tri.count()
 
     supp = (
@@ -240,13 +248,40 @@ def trussness(
             )
             .select("o.src", "o.dst", "o.level")
         )
-        hi = (
-            offers.groupBy(SRC, DST, "level")
-            .agg(F.count("*").alias("cnt"))
-            .withColumn("cum", F.sum("cnt").over(w))
-            .groupBy(SRC, DST)
-            .agg(F.max(F.least(F.col("level"), F.col("cum"))).alias("h"))
-        )
+        if small_t:
+            # single-shuffle h-index: collect the (small) per-edge level
+            # list and fold h = max_i min(level_desc[i], i+1) in one
+            # expression — one exchange per round instead of the
+            # histogram+window pair (measured: 98 → 83 stages over the 4
+            # oracle rounds, ~3s at sf0.1). Safe only while per-edge
+            # support is bounded (broadcast-path graphs); the big-state
+            # path keeps the histogram pre-combine so a 10⁶-triangle
+            # edge never materializes its offer list.
+            hi = (
+                offers.groupBy(SRC, DST)
+                .agg(F.reverse(F.array_sort(F.collect_list("level"))).alias("ls"))
+                .select(
+                    SRC,
+                    DST,
+                    F.aggregate(
+                        F.zip_with(
+                            "ls",
+                            F.sequence(F.lit(1), F.size("ls")).cast("array<long>"),
+                            lambda lv, i: F.least(lv, i),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: F.greatest(acc, x),
+                    ).alias("h"),
+                )
+            )
+        else:
+            hi = (
+                offers.groupBy(SRC, DST, "level")
+                .agg(F.count("*").alias("cnt"))
+                .withColumn("cum", F.sum("cnt").over(w))
+                .groupBy(SRC, DST)
+                .agg(F.max(F.least(F.col("level"), F.col("cum"))).alias("h"))
+            )
         new_t = (
             t.join(_side(hi), [SRC, DST], "left")
             .select(

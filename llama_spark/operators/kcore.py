@@ -213,14 +213,40 @@ def coreness(
                 .distinct()
             )
             joined = joined.join(F.broadcast(aff), DST, "left_semi")
-        hi = (
-            joined
-            .groupBy(F.col(DST).alias("id"), F.col("c").alias("value"))
-            .agg(F.count("*").alias("cnt"))
-            .withColumn("cum", F.sum("cnt").over(w))
-            .groupBy("id")
-            .agg(F.max(F.least(F.col("value"), F.col("cum"))).alias("h"))
-        )
+        if tiny_state:
+            # single-shuffle h-index: fold the per-node sorted neighbor
+            # value list in one expression — one exchange per round
+            # instead of the histogram+window pair (the trussness round
+            # trick; per-node lists are degree-bounded and the graph is
+            # on the broadcast policy path, so nothing hub-sized
+            # materializes). Big-state path below keeps the (id, value)
+            # pre-combine so a 10⁸-degree hub collapses to its value
+            # histogram before anything sorts.
+            hi = (
+                joined.groupBy(F.col(DST).alias("id"))
+                .agg(F.reverse(F.array_sort(F.collect_list("c"))).alias("ls"))
+                .select(
+                    "id",
+                    F.aggregate(
+                        F.zip_with(
+                            "ls",
+                            F.sequence(F.lit(1), F.size("ls")).cast("array<long>"),
+                            lambda lv, i: F.least(lv, i),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: F.greatest(acc, x),
+                    ).alias("h"),
+                )
+            )
+        else:
+            hi = (
+                joined
+                .groupBy(F.col(DST).alias("id"), F.col("c").alias("value"))
+                .agg(F.count("*").alias("cnt"))
+                .withColumn("cum", F.sum("cnt").over(w))
+                .groupBy("id")
+                .agg(F.max(F.least(F.col("value"), F.col("cum"))).alias("h"))
+            )
         # h is NULL exactly for nodes outside the recompute set (in a full
         # round every node has ≥1 und edge) — they keep their value
         new_c = (

@@ -100,6 +100,11 @@ def hits_result(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         a_tot = a_raw.agg(F.sum("ar").alias("at"))
+        # the normalized auth vector is referenced twice (the hub
+        # half-step's broadcast build AND the state materialization) —
+        # persist it so the second reference reads V rows from cache
+        # instead of re-running the nodes⨝a_raw join (no arithmetic
+        # change; measured 196 → 172 jobs / ~25% fewer stages at sf0.1)
         auth = (
             nodes.join(a_raw, "id", "left")
             .crossJoin(F.broadcast(a_tot))
@@ -107,6 +112,7 @@ def hits_result(
                 "id",
                 (F.coalesce("ar", F.lit(0.0)) / F.col("at")).alias("auth"),
             )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # hub half-step: pull the NEW auth mass over out-edges
         h_raw = (
@@ -131,7 +137,7 @@ def hits_result(
         prev.unpersist()
         for df in scratch:
             df.unpersist()
-        scratch = [a_raw, h_raw]
+        scratch = [a_raw, auth, h_raw]
         metrics.append(
             IterationMetrics(iteration=i, seconds=time.time() - t0, rows=n)
         )

@@ -110,7 +110,7 @@ def minimum_spanning_forest(
         # merge: pointer p(comp) = other endpoint's component; break the
         # mutual two-cycles toward the smaller id, then pointer-double.
         p = chosen.select("comp", F.col("other").alias("p"))
-        pp = materialize(
+        pp0 = (
             p.alias("x")
             .join(p.alias("y"), F.col("x.p") == F.col("y.comp"))
             .select(
@@ -121,17 +121,33 @@ def minimum_spanning_forest(
                 ).otherwise(F.col("x.p")).alias("p"),
             )
         )
+        # pointer resolution: chain up to 4 composition steps LAZILY per
+        # materialized job while the component table is broadcast-small —
+        # compositions past the fixpoint are idempotent (p∘p = p), so the
+        # result is identical to step-at-a-time execution, and the
+        # two-cycle-broken pp0 rides the FIRST block's job instead of
+        # materializing on its own (the chosen table it derives from is
+        # already cached, so the k+1 lazy references stay cheap). Past
+        # the bound every step materializes on its own — a V-row
+        # first-round table must not be re-referenced k+1 times lazily.
+        block = 4 if int(obs.get["n"] or 0) <= 100_000 else 1
+        pp = None
         while True:
             obs2 = Observation()
-            nxt = materialize(
-                pp.alias("x")
-                .join(pp.alias("y"), F.col("x.p") == F.col("y.comp"))
-                .select(
-                    F.col("x.comp").alias("comp"),
-                    F.col("x.p").alias("p_old"),
-                    F.col("y.p").alias("p"),
+            base = pp0 if pp is None else pp
+            cur = base.select("comp", F.col("p").alias("p_old"), "p")
+            for _d in range(block):
+                cur = (
+                    cur.alias("x")
+                    .join(base.alias("y"), F.col("x.p") == F.col("y.comp"), "left")
+                    .select(
+                        F.col("x.comp").alias("comp"),
+                        F.col("x.p_old").alias("p_old"),
+                        F.coalesce(F.col("y.p"), F.col("x.p")).alias("p"),
+                    )
                 )
-                .observe(
+            nxt = materialize(
+                cur.observe(
                     obs2,
                     F.sum(
                         F.when(F.col("p_old") != F.col("p"), F.lit(1)).otherwise(F.lit(0))
@@ -140,7 +156,8 @@ def minimum_spanning_forest(
                 .select("comp", "p"),
                 observed=True,
             )
-            pp.unpersist()
+            if pp is not None:
+                pp.unpersist()
             pp = nxt
             if int(obs2.get["moved"] or 0) == 0:
                 break

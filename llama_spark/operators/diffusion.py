@@ -255,29 +255,31 @@ def trophic_levels(
     def _hint(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if tiny else df.hint("shuffle_hash")
 
+    # d and v are per-node CONSTANTS — carry them in the iterate state
+    # (the pagerank/fiedler convention) so each sweep joins only the
+    # gathered sum: drops the fixed-table join and the second broadcast
+    # build of h per sweep (same arithmetic, same operand order).
     def step(h: DataFrame, _i: int) -> DataFrame:
         s = (
-            _hint(h).join(gather, h["id"] == gather[SRC])
+            _hint(h.select("id", "h")).join(gather, h["id"] == gather[SRC])
             .select(F.col(DST).alias("id"), (F.col("_w") * F.col("h")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        return (
-            base.join(_hint(h.select("id", F.col("h").alias("_hp"))), "id")
-            .join(_hint(s), "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - omega) * F.col("_hp")
-                    + F.lit(omega)
-                    * (F.col("v") + F.coalesce("s", F.lit(0.0)))
-                    / F.col("d")
-                ).alias("h"),
-            )
+        return h.join(_hint(s), "id", "left").select(
+            "id",
+            "d",
+            "v",
+            (
+                F.lit(1.0 - omega) * F.col("h")
+                + F.lit(omega)
+                * (F.col("v") + F.coalesce("s", F.lit(0.0)))
+                / F.col("d")
+            ).alias("h"),
         )
 
     result = iterate(
-        base.select("id", F.lit(0.0).alias("h")),
+        base.select("id", "d", "v", F.lit(0.0).alias("h")),
         step,
         max_iter=max_iter,
         name="trophic_levels",

@@ -358,7 +358,12 @@ def _louvain_rounds(
     score(c) = m2·e_{v,c} − k_v·Σ'_c stays exact because contracted
     weights are edge counts. Returns [id, comm] after exactly ``rounds``
     staged rounds (movers: (id + r) % 2 == 0; see louvain_communities)."""
-    init = deg.select("id", F.col("id").alias("comm"))
+    # node mass k is a per-node CONSTANT — carried in the round state
+    # (the pagerank/trophic convention) so Σ'_c is a plain aggregate over
+    # the state instead of a state⨝deg broadcast join, and the gain join
+    # drops its deg side: two fewer broadcast builds and one fewer join
+    # per round, bit-identical integer scores.
+    init = deg.select("id", F.col("id").alias("comm"), "k")
 
     def _hint(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
@@ -370,7 +375,7 @@ def _louvain_rounds(
         # only this round's movers need candidates, so the edge stream is
         # pre-filtered on the gathering endpoint's parity (halves the join)
         evc = (
-            _hint(state).join(
+            _hint(state.select("id", "comm")).join(
                 und_w.filter(F.pmod(F.col(DST) + F.lit(it), F.lit(2)) == 0),
                 state["id"] == und_w[SRC],
             )
@@ -389,13 +394,11 @@ def _louvain_rounds(
             .agg(F.max("e").alias("e"))
         )
         tot = (
-            _hint(state).join(deg, "id")
-            .groupBy(F.col("comm").alias("c"))
+            state.groupBy(F.col("comm").alias("c"))
             .agg(F.sum("k").alias("tot"))
         )
         scored = (
             cand.join(_hint(state), "id")
-            .join(_hint(deg), "id")
             .join(_hint(tot), "c")
             .select(
                 "id",
@@ -420,7 +423,7 @@ def _louvain_rounds(
             .select("id", (-F.col("b.negc")).alias("new_comm"))
         )
         return state.join(_hint(picks), "id", "left").select(
-            "id", F.coalesce("new_comm", "comm").alias("comm")
+            "id", F.coalesce("new_comm", "comm").alias("comm"), "k"
         )
 
     result = iterate(
@@ -434,7 +437,7 @@ def _louvain_rounds(
         resume=resume,
         name=name,
     )
-    return result.state
+    return result.state.select("id", "comm")
 
 
 def louvain_communities(

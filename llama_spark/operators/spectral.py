@@ -34,11 +34,16 @@ Scale: per iteration one join against the cached hash(src)-partitioned
 undirected edge table (edges streamed, only the V-row vector shuffles)
 plus one 1-row statistics aggregate — identical cost profile to a
 PageRank iteration, so the measured PageRank scaling evidence
-(BENCH/BASELINE.md) transfers. No driver collect inside the loop; the
-single post-loop ``head()`` is a 1-row sign probe.
+(BENCH/BASELINE.md) transfers. The only in-loop driver reads are 1-row
+scalar probes (the statistics aggregate over the cached iterate — the
+normalization constants re-enter the plan as literals, which halves the
+per-step job chain versus a broadcast-stats crossJoin); the post-loop
+``head()`` is a 1-row sign probe.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,6 +52,18 @@ from pyspark.storagelevel import StorageLevel
 from ..graph import DST, SRC, materialize, symmetrize
 
 FIEDLER_ITERS = 16
+
+
+def _py_sqrt(v: float | None) -> float | None:
+    """sqrt with Spark SQL's NULL semantics: sqrt(NULL) = sqrt(<0) = NULL.
+
+    The iterate-normalization constants are computed driver-side from the
+    collected 1-row statistics; this keeps the degenerate branches (empty
+    iterate, negative one-pass variance from float cancellation) returning
+    NULL columns exactly as the previous all-SQL expression did."""
+    if v is None or v < 0.0:
+        return None
+    return math.sqrt(v)
 
 
 def fiedler_vector(
@@ -98,6 +115,7 @@ def fiedler_vector(
         )
     )
 
+    prev_mat = state
     for _ in range(max_iter):
         gather = und.join(
             _hint(state.select(F.col("id").alias(SRC), F.col("x").alias("xs"))),
@@ -111,24 +129,29 @@ def fiedler_vector(
                 + F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("y"),
         )
-        y = y.persist(StorageLevel.MEMORY_AND_DISK)
-        stats = y.agg(F.sum("y").alias("sy"), F.sum(F.col("y") * F.col("y")).alias("syy"))
-        prev = state
-        # one-pass deflate+normalize; operand order mirrored verbatim in the
-        # oracle SQL: m = sy/n ; x' = (y - m) / sqrt(syy - (m*m)*n)
-        m = F.col("sy") / F.lit(n_d)
-        state = materialize(
-            y.crossJoin(F.broadcast(stats)).select(
-                "id",
-                "d",
-                (
-                    (F.col("y") - m)
-                    / F.sqrt(F.col("syy") - (m * m) * F.lit(n_d))
-                ).alias("x"),
-            )
+        # one materialization per step; the normalization scalars are read
+        # back from the cached rows and re-entered as literals — same
+        # binary64 ops in the same order as the previous broadcast-stats
+        # plan (m = sy/n ; x' = (y - m) / sqrt(syy - (m*m)*n); the
+        # numerator/denominator division stays in SQL, so a zero or NULL
+        # denominator yields NULL exactly as before)
+        ymat = materialize(y)
+        sy, syy = ymat.agg(
+            F.sum("y").alias("sy"), F.sum(F.col("y") * F.col("y")).alias("syy")
+        ).head()
+        m = None if sy is None else sy / n_d
+        denom = _py_sqrt(None if m is None else syy - (m * m) * n_d)
+        old = prev_mat
+        prev_mat = ymat
+        state = ymat.select(
+            "id",
+            "d",
+            (
+                (F.col("y") - F.lit(m).cast("double"))
+                / F.lit(denom).cast("double")
+            ).alias("x"),
         )
-        prev.unpersist()
-        y.unpersist()
+        old.unpersist()
 
     head = state.orderBy(F.abs(F.col("x")).desc(), "id").select("x").head()
     sign = 1.0 if head is None or head[0] >= 0.0 else -1.0
@@ -252,6 +275,12 @@ def spectral_embedding2(
                 + F.coalesce(F.col("s2g"), F.lit(0.0))
             ).alias("y2"),
         )
+        # NOTE: this loop keeps the broadcast-stats crossJoin structure (the
+        # fiedler variants collect the constants driver-side instead): with
+        # the shuffle_hash gather the iterate's partial-sum partition layout
+        # is AQE-dependent, and aggregating the checkpointed iterate was
+        # measured to regroup the float partials (last-bits drift vs the
+        # inline plan at sf0.1) — not worth it for a non-bench operator.
         y = y.persist(StorageLevel.MEMORY_AND_DISK)
         st = y.agg(
             F.sum("y1").alias("s1"),
@@ -364,6 +393,7 @@ def fiedler_vector_normalized(
         )
     )
 
+    prev_mat = state
     for _ in range(max_iter):
         gather = (
             und.join(
@@ -381,30 +411,31 @@ def fiedler_vector_normalized(
             "sd",
             (F.col("x") + F.coalesce(F.col("g"), F.lit(0.0)) / F.col("sd")).alias("y"),
         )
-        y = y.persist(StorageLevel.MEMORY_AND_DISK)
-        st = y.agg(
+        # one materialization per step; deflation/normalization constants
+        # collected from the cached rows and re-entered as literals (same
+        # binary64 ops in the same order as the previous broadcast-stats
+        # plan; the per-row division stays in SQL so zero/NULL
+        # denominators yield NULL exactly as before)
+        ymat = materialize(y)
+        syd, syy = ymat.agg(
             F.sum(F.col("y") * F.col("sd")).alias("syd"),
             F.sum(F.col("y") * F.col("y")).alias("syy"),
+        ).head()
+        pr = None if syd is None else syd / s2
+        denom = _py_sqrt(
+            None if pr is None else syy - 2.0 * pr * syd + (pr * pr) * s2
         )
-        pr = F.col("syd") / F.lit(s2)
-        prev = state
-        state = materialize(
-            y.crossJoin(F.broadcast(st)).select(
-                "id",
-                "d",
-                "sd",
-                (
-                    (F.col("y") - pr * F.col("sd"))
-                    / F.sqrt(
-                        F.col("syy")
-                        - F.lit(2.0) * pr * F.col("syd")
-                        + (pr * pr) * F.lit(s2)
-                    )
-                ).alias("x"),
-            )
+        prev_mat, old_mat = ymat, prev_mat
+        state = ymat.select(
+            "id",
+            "d",
+            "sd",
+            (
+                (F.col("y") - F.lit(pr).cast("double") * F.col("sd"))
+                / F.lit(denom).cast("double")
+            ).alias("x"),
         )
-        prev.unpersist()
-        y.unpersist()
+        old_mat.unpersist()
 
     head = state.orderBy(F.abs(F.col("x")).desc(), "id").select("x").head()
     sign = 1.0 if head is None or head[0] >= 0.0 else -1.0

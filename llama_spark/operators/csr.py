@@ -110,7 +110,18 @@ def pagerank_csr_result(
     spark = edges.sparkSession
     p = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    csr = pack_csr(edges, p).persist(StorageLevel.MEMORY_AND_DISK)
+    # cache the packed CSR BEHIND an explicit hash(part) exchange:
+    # FlatMapGroupsInPandas output reports UnknownPartitioning, so without
+    # it every iteration's cogroup re-exchanges the cached E-scale CSR
+    # arrays (measured: one Exchange over the blobs per step); with it the
+    # cached plan's HashPartitioning(part, p) satisfies the cogroup's
+    # clustered-distribution requirement and only the V-row rank vector
+    # shuffles per step (the one-time exchange moves p fat rows once)
+    csr = (
+        pack_csr(edges, p)
+        .repartition(p, "part")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     csr.count()
     nodes = nodes_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()

@@ -37,7 +37,7 @@ Scale design (the three round-1 scale-killers, fixed):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -132,14 +132,19 @@ def betweenness_centrality(
             ["root", "id"],
             "left_anti",
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # the level row count rides the eager checkpoint as an observed
+        # metric (integer count — order-independent), one job per depth
+        # instead of checkpoint + count
+        obs = Observation()
         nxt = (
             stepped.groupBy("root", "id")
             .agg(F.sum("sigma").alias("sigma"))
             .withColumn("depth", F.lit(depth + 1))
             .select("root", "id", "depth", "sigma")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_nxt = nxt.count()
+        n_nxt = int(obs.get["n"])
         if n_nxt == 0:
             stepped.unpersist()
             break
@@ -285,14 +290,17 @@ def edge_betweenness(
             ["root", "id"],
             "left_anti",
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # level count rides the eager checkpoint (see node kernel)
+        obs = Observation()
         nxt = (
             stepped.groupBy("root", "id")
             .agg(F.sum("sigma").alias("sigma"))
             .withColumn("depth", F.lit(depth + 1))
             .select("root", "id", "depth", "sigma")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_nxt = nxt.count()
+        n_nxt = int(obs.get["n"])
         if n_nxt == 0:
             stepped.unpersist()
             break
@@ -460,15 +468,20 @@ def weighted_betweenness_centrality(
             .groupBy("root", F.col("v").alias("id"))
             .agg(F.sum("sigma").alias("acc"))
         )
+        # the convergence probe (exact BIGINT total — order-independent)
+        # rides the eager checkpoint as an observed metric: one job per
+        # round instead of checkpoint + aggregate
+        obs = Observation()
         sigma = (
             reached.join(contrib, ["root", "id"], "left")
             .select(
                 "root", "id", (base + F.coalesce("acc", F.lit(0))).alias("sigma")
             )
+            .observe(obs, F.sum("sigma").alias("t"))
             .localCheckpoint(eager=True)
         )
         rounds += 1
-        total = sigma.agg(F.sum("sigma")).collect()[0][0]
+        total = obs.get["t"]
         if total == prev_total:
             break
         prev_total = total

@@ -231,6 +231,16 @@ def materialize(df: DataFrame, observed: bool = False) -> DataFrame:
     return out
 
 
+def materialize_counted(df: DataFrame) -> tuple[DataFrame, int]:
+    """``materialize`` that also returns the row count of the single
+    materialization job. Fixpoint kernels that drive convergence or
+    join-side policy off the live-set size otherwise pay a second count
+    job per round for a number the materialization job already computed."""
+    out = df.localCheckpoint(eager=False).persist()
+    n = out.count()
+    return out, n
+
+
 def rich_club(edges: DataFrame, ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32)) -> DataFrame:
     """DataFrame[k, n_rich, e_rich, phi] — the rich-club coefficient
     φ(k) = 2·E_k / (N_k·(N_k−1)) over the simple undirected graph, where

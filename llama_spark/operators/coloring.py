@@ -28,7 +28,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..graph import DST, SRC, drop_self_loops, materialize, nodes_of, undirected_double
+from ..graph import (
+    DST,
+    SRC,
+    drop_self_loops,
+    materialize,
+    materialize_counted,
+    nodes_of,
+    undirected_double,
+)
 from .mis import _key
 
 
@@ -115,8 +123,10 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 512) -> DataFrame:
         )
         parts.append(mex)
         prev_active = active
-        active = materialize(active.join(ready, "id", "left_anti"))
-        n_active = active.count()  # cheap: reads the cache just built
+        # count rides the single materialization job (materialize_counted)
+        active, n_active = materialize_counted(
+            active.join(ready, "id", "left_anti")
+        )
         prev_active.unpersist()
         ready.unpersist()
         used.unpersist()  # no-op on the round-0 empty frame

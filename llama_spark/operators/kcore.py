@@ -187,9 +187,11 @@ def coreness(
             )
             .localCheckpoint(eager=True)
         )
-    n = c.count()  # checkpointed — near-free; drives the join-side policy
-    # max degree bounds |affected| ≤ changed · max_deg a priori (c0 = degree)
-    max_deg = int(c.agg(F.max("c")).collect()[0][0] or 0)
+    # one probe job over the checkpointed frame: row count (join-side
+    # policy) and max degree (|affected| ≤ changed · max_deg bound) together
+    _row = c.agg(F.count(F.lit(1)).alias("n"), F.max("c").alias("m")).head()
+    n = int(_row[0])
+    max_deg = int(_row[1] or 0)
     tiny_state = n <= 100_000
 
     def _hint(df: DataFrame) -> DataFrame:

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..graph import DST, SRC, drop_self_loops, materialize
+from ..graph import DST, SRC, drop_self_loops, materialize, materialize_counted
 
 _P1, _P2, _P3, _MOD = 1_000_003, 2_654_435_761, 1_315_423_911, 2_147_483_647
 _B32 = 4_294_967_296
@@ -53,12 +53,11 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     undirected simple graph: endpoint-disjoint edges such that every
     remaining edge touches a matched vertex. Deterministic (pure function
     of the edge set); raises if edges remain after ``max_rounds``."""
-    live = materialize(
+    live, n_live = materialize_counted(
         drop_self_loops(edges.select(SRC, DST))
         .select(F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST))
         .distinct()
     )
-    n_live = live.count()
     matched_parts: list[DataFrame] = []
 
     for r in range(1, max_rounds + 1):
@@ -71,7 +70,7 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             keyed.select(F.col(DST).alias("id"), "k")
         )
         best = ends.groupBy("id").agg(F.min("k").alias("b"))
-        sel = materialize(
+        sel, n_sel = materialize_counted(
             keyed.join(
                 best.withColumnRenamed("id", SRC).withColumnRenamed("b", "bs"), SRC
             )
@@ -79,7 +78,6 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             .filter((F.col("k") == F.col("bs")) & (F.col("k") == F.col("bd")))
             .select(SRC, DST)
         )
-        n_sel = sel.count()
         if n_sel > 0:
             # disjointness guard: a full-key collision between adjacent
             # minimal edges would match a vertex twice — raise, don't return
@@ -102,13 +100,12 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             .distinct()
         )
         prev = live
-        live = materialize(
+        live, n_live = materialize_counted(
             live.join(m_ids.withColumnRenamed("id", SRC), SRC, "left_anti").join(
                 m_ids.withColumnRenamed("id", DST), DST, "left_anti"
             )
         )
         prev.unpersist()
-        n_live = live.count()
     else:
         if n_live > 0:
             raise RuntimeError(
@@ -156,8 +153,9 @@ def maximal_weight_matching(
         F.greatest(SRC, DST).alias(DST),
         F.round(F.col("_w") * F.lit(float(resolution))).cast("long").alias("wq"),
     )
-    live = materialize(und.groupBy(SRC, DST).agg(F.max("wq").alias("wq")))
-    n_live = live.count()
+    live, n_live = materialize_counted(
+        und.groupBy(SRC, DST).agg(F.max("wq").alias("wq"))
+    )
     if n_live > 0:
         wq_max = live.agg(F.max("wq").alias("m")).collect()[0]["m"]
         if wq_max >= 100_000 or wq_max < 0:
@@ -186,7 +184,7 @@ def maximal_weight_matching(
             keyed.select(F.col(DST).alias("id"), "k")
         )
         best = ends.groupBy("id").agg(F.min("k").alias("b"))
-        sel = materialize(
+        sel, n_sel = materialize_counted(
             keyed.join(
                 best.withColumnRenamed("id", SRC).withColumnRenamed("b", "bs"), SRC
             )
@@ -194,7 +192,6 @@ def maximal_weight_matching(
             .filter((F.col("k") == F.col("bs")) & (F.col("k") == F.col("bd")))
             .select(SRC, DST, "wq")
         )
-        n_sel = sel.count()
         if n_sel > 0:
             n_ends = (
                 sel.select(F.col(SRC).alias("id"))
@@ -213,13 +210,12 @@ def maximal_weight_matching(
             .distinct()
         )
         prev = live
-        live = materialize(
+        live, n_live = materialize_counted(
             live.join(m_ids.withColumnRenamed("id", SRC), SRC, "left_anti").join(
                 m_ids.withColumnRenamed("id", DST), DST, "left_anti"
             )
         )
         prev.unpersist()
-        n_live = live.count()
     else:
         if n_live > 0:
             raise RuntimeError(

@@ -30,11 +30,19 @@ like the other fixpoint kernels (plans/fixpoint.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..graph import DST, SRC, drop_self_loops, materialize, nodes_of, undirected_double
+from ..graph import (
+    DST,
+    SRC,
+    drop_self_loops,
+    materialize,
+    materialize_counted,
+    nodes_of,
+    undirected_double,
+)
 
 # mirrored literally in the DuckDB oracle (entry_queries._mis_sql)
 _P1, _P2, _P3, _MOD = 1_000_003, 2_654_435_761, 1_315_423_911, 2_147_483_647
@@ -67,8 +75,7 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 64) -> DataFrame
     # round state goes through ``materialize`` (localCheckpoint + cached
     # real stats): active feeds BOTH sides of the live-neighbor join, and
     # carried size estimates would square per round — see graph.materialize
-    active = materialize(nodes_of(und))
-    n_active = active.count()
+    active, n_active = materialize_counted(nodes_of(und))
     selected_parts: list[DataFrame] = []
 
     for r in range(1, max_rounds + 1):
@@ -91,16 +98,14 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 64) -> DataFrame
             und.join(sel.withColumnRenamed("id", SRC), SRC, "left_semi")
             .select(F.col(DST).alias("id"))
         )
-        obs = Observation(f"mis_{r}")
+        # the next active count comes back from the single materialization
+        # job (materialize_counted) — one job per round instead of the
+        # observed eager-checkpoint + count pair
         prev_active = active
-        active = materialize(
-            active.join(sel, "id", "left_anti")
-            .join(nbrs_of_sel, "id", "left_anti")
-            .observe(obs, F.count("*").alias("n")),
-            observed=True,
+        active, n_active = materialize_counted(
+            active.join(sel, "id", "left_anti").join(nbrs_of_sel, "id", "left_anti")
         )
         prev_active.unpersist()
-        n_active = int(obs.get["n"] or 0)
     else:
         if n_active > 0:
             raise RuntimeError(

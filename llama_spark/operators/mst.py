@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..graph import DST, SRC, materialize
+from ..graph import DST, SRC, materialize, materialize_counted
 
 
 def _canonical_und(edges: DataFrame, weight_col: str) -> DataFrame:
@@ -94,16 +94,16 @@ def minimum_spanning_forest(
                 F.struct("w", "a", "b", F.col("comp_a").alias("other")).alias("e"),
             )
         )
-        obs = Observation(f"mst_{_round}")
-        chosen = materialize(
+        # the chosen-edge count comes back from the single materialization
+        # job (materialize_counted) — one job instead of the observed
+        # eager-checkpoint + count pair
+        chosen, n_chosen = materialize_counted(
             cand.groupBy("comp")
             .agg(F.min("e").alias("e"))
             .select("comp", F.col("e.w").alias("w"), F.col("e.a").alias("a"),
                     F.col("e.b").alias("b"), F.col("e.other").alias("other"))
-            .observe(obs, F.count("*").alias("n")),
-            observed=True,
         )
-        if int(obs.get["n"] or 0) == 0:
+        if n_chosen == 0:
             break  # no inter-component edge anywhere: forest complete
         forest_parts.append(chosen.select("a", "b", "w").distinct())
 
@@ -130,7 +130,7 @@ def minimum_spanning_forest(
         # already cached, so the k+1 lazy references stay cheap). Past
         # the bound every step materializes on its own — a V-row
         # first-round table must not be re-referenced k+1 times lazily.
-        block = 4 if int(obs.get["n"] or 0) <= 100_000 else 1
+        block = 4 if n_chosen <= 100_000 else 1
         pp = None
         while True:
             obs2 = Observation()

@@ -84,13 +84,17 @@ def strongly_connected_components(
         # On web graphs trivial SCCs dominate once the giant SCC is gone,
         # so this turns most outer rounds' colorings into no-ops.
         while remaining > 0:
+            # the surviving-node count rides the checkpoint job via observe
+            # — one job per trim round instead of checkpoint + count
+            tobs = Observation(f"scc_trim_{_round}_{_stats['trim_rounds']}")
             keep = (
                 active_edges.select(F.col(SRC).alias("id"))
                 .distinct()
                 .join(active_edges.select(F.col(DST).alias("id")).distinct(), "id")
+                .observe(tobs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint(eager=True)
             )
-            n_keep = keep.count()
+            n_keep = int(tobs.get["n"])
             n_trivial = remaining - n_keep
             if n_trivial == 0:
                 break

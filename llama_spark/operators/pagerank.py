@@ -489,14 +489,23 @@ def topic_sensitive_pagerank(
         )
     )
 
+    tiny_state = n <= 100_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        # broadcast the V-row state while tiny (the pagerank/cc join-side
+        # policy) so the cached hash(src) edge table streams with no
+        # exchange and the partial-sum partitioning is unchanged; past the
+        # threshold the shuffled-hash path engages
+        return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
+
     d = damping
     for _ in range(max_iter):
         contribs = (
             e_inv.join(
-                state.select(
+                _hint(state.select(
                     F.col("id").alias(SRC),
                     *[F.col(f"r{t}").alias(f"x{t}") for t in ks],
-                ).hint("shuffle_hash"),
+                )),
                 SRC,
             )
             .groupBy(F.col(DST).alias("id"))
@@ -509,7 +518,7 @@ def topic_sensitive_pagerank(
         )
         prev = state
         state = materialize(
-            state.join(contribs, "id", "left").select(
+            state.join(_hint(contribs), "id", "left").select(
                 "id",
                 *[F.col(f"e{t}") for t in ks],
                 *[
@@ -604,7 +613,7 @@ def truncated_pagerank(
     ew = e.join(deg, e[SRC] == deg["id"]).select(
         SRC, DST, (F.lit(1.0) / F.col("od")).alias("w")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    materialize(ew)
+    ew.count()
 
     nodes = nodes_of(e)
     n = nodes.count()
@@ -617,11 +626,18 @@ def truncated_pagerank(
     state0 = nodes.select(
         "id", (F.lit(1.0) / n).alias("x"), F.lit(0.0).alias("acc")
     )
+    tiny_state = n <= 100_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        # the pagerank/cc join-side policy: broadcast the V-row state while
+        # tiny so the cached edge table streams; shuffled-hash past it
+        # (the old plan built the shuffled-hash table over the E-row side)
+        return F.broadcast(df) if tiny_state else df.hint("shuffle_hash")
 
     def step(state: DataFrame, i: int) -> DataFrame:
         t = i + 1
         contrib = (
-            state.join(ew.hint("shuffle_hash"), state["id"] == ew[SRC])
+            _hint(state).join(ew, state["id"] == ew[SRC])
             .groupBy(F.col(DST).alias("id"))
             .agg(F.sum(F.col("x") * F.col("w")).alias("nx"))
         )

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..graph import DST, SRC, materialize, symmetrize
+from ..graph import DST, SRC, materialize, materialize_counted, symmetrize
 
 PARTITION_K = 8
 PARTITION_ROUNDS = 6
@@ -71,7 +71,7 @@ def spinner_partition(
     deg = und.groupBy(F.col(SRC).alias("id")).agg(F.count("*").alias("d"))
     total = und.count()  # Σ deg = directed und edge count
 
-    state = materialize(
+    state, n_nodes = materialize_counted(
         deg.select(
             "id",
             "d",
@@ -84,24 +84,38 @@ def spinner_partition(
         und.unpersist()
         return state
 
+    n_nodes_tiny = n_nodes <= 100_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        # broadcast the V-row label vector while tiny (the pagerank/cc
+        # join-side policy; neighbor tallies are integer counts, so the
+        # partial-aggregation grouping is order-free); shuffled-hash past it
+        return F.broadcast(df) if n_nodes_tiny else df.hint("shuffle_hash")
+
     for _ in range(rounds):
         loads = state.groupBy(F.col("part").alias("lbl")).agg(
             F.sum("d").alias("load")
         )
         nbr = (
             und.join(
-                state.select(
+                _hint(state.select(
                     F.col("id").alias(SRC), F.col("part").alias("lbl")
-                ).hint("shuffle_hash"),
+                )),
                 SRC,
             )
             .groupBy(F.col(DST).alias("id"), "lbl")
             .agg(F.count("*").alias("w"))
         )
-        cand = (
-            nbr.unionByName(state.select("id", F.col("part").alias("lbl")).withColumn("w", F.lit(0)))
-            .groupBy("id", "lbl")
-            .agg(F.sum("w").alias("w"))
+        # inject each node's CURRENT label as a w=0 candidate WITHOUT the
+        # former (id, lbl) re-group: the score is strictly monotone in w,
+        # so when the current label also appears among the neighbor
+        # tallies the injected w=0 duplicate is dominated and the
+        # groupBy(id).max(struct) below picks the same row — one V·deg-row
+        # exchange less per round, identical labels
+        cand = nbr.unionByName(
+            state.select(
+                "id", F.col("part").alias("lbl"), F.lit(0).cast("long").alias("w")
+            )
         )
         scored = (
             cand.join(state.select("id", "d", F.col("part").alias("cur")), "id")
